@@ -1,10 +1,18 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``   — flagship: the full main-content extraction pipeline over the
+              seeded Common-Crawl-style pages table at sf0.001 scale.
+``queries`` — one entry per implemented operator (SURVEY.md §2 + the
+              training-data-pipeline operators); each runs on the driver's
+              parquet tables at ``sf_dir``.
+``oracle_sql`` — DuckDB-equivalent SQL for every SQL-expressible query.
+              Omitted keys (extraction, MinHash/SimHash/LSH approximations,
+              salted host stats) are non-SQL-expressible or operate on the
+              in-memory synthetic pages table → rows-only checks.
+
+Numeric discipline for cross-engine hash parity: big double sums go through
+decimal(18,x) (exact, order-independent) then back to double; averages and
+similarities are rounded; rankings always carry an explicit integer tiebreak.
 """
 
 from __future__ import annotations
@@ -12,27 +20,465 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from batch_doc_vqa_spark.functions.udfs import extract_udf
+from batch_doc_vqa_spark.operators import analytics, dedup, similarity, textstats
+from batch_doc_vqa_spark.plans.skew import salted_host_stats, with_salted_partition
+from batch_doc_vqa_spark.sources.pages import pages_df, rows_for_sf
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _sf_of(sf_dir: str) -> float:
+    try:
+        return float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        return 0.001
+
+
+def _dsum(col, digits: int = 2):
+    """Order-independent double sum: exact decimal accumulation → double."""
+    return F.sum(col.cast(f"decimal(18,{digits})")).cast("double")
+
+
+# --------------------------------------------------------------- flagship
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Extraction pipeline at sf0.001: generate pages → salted hash(url)
+    repartition → Arrow-batched extract → per-url results."""
+    pages = pages_df(spark, rows_for_sf(0.001), seed=42)
+    bucketed = with_salted_partition(pages, num_buckets=8)
+    return bucketed.withColumn("_ex", extract_udf(F.col("html"))).select(
+        "url",
+        "lang",
+        F.col("_ex.status").alias("status"),
+        F.length("_ex.text").alias("n_chars"),
+        F.size("_ex.spans").alias("n_spans"),
+    )
+
+
+# --------------------------------------------------------------- queries
+
+
+def _q_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = min(2000, rows_for_sf(_sf_of(sf_dir)))
+    pages = with_salted_partition(pages_df(spark, n, seed=42), num_buckets=16)
+    return pages.withColumn("_ex", extract_udf(F.col("html"))).select(
+        "url",
+        F.col("_ex.status").alias("status"),
+        F.length("_ex.text").alias("n_chars"),
+        F.size("_ex.spans").alias("n_spans"),
+    )
+
+
+def _q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = min(2000, rows_for_sf(_sf_of(sf_dir)))
+    return salted_host_stats(pages_df(spark, n, seed=42))
+
+
+def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dsum(F.col("l_quantity")).alias("sum_qty"),
+        _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+def _q_revenue_by_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"))
+    )
+
+
+def _q_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"),
+        )
+    )
+
+
+def _q_best_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    best = analytics.latest_per_key(orders, "o_custkey", "o_totalprice", "o_orderkey")
+    return best.select("o_custkey", "o_orderkey", "o_totalprice")
+
+
+def _q_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return analytics.top_k_per_group(orders, "o_custkey", "o_totalprice", 3, "o_orderkey").select(
+        "o_custkey", "o_orderkey", "o_totalprice", "rank"
+    )
+
+
+def _q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return analytics.latest_per_key(ev, "user_id", "ts", "event_id").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+
+
+def _q_supplier_customer_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    j = sup.join(cust, sup.s_nationkey == cust.c_nationkey).withColumn(
+        "d", F.levenshtein(F.lower("s_name"), F.lower("c_name"))
+    )
+    return j.groupBy("s_suppkey").agg(F.min("d").alias("best_dist")).withColumn(
+        "found", F.col("best_dist") <= 3
+    )
+
+
+def _q_digit_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.select(
+            F.explode(F.split(F.lpad(F.col("c_custkey").cast("string"), 8, "0"), "")).alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return analytics.pareto_frontier(part, "p_retailprice", "p_size").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+
+
+def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("value")).alias("sum_value"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+
+
+def _q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        (F.pmod(F.abs(F.col("value")), F.lit(100.0)) / 100.0).alias("p"),
+        F.col("event_type").isin("purchase", "signup").alias("is_correct"),
+    )
+    return analytics.calibration_bins(ev, "p", "is_correct", 7)
+
+
+def _q_discount_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", (1 - F.col("l_discount")).alias("keep")
+    )
+    return analytics.grouped_product(li, ["l_orderkey"], "keep").withColumn(
+        "prob_product", F.round("prob_product", 6)
+    )
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, "doc_id", "text")
+
+
+def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+
+
+def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_hashes=64, bands=16)
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+def _q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return similarity.cosine_topk(emb, queries, k=5).select("q_id", "neighbor_id", "cosine", "rank")
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return similarity.lsh_cosine_topk(emb, queries, dim=64, k=5, n_planes=6, n_tables=8).select(
+        "q_id", "neighbor_id", "cosine", "rank"
+    )
+
+
+def _q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.quality_features(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.lang_id(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_counts(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.fingerprint(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "extract_main_content": _q_extract,
+        "host_stats_salted": _q_host_stats,
+        "q1_pricing_summary": _q_pricing_summary,
+        "revenue_by_order": _q_revenue_by_order,
+        "region_rollup": _q_region_rollup,
+        "best_order_per_customer": _q_best_order_per_customer,
+        "top3_orders_per_customer": _q_top3_orders_per_customer,
+        "latest_event_per_user": _q_latest_event_per_user,
+        "supplier_customer_match": _q_supplier_customer_match,
+        "digit_frequency": _q_digit_frequency,
+        "pareto_parts": _q_pareto_parts,
+        "events_hourly": _q_events_hourly,
+        "calibration_bins": _q_calibration,
+        "discount_product": _q_discount_product,
+        "dedup_exact": _q_dedup_exact,
+        "jaccard_pairs": _q_jaccard_pairs,
+        "minhash_lsh_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "ann_cosine_topk": _q_ann_cosine,
+        "ann_lsh_topk": _q_ann_lsh,
+        "doc_quality": _q_doc_quality,
+        "lang_id": _q_lang_id,
+        "token_counts": _q_token_counts,
+        "fingerprint": _q_fingerprint,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_TOKS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+                   ROUND(AVG(l_quantity), 6) AS avg_qty,
+                   ROUND(AVG(l_extendedprice), 6) AS avg_price,
+                   ROUND(AVG(l_discount), 6) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_order": """
+            SELECT o_orderkey, o_orderdate,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey, o_orderdate
+        """,
+        "region_rollup": """
+            SELECT r_name, COUNT(*) AS n_customers, ROUND(AVG(c_acctbal), 6) AS avg_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "best_order_per_customer": """
+            SELECT o_custkey, o_orderkey, o_totalprice FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+                FROM orders
+            ) WHERE rn = 1
+        """,
+        "top3_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+                FROM orders
+            ) WHERE rank <= 3
+        """,
+        "latest_event_per_user": """
+            SELECT user_id, event_id, ts, event_type FROM (
+                SELECT user_id, event_id, ts, event_type,
+                       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id ASC) AS rn
+                FROM events
+            ) WHERE rn = 1
+        """,
+        "supplier_customer_match": """
+            SELECT s_suppkey,
+                   MIN(levenshtein(lower(s_name), lower(c_name))) AS best_dist,
+                   (MIN(levenshtein(lower(s_name), lower(c_name))) <= 3) AS found
+            FROM supplier JOIN customer ON s_nationkey = c_nationkey
+            GROUP BY s_suppkey
+        """,
+        "digit_frequency": """
+            SELECT digit, COUNT(*) AS n FROM (
+                SELECT unnest(string_to_array(lpad(CAST(c_custkey AS VARCHAR), 8, '0'), '')) AS digit
+                FROM customer
+            ) GROUP BY digit
+        """,
+        "pareto_parts": """
+            SELECT p_partkey, p_retailprice, p_size FROM part p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM part o
+                WHERE o.p_retailprice < p.p_retailprice AND o.p_size >= p.p_size
+            )
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+                   ROUND(AVG(value), 6) AS avg_value
+            FROM events GROUP BY 1, 2
+        """,
+        "calibration_bins": """
+            WITH p AS (
+                SELECT (abs(value) % 100.0) / 100.0 AS p,
+                       event_type IN ('purchase', 'signup') AS is_correct
+                FROM events
+            )
+            SELECT bin, COUNT(*) AS n, ROUND(AVG(p), 6) AS mean_prob,
+                   ROUND(AVG(CAST(is_correct AS DOUBLE)), 6) AS mean_correct
+            FROM (SELECT CAST(least(floor(p * 7), 6) AS INTEGER) AS bin, p, is_correct FROM p)
+            GROUP BY bin
+        """,
+        "discount_product": """
+            SELECT l_orderkey,
+                   ROUND(CASE WHEN MAX(CASE WHEN (1 - l_discount) <= 0 THEN 1 ELSE 0 END) = 1
+                              THEN 0.0
+                              ELSE ROUND(EXP(SUM(LN(CASE WHEN (1 - l_discount) > 0 THEN (1 - l_discount) END))), 12)
+                         END, 6) AS prob_product
+            FROM lineitem GROUP BY l_orderkey
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_dups
+            FROM documents GROUP BY md5(text)
+        """,
+        "jaccard_pairs": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+'), x -> x != '') AS t
+                FROM documents
+            ), sh AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                           range(1, greatest(len(t) - 2, 0) + 1),
+                           i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS s
+                FROM toks
+            ), sizes AS (
+                SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, ROUND(n_inter / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE ROUND(n_inter / (sa.sz + sb.sz - n_inter), 6) >= 0.2
+        """,
+        "ann_cosine_topk": """
+            WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            q AS (SELECT vec_id AS q_id, v AS q_vec FROM emb WHERE vec_id % 50 = 0),
+            scored AS (
+                SELECT q.q_id, e.vec_id AS neighbor_id,
+                       ROUND(list_cosine_similarity(e.v, q.q_vec), 6) AS cosine
+                FROM emb e CROSS JOIN q WHERE e.vec_id != q.q_id
+            )
+            SELECT q_id, neighbor_id, cosine, rank FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                FROM scored
+            ) WHERE rank <= 5
+        """,
+        "doc_quality": f"""
+            WITH t AS (
+                SELECT doc_id, text, {_TOKS} AS toks FROM documents
+            )
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len(toks) AS n_tokens,
+                   CASE WHEN length(text) > 0
+                        THEN ROUND(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) / length(text), 6)
+                        ELSE 0.0 END AS punct_ratio,
+                   CASE WHEN len(toks) > 0
+                        THEN ROUND(len(list_filter(toks, x -> list_contains(['the','and','with','from','that','this','for','are','was'], x))) / len(toks), 6)
+                        ELSE 0.0 END AS stopword_ratio,
+                   CASE WHEN len(toks) > 0 THEN ROUND(length(text) / len(toks), 6) ELSE 0.0 END AS mean_token_len,
+                   ROUND(
+                     (CASE WHEN len(toks) >= 20 AND len(toks) <= 100000 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+                   + (CASE WHEN length(text) > 0
+                           AND ROUND(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) / length(text), 6) > 0.001
+                           AND ROUND(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) / length(text), 6) < 0.2
+                           THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+                   + (CASE WHEN len(toks) > 0
+                           AND ROUND(len(list_filter(toks, x -> list_contains(['the','and','with','from','that','this','for','are','was'], x))) / len(toks), 6) > 0.05
+                           THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END), 6) AS quality_score
+            FROM t
+        """,
+        "lang_id": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), s AS (
+                SELECT doc_id,
+                       len(list_filter(toks, x -> list_contains(['the','and','with','from','that'], x))) AS score_en,
+                       len(list_filter(toks, x -> list_contains(['und','der','nicht','mit','aber'], x))) AS score_de,
+                       len(list_filter(toks, x -> list_contains(['les','dans','avec','pour','mais'], x))) AS score_fr,
+                       len(list_filter(toks, x -> list_contains(['los','para','pero','como','donde'], x))) AS score_es
+                FROM t
+            )
+            SELECT doc_id, score_en, score_de, score_fr, score_es,
+                   CASE WHEN greatest(score_en, score_de, score_fr, score_es) = 0 THEN 'und'
+                        WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
+                        WHEN score_de = greatest(score_en, score_de, score_fr, score_es) THEN 'de'
+                        WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 'fr'
+                        ELSE 'es' END AS lang_guess
+            FROM s
+        """,
+        "token_counts": f"""
+            SELECT doc_id,
+                   len({_TOKS}) AS ws_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS regex_tokens
+            FROM documents
+        """,
+        "fingerprint": """
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_md5,
+                   sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_sha256
+            FROM documents
+        """,
+    }

@@ -1,0 +1,258 @@
+"""Main-content extraction kernel: HTML tokenizer + block classifier.
+
+This is the engine's analogue of the reference's per-document understanding
+stage (batch-doc-vqa runs a VLM per page image — see
+/root/reference/src/batch_doc_vqa/openrouter/inference.py:1175-2166 for the
+per-row pipeline and /root/reference/src/batch_doc_vqa/openrouter/api.py:202-248
+for its parse-cascade). Here the document is Common-Crawl-style HTML bytes and
+the "model" is a deterministic Boilerpipe/Readability-style classifier:
+
+1. tokenizer — single linear scan over the markup producing *blocks*
+   (text runs delimited by block-level tags) annotated with tag label,
+   enclosing boilerplate container, raw char count and anchor char count;
+2. features — per-block word count, char count, link density; scored
+   vectorized with NumPy across all blocks of a document;
+3. classifier — precision pass (strict thresholds, boilerplate containers
+   excluded, Boilerpipe-style neighborhood smoothing) with a trafilatura-style
+   fallback: if the precision pass yields too little text, a recall pass with
+   relaxed thresholds re-runs on the same block array;
+4. output — extracted text (blocks joined by "\\n\\n") plus span offsets
+   (start, end, label) into that text.
+
+The kernel is a pure function of the input bytes: same bytes → byte-identical
+text (the north-rule invariant). The Spark pandas UDFs in ``udfs.py`` call
+exactly this code on Arrow batches, so the oracle and the engine cannot drift.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .pdf_extract import SPDF_MAGIC, extract_spdf
+
+# ---------------------------------------------------------------- tokenizer
+
+# elements whose entire content is non-text
+_STRIP_RE = re.compile(
+    r"<(script|style|noscript|svg|template)\b[^>]*>.*?</\1\s*>",
+    re.IGNORECASE | re.DOTALL,
+)
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
+_TAG_RE = re.compile(r"<\s*(/?)\s*([a-zA-Z][a-zA-Z0-9]*)[^>]*?(/?)\s*>")
+_WS_RE = re.compile(r"\s+")
+
+# tags that terminate the current text block
+_BLOCK_TAGS = frozenset(
+    "p div h1 h2 h3 h4 h5 h6 li ul ol dl dt dd table thead tbody tr td th "
+    "section article aside header footer nav blockquote pre br hr main form "
+    "figure figcaption fieldset legend address center body html head title".split()
+)
+# containers whose content is boilerplate by position
+_BOILER_CONTAINERS = frozenset("nav aside footer form".split())
+_HEADER_CONTAINER = "header"
+_HEADINGS = frozenset("h1 h2 h3 h4 h5 h6".split())
+_LISTY = frozenset("li dt dd".split())
+_CELLS = frozenset("td th".split())
+
+# ---------------------------------------------------------------- thresholds
+
+MIN_WORDS_STRICT = 8
+MIN_WORDS_HEADING_STRICT = 2
+MAX_LINK_DENSITY_STRICT = 0.33
+MIN_WORDS_RELAXED = 3
+MIN_WORDS_HEADING_RELAXED = 1
+MAX_LINK_DENSITY_RELAXED = 0.66
+# smoothing: weak-but-plausible blocks between two content blocks are kept
+SMOOTH_MIN_WORDS = 3
+SMOOTH_MAX_LINK_DENSITY = 0.5
+# recall cascade triggers when the precision pass yields less than this
+MIN_YIELD_CHARS = 150
+
+
+@dataclass
+class _Block:
+    tag: str  # nearest block tag label
+    container: str  # '' | 'nav' | 'aside' | 'footer' | 'form' | 'header'
+    chars: list[str] = field(default_factory=list)
+    anchor_chars: int = 0
+    total_chars: int = 0
+
+
+@dataclass
+class ExtractResult:
+    text: str
+    spans: list[tuple[int, int, str]]  # (start, end, label) into ``text``
+    status: str  # 'ok' | 'ok_recall' | 'empty' | 'pdf' | 'error'
+    error: str = ""
+
+
+def _label_of(tag: str) -> str:
+    if tag in _HEADINGS:
+        return "heading"
+    if tag in _LISTY:
+        return "list"
+    if tag in _CELLS:
+        return "cell"
+    return "para"
+
+
+def _tokenize(doc: str) -> list[tuple[str, str, str]]:
+    """Linear scan → raw blocks of (label, container, text, link-chars).
+
+    Returns a list of (label, container, text) with anchor char counts folded
+    into the parallel arrays built by ``_features``; implemented as one pass
+    maintaining a container stack and an anchor depth (inline tags do not
+    flush the current block).
+    """
+    doc = _STRIP_RE.sub(" ", doc)
+    doc = _COMMENT_RE.sub(" ", doc)
+
+    blocks: list[_Block] = []
+    cur = _Block(tag="p", container="")
+    container_stack: list[str] = []
+    anchor_depth = 0
+    pos = 0
+
+    def flush(next_tag: str) -> None:
+        nonlocal cur
+        if cur.total_chars:
+            blocks.append(cur)
+        cur = _Block(tag=next_tag, container=container_stack[-1] if container_stack else "")
+
+    for m in _TAG_RE.finditer(doc):
+        text = doc[pos : m.start()]
+        if text:
+            cur.chars.append(text)
+            cur.total_chars += len(text)
+            if anchor_depth > 0:
+                cur.anchor_chars += len(text)
+        pos = m.end()
+        closing, tag, selfclose = m.group(1) == "/", m.group(2).lower(), m.group(3) == "/"
+        if tag == "a":
+            if closing:
+                anchor_depth = max(0, anchor_depth - 1)
+            elif not selfclose:
+                anchor_depth += 1
+            continue
+        if tag not in _BLOCK_TAGS:
+            continue  # inline tag: no flush
+        if tag in _BOILER_CONTAINERS or tag == _HEADER_CONTAINER:
+            if closing:
+                flush("p")
+                if container_stack and container_stack[-1] == tag:
+                    container_stack.pop()
+                cur.container = container_stack[-1] if container_stack else ""
+            else:
+                flush(tag)
+                container_stack.append(tag)
+                cur.container = tag
+        else:
+            flush(tag if not closing else "p")
+    tail = doc[pos:]
+    if tail:
+        cur.chars.append(tail)
+        cur.total_chars += len(tail)
+        if anchor_depth > 0:
+            cur.anchor_chars += len(tail)
+    flush("p")
+    return blocks
+
+
+def _normalize(raw: str) -> str:
+    return _WS_RE.sub(" ", _html.unescape(raw)).strip()
+
+
+def extract_html(payload: bytes | str) -> ExtractResult:
+    """Extract main content from one HTML document. Pure and deterministic."""
+    if isinstance(payload, bytes):
+        doc = payload.decode("utf-8", errors="replace")
+    else:
+        doc = payload
+    raw_blocks = _tokenize(doc)
+    if not raw_blocks:
+        return ExtractResult("", [], "empty")
+
+    texts: list[str] = []
+    labels: list[str] = []
+    n = 0
+    words = []
+    chars = []
+    link_density = []
+    boiler = []
+    headerish = []
+    heading = []
+    for b in raw_blocks:
+        t = _normalize("".join(b.chars))
+        if not t:
+            continue
+        texts.append(t)
+        lab = _label_of(b.tag)
+        labels.append(lab)
+        words.append(len(t.split(" ")))
+        chars.append(len(t))
+        link_density.append(b.anchor_chars / b.total_chars if b.total_chars else 0.0)
+        boiler.append(b.container in _BOILER_CONTAINERS)
+        headerish.append(b.container == _HEADER_CONTAINER)
+        heading.append(lab == "heading")
+        n += 1
+    if n == 0:
+        return ExtractResult("", [], "empty")
+
+    w = np.asarray(words, dtype=np.int64)
+    ld = np.asarray(link_density, dtype=np.float64)
+    is_boiler = np.asarray(boiler, dtype=bool)
+    is_header = np.asarray(headerish, dtype=bool)
+    is_heading = np.asarray(heading, dtype=bool)
+    ch = np.asarray(chars, dtype=np.int64)
+
+    def classify(min_words: int, min_words_heading: int, max_ld: float) -> np.ndarray:
+        min_w = np.where(is_heading, min_words_heading, min_words)
+        kept = (w >= min_w) & (ld <= max_ld) & ~is_boiler
+        # header containers contribute only their headings (the headline)
+        kept &= ~is_header | is_heading
+        # Boilerpipe-style context smoothing: weak blocks flanked by content
+        quasi = (w >= SMOOTH_MIN_WORDS) & (ld <= SMOOTH_MAX_LINK_DENSITY) & ~is_boiler & ~kept
+        if quasi.any() and kept.any():
+            prev_kept = np.concatenate(([False], kept[:-1]))
+            next_kept = np.concatenate((kept[1:], [False]))
+            kept = kept | (quasi & prev_kept & next_kept)
+        return kept
+
+    kept = classify(MIN_WORDS_STRICT, MIN_WORDS_HEADING_STRICT, MAX_LINK_DENSITY_STRICT)
+    status = "ok"
+    if int(ch[kept].sum()) < MIN_YIELD_CHARS:
+        relaxed = classify(MIN_WORDS_RELAXED, MIN_WORDS_HEADING_RELAXED, MAX_LINK_DENSITY_RELAXED)
+        if int(ch[relaxed].sum()) > int(ch[kept].sum()):
+            kept = relaxed
+            status = "ok_recall"
+    if not kept.any():
+        return ExtractResult("", [], "empty")
+
+    out: list[str] = []
+    spans: list[tuple[int, int, str]] = []
+    offset = 0
+    for i in np.flatnonzero(kept):
+        t = texts[i]
+        if out:
+            offset += 2  # "\n\n"
+        spans.append((offset, offset + len(t), labels[i]))
+        offset += len(t)
+        out.append(t)
+    return ExtractResult("\n\n".join(out), spans, status)
+
+
+def extract_payload(payload: bytes) -> ExtractResult:
+    """Dispatch on payload type: SPDF binary layout vs HTML bytes."""
+    try:
+        if payload is None:
+            return ExtractResult("", [], "empty")
+        if payload[: len(SPDF_MAGIC)] == SPDF_MAGIC:
+            text, spans = extract_spdf(payload)
+            return ExtractResult(text, spans, "pdf")
+        return extract_html(payload)
+    except Exception as exc:  # record-and-continue: failures become lineage rows
+        return ExtractResult("", [], "error", f"{type(exc).__name__}: {exc}")

@@ -1,0 +1,239 @@
+"""Deduplication operators for web-scale corpora.
+
+The reference only needs order-preserving dedup on tiny lists
+(/root/reference/src/batch_doc_vqa/benchmarks/cohorts.py:96-107,
+openrouter/inference.py:503-511); a 10^12-document pipeline needs real
+near-dup machinery. Four tiers, cheapest first:
+
+- exact        : groupBy content hash — one shuffle on a 128-bit key;
+- ngram Jaccard: shingle-explode + self-join on shingle — exact near-dup,
+                 quadratic only within shingle buckets (small-scale oracle);
+- MinHash+LSH  : signature = per-permutation min over shingle hashes, banded
+                 into buckets; only bucket collisions are verified. The scale
+                 path: cost is linear in corpus size + collisions;
+- SimHash      : 64-bit weighted-bit fingerprint (Arrow-batched NumPy UDF),
+                 near-dups = small Hamming distance via bit_count(xor).
+
+All signatures are deterministic (fixed seeds / fixed hash family) so results
+are reproducible across runs and partitionings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 31-bit Mersenne prime: keeps a*h+b within int64 (ANSI overflow-safe)
+_MERSENNE = (1 << 31) - 1
+
+
+def normalized_tokens(text_col):
+    """lower → strip non-alnum → whitespace split; shared by all dedup ops."""
+    cleaned = F.regexp_replace(F.lower(text_col), r"[^a-z0-9\s]", " ")
+    return F.filter(F.split(F.trim(cleaned), r"\s+"), lambda t: t != F.lit(""))
+
+
+def word_shingles(text_col, n: int = 3):
+    """Array of word n-gram shingles (distinct)."""
+    toks = normalized_tokens(text_col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups by content hash: (text_hash, canonical_id, n_dups).
+
+    One shuffle on the hash; the canonical representative is the min id so the
+    result is deterministic and rerun-stable.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col).alias("_id"))
+        .groupBy("text_hash")
+        .agg(F.min("_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+
+    Shingle-explode then self-join on the shingle key: the join only produces
+    candidate pairs that share content, so the quadratic blow-up is bounded by
+    bucket sizes, and Catalyst shuffles on the shingle key. This is the exact
+    oracle the approximate tiers (MinHash, SimHash) are tested against.
+    """
+    sh = (
+        df.select(F.col(id_col).alias("_id"), F.explode(word_shingles(F.col(text_col), n)).alias("sh"))
+    )
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _hash_family(num_hashes: int, seed: int = 7) -> tuple[list[int], list[int]]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE - 1, size=num_hashes, dtype=np.int64).tolist()
+    b = rng.randint(0, _MERSENNE - 1, size=num_hashes, dtype=np.int64).tolist()
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 64, seed: int = 7
+) -> DataFrame:
+    """Per-doc MinHash signature, all JVM-side.
+
+    h_i(doc) = min over shingles s of (a_i * xxhash64(s) + b_i) mod p with a
+    fixed seeded permutation family → stable signatures.
+
+    Shape: explode shingles → hash once per shingle row → one groupBy with 64
+    ``min`` aggregates → assemble the signature array. The base hash is
+    computed exactly once per shingle (computing the whole pipeline inside 64
+    array ``transform``s re-evaluates the tokenizer 64×), and the groupBy gets
+    map-side partial combine, so the shuffle carries only 64 longs per doc —
+    the formulation that survives 10^12 documents.
+    """
+    a, b = _hash_family(num_hashes, seed)
+    p = F.lit(_MERSENNE)
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("_s"),
+    ).select("_id", F.pmod(F.xxhash64("_s"), p).alias("_h"))
+    agg = sh.groupBy("_id").agg(
+        *[
+            F.min(F.pmod(F.col("_h") * F.lit(a[i]) + F.lit(b[i]), p)).alias(f"_m{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return agg.select(
+        "_id", F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH over MinHash signatures.
+
+    Signatures are cut into ``bands`` rows-per-band chunks; docs colliding in
+    any band become a candidate pair. The shuffle key is (band_idx, band_hash)
+    — corpus-linear, never all-pairs. Estimated Jaccard = fraction of agreeing
+    signature positions.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
+    banded = sigs.select(
+        "_id",
+        "signature",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(F.array_join(F.slice(F.col("signature"), i * rows_per_band + 1, rows_per_band), ","))
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.round(
+                F.aggregate(
+                    F.zip_with(F.col("a.signature"), F.col("b.signature"), lambda x, y: (x == y).cast("int")),
+                    F.lit(0),
+                    lambda acc, v: acc + v,
+                )
+                / F.lit(num_hashes),
+                6,
+            ).alias("est_jaccard"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand
+
+
+_SIMHASH_BITS = 64
+
+
+def simhash_udf():
+    """Arrow-batched UDF: text series → int64 SimHash (vectorized NumPy)."""
+
+    @F.pandas_udf("long")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.uint64)
+        for row, t in enumerate(texts):
+            if not t:
+                continue
+            toks = pd.Series(str(t).lower().split())
+            if toks.empty:
+                continue
+            counts = toks.value_counts()
+            # deterministic 64-bit token hashes via pandas (xxhash-free, stable)
+            hashes = pd.util.hash_array(counts.index.to_numpy(dtype=object)).astype(np.uint64)
+            w = counts.to_numpy(dtype=np.int64)
+            bits = ((hashes[:, None] >> np.arange(_SIMHASH_BITS, dtype=np.uint64)) & 1).astype(np.int64)
+            score = ((bits * 2 - 1) * w[:, None]).sum(axis=0)
+            out[row] = np.packbits(score > 0, bitorder="little").view(np.uint64)[0]
+        return pd.Series(out.view(np.int64))
+
+    return _simhash
+
+
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: band on 16-bit chunks (pigeonhole: any pair
+    within Hamming distance ≤3 collides in at least one of 4 chunks), then
+    verify with bit_count(xor)."""
+    sh = df.select(F.col(id_col).alias("_id"), simhash_udf()(F.col(text_col)).alias("sim"))
+    chunks = sh.select(
+        "_id",
+        "sim",
+        F.posexplode(
+            F.array(*[F.shiftrightunsigned(F.col("sim"), i * 16).bitwiseAND(F.lit(0xFFFF)) for i in range(4)])
+        ).alias("chunk_idx", "chunk"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim"))).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,109 @@
+"""Entity/extraction matching — the reference's string-matching query core.
+
+Reimplements the semantics of
+/root/reference/src/batch_doc_vqa/utils/string_matching.py (cross join at
+:279, per-pair Levenshtein at :283-291, cutoff+groupBy at :299-318) and the
+best-match/digit-accuracy stats of
+/root/reference/src/batch_doc_vqa/benchmarks/table_generator.py:691-777 —
+as pure DataFrame plans: broadcast cross join, built-in ``levenshtein``
+(wrapped in ``lower()`` because the reference casefolds, string_matching.py:29),
+groupBy-min, window argmin. Zero Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+D_CUTOFF = 3  # reference: string_matching.py:13
+
+
+def surname_candidates(name_col):
+    """Candidate surname array: last 1-2 tokens + hyphen variants, deduped.
+
+    Pure-SQL reimplementation of the reference's candidate expansion
+    (string_matching.py:46-96): tokens = whitespace-split; candidates are the
+    last token, the last two tokens joined, and hyphen split/join variants of
+    the last token; case-insensitive dedup via lower() + array_distinct.
+    """
+    toks = F.split(F.regexp_replace(F.trim(name_col), r"\s+", " "), " ")
+    last = F.element_at(toks, -1)
+    last2 = F.when(F.size(toks) >= 2, F.concat_ws(" ", F.element_at(toks, -2), last))
+    hyphen_parts = F.split(last, "-")
+    cands = F.array_union(
+        F.array_compact(F.array(last, last2, F.array_join(hyphen_parts, " "))),
+        F.filter(hyphen_parts, lambda x: x != F.lit("")),
+    )
+    return F.array_distinct(F.transform(cands, lambda c: F.lower(c)))
+
+
+def pair_distances(
+    extracted: DataFrame,
+    truth: DataFrame,
+    ex_id: str = "llm_id",
+    ex_name: str = "llm_fullname",
+    t_id: str = "student_id",
+    t_name: str = "student_full_name",
+) -> DataFrame:
+    """Cross join extracted × truth with id/lastname edit distances.
+
+    Truth is small (dozens of rows — reference q11 has 32): broadcast, so the
+    cross join is a broadcast nested-loop with no shuffle of the big side.
+    """
+    ex = extracted.withColumn("_cand", surname_candidates(F.col(ex_name)))
+    # grouping key downstream is the *extraction-side* doc (the reference
+    # groups the crossed frame by the manifest doc, string_matching.py:299);
+    # rename truth's clashing columns
+    for c in truth.columns:
+        if c in ex.columns:
+            truth = truth.withColumnRenamed(c, f"truth_{c}")
+    pairs = ex.crossJoin(F.broadcast(truth))
+    t_cand = surname_candidates(F.col(t_name))
+    # relaxed lastname distance = min over candidate × candidate pairs
+    lastname_d = F.array_min(
+        F.flatten(
+            F.transform(
+                F.col("_cand"),
+                lambda a: F.transform(t_cand, lambda b: F.levenshtein(a, b)),
+            )
+        )
+    )
+    return pairs.withColumn(
+        "id_distance", F.levenshtein(F.lower(F.col(ex_id)), F.lower(F.col(t_id)))
+    ).withColumn("lastname_distance", lastname_d).drop("_cand")
+
+
+def best_matches(distances: DataFrame, doc_col: str = "doc", truth_id: str = "student_id") -> DataFrame:
+    """Cutoff filter → per-(doc, truth) min distances → found flag (A1)."""
+    return (
+        distances.filter((F.col("id_distance") <= D_CUTOFF) | (F.col("lastname_distance") == 0))
+        .groupBy(doc_col, truth_id)
+        .agg(
+            F.min("id_distance").alias("id_distance"),
+            F.min("lastname_distance").alias("lastname_distance"),
+        )
+        .withColumn(
+            "found",
+            (F.col("id_distance") <= D_CUTOFF) | (F.col("lastname_distance") == 0),
+        )
+    )
+
+
+def best_match_per_doc(distances: DataFrame, doc_col: str = "doc") -> DataFrame:
+    """Argmin over each doc (W1): the row with the smallest id_distance."""
+    w = Window.partitionBy(doc_col).orderBy("id_distance", "lastname_distance")
+    return distances.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def digit_accuracy(df: DataFrame, pred_col: str, truth_col: str, width: int = 8) -> DataFrame:
+    """Digit-level accuracy via aligned posexplode (A3).
+
+    Reference explodes 8-char ids into per-digit rows and means the equality
+    (table_generator.py:714-730); here: zip the padded digit arrays and
+    average elementwise equality.
+    """
+    pad = lambda c: F.split(F.lpad(F.col(c).cast("string"), width, "0"), "")  # noqa: E731
+    z = F.zip_with(pad(pred_col), pad(truth_col), lambda a, b: (a == b).cast("int"))
+    return df.select(
+        F.explode(z).alias("digit_ok")
+    ).agg(F.avg("digit_ok").alias("digit_top1"))

@@ -1,0 +1,102 @@
+"""Text analysis operators for training-data pipelines.
+
+Language-ID (marker-word heuristic), quality scoring (length / punctuation /
+stopword ratios — the graft analogue of the reference's repetition heuristic
+at /root/reference/src/batch_doc_vqa/openrouter/inference.py:69-96), token
+counting (whitespace + BPE-ish regex), and content fingerprinting. Everything
+is built-in column expressions (JVM, whole-stage codegen) so the same
+semantics are expressible as the DuckDB oracle SQL — no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EN_STOPWORDS = ["the", "and", "with", "from", "that", "this", "for", "are", "was"]
+_MARKERS = {
+    "en": ["the", "and", "with", "from", "that"],
+    "de": ["und", "der", "nicht", "mit", "aber"],
+    "fr": ["les", "dans", "avec", "pour", "mais"],
+    "es": ["los", "para", "pero", "como", "donde"],
+}
+
+# word-ish / number / single-symbol pieces — a BPE-ish proxy tokenizer
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _tokens(text_col):
+    return F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != F.lit(""))
+
+
+def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc quality features + composite score, all column arithmetic."""
+    toks = _tokens(F.col(text_col))
+    n_chars = F.length(text_col)
+    n_tokens = F.size(toks)
+    punct = F.length(F.regexp_replace(F.col(text_col), r"[^.!?,;:]", ""))
+    stop = F.size(F.filter(toks, lambda t: t.isin(EN_STOPWORDS)))
+    mean_tok_len = F.when(n_tokens > 0, F.round(n_chars / n_tokens, 6)).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, F.round(punct / n_chars, 6)).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, F.round(stop / n_tokens, 6)).otherwise(F.lit(0.0))
+    score = F.round(
+        F.when((n_tokens >= 20) & (n_tokens <= 100000), 0.4).otherwise(0.0)
+        + F.when((punct_ratio > 0.001) & (punct_ratio < 0.2), 0.3).otherwise(0.0)
+        + F.when(stop_ratio > 0.05, 0.3).otherwise(0.0),
+        6,
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        mean_tok_len.alias("mean_token_len"),
+        score.alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Marker-word language guess: argmax over per-language stopword hits."""
+    toks = _tokens(F.col(text_col))
+
+    def _marker_hits(markers: list[str]):
+        # NB: the filter lambda must take exactly one arg — pyspark treats a
+        # second parameter as the array index
+        return F.size(F.filter(toks, lambda t: t.isin(markers)))
+
+    scores = {lang: _marker_hits(markers) for lang, markers in _MARKERS.items()}
+    best = F.greatest(*scores.values())
+    guess = F.when(best == 0, F.lit("und"))
+    for lang in _MARKERS:  # deterministic tie-break: dict order en,de,fr,es
+        guess = guess.when(scores[lang] == best, F.lit(lang))
+    out = df.select(
+        F.col(id_col),
+        *[scores[lang].alias(f"score_{lang}") for lang in _MARKERS],
+        guess.alias("lang_guess"),
+    )
+    return out
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace tokens vs BPE-ish regex pieces per document."""
+    return df.select(
+        F.col(id_col),
+        F.size(_tokens(F.col(text_col))).alias("ws_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(TOKEN_REGEX)).alias("regex_tokens"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Content fingerprint: md5 over whitespace/case-normalized text.
+
+    Hash-as-identity discipline from the reference
+    (/root/reference/src/batch_doc_vqa/core/run_manager.py:42-63): dataset
+    identity is a content hash, never a path.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("fp_md5"),
+        F.sha2(norm, 256).alias("fp_sha256"),
+    )

@@ -1,0 +1,2 @@
+from .skew import with_salted_partition, salted_host_stats  # noqa: F401
+from .extract_job import run_extraction, read_results, read_lineage  # noqa: F401

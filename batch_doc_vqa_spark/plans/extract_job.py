@@ -1,0 +1,126 @@
+"""The extraction job: scan → resume filter → salted repartition → vectorized
+extract → validate → results + per-partition lineage.
+
+This is the Spark-native shape of the reference's inference run
+(/root/reference/src/batch_doc_vqa/openrouter/inference.py:2173-2294): its
+thread-pool fan-out becomes partition parallelism, its incremental
+``save_results`` after every image (inference.py:2206-2207) becomes
+per-partition commits recorded in a lineage table, and its resumable cost
+backfill's "only rows not yet done" predicate (api.py:505-515) becomes a left
+anti-join of the input against the done-set.
+
+Contract (BASELINE.json north rule):
+- partitioning: hash(url) buckets, salted for skewed hosts (plans/skew.py);
+  bucket ids are pure functions of the data so reruns see the same layout;
+- lineage: one row per (run_id, bucket): doc count, byte count, failure count,
+  failure urls, status;
+- resume: rerunning with the same output dir processes only urls absent from
+  the results table — reruns are idempotent and the final table is identical
+  to a single-shot run;
+- failures are recorded, not retried (status='error' rows, failure urls in
+  lineage) — the analogue of the reference's record-and-continue retry ladder.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.udfs import extract_udf
+from .skew import BUCKET_COL, with_salted_partition
+
+MAX_FAILURE_URLS_PER_PARTITION = 100
+
+
+def _table_exists(spark: SparkSession, path: str) -> bool:
+    try:
+        spark.read.parquet(path).limit(1).collect()
+        return True
+    except Exception:
+        return False
+
+
+def read_results(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{out_dir}/results")
+
+
+def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{out_dir}/lineage")
+
+
+def run_extraction(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    run_id: str | None = None,
+    num_buckets: int = 32,
+    target_rows_per_task: int | None = None,
+) -> dict:
+    """Run (or resume) the extraction job. Returns per-run lineage summary.
+
+    ``pages`` must have columns (url, warc_ts, html, text, lang) — the
+    BASELINE.json input shape. Results land at ``{out_dir}/results`` (append),
+    lineage at ``{out_dir}/lineage`` (append).
+    """
+    run_id = run_id or uuid.uuid4().hex[:12]
+    results_path = f"{out_dir}/results"
+    lineage_path = f"{out_dir}/lineage"
+
+    todo = pages
+    if _table_exists(spark, results_path):
+        # checkpoint/resume: anti-join against the done-set (J7 pattern)
+        done = spark.read.parquet(results_path).select("url")
+        todo = pages.join(done, "url", "left_anti")
+
+    bucketed = with_salted_partition(todo, num_buckets, target_rows_per_task=target_rows_per_task)
+    extracted = (
+        bucketed.withColumn("_ex", extract_udf(F.col("html")))
+        .select(
+            "url",
+            "warc_ts",
+            "lang",
+            F.col(BUCKET_COL),
+            F.col("_ex.text").alias("text"),
+            F.col("_ex.spans").alias("spans"),
+            F.col("_ex.status").alias("status"),
+            F.col("_ex.error").alias("error"),
+            F.length("_ex.text").alias("n_chars"),
+            F.length("html").alias("n_input_bytes"),
+            F.lit(run_id).alias("run_id"),
+        )
+    )
+    extracted.write.mode("append").parquet(results_path)
+
+    # lineage from what was actually committed (read-back, not recompute)
+    written = spark.read.parquet(results_path).filter(F.col("run_id") == run_id)
+    lineage = written.groupBy(BUCKET_COL).agg(
+        F.lit(run_id).alias("run_id"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_input_bytes").alias("n_bytes"),
+        F.sum((F.col("status") == "error").cast("long")).alias("n_failed"),
+        F.slice(
+            F.collect_list(F.when(F.col("status") == "error", F.col("url"))),
+            1,
+            MAX_FAILURE_URLS_PER_PARTITION,
+        ).alias("failure_urls"),
+        F.lit("done").alias("status"),
+        F.current_timestamp().alias("finished_at"),
+    )
+    lineage.write.mode("append").parquet(lineage_path)
+
+    summary_rows = (
+        spark.read.parquet(lineage_path)
+        .filter(F.col("run_id") == run_id)
+        .agg(
+            F.count(F.lit(1)).alias("n_partitions"),
+            F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_docs"),
+            F.coalesce(F.sum("n_bytes"), F.lit(0)).alias("n_bytes"),
+            F.coalesce(F.sum("n_failed"), F.lit(0)).alias("n_failed"),
+        )
+        .collect()
+    )
+    s = summary_rows[0].asDict()
+    s["run_id"] = run_id
+    return s

@@ -1,0 +1,91 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[N].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>, "docs_per_sec": <extraction>}
+
+The headline metric is the BASELINE.json one — extracted docs/sec over the
+synthetic Common-Crawl-style pages table — plus wall-clock for the
+representative relational/dedup/similarity queries on the driver's tables.
+Run scripts/scaling_bench.py for the N-vs-4N parallelism evidence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from batch_doc_vqa_spark.functions.udfs import extract_udf  # noqa: E402
+from batch_doc_vqa_spark.session import get_spark  # noqa: E402
+from batch_doc_vqa_spark.sources.pages import pages_df, rows_for_sf  # noqa: E402
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "revenue_by_order",
+    "region_rollup",
+    "best_order_per_customer",
+    "supplier_customer_match",
+    "events_hourly",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "ann_cosine_topk",
+    "doc_quality",
+    "lang_id",
+    "fingerprint",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = entrymod._sf_of(sf_dir)
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+
+    timings: dict[str, float] = {}
+
+    # headline: extraction throughput on the seeded pages table at this sf
+    n_pages = rows_for_sf(sf)
+    pages = pages_df(spark, n_pages, seed=42, partitions=cpus * 2)
+    t0 = time.perf_counter()
+    extracted = pages.withColumn("_ex", extract_udf(F.col("html"))).select(
+        F.length("_ex.text").alias("n"), F.col("_ex.status")
+    )
+    n_rows = extracted.agg(F.count(F.lit(1)), F.sum("n")).collect()[0][0]
+    t_extract = time.perf_counter() - t0
+    timings["extract_pages"] = round(t_extract, 3)
+    docs_per_sec = round(n_rows / t_extract, 1)
+
+    qs = entrymod.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        df.select(F.count(F.lit(1))).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_suite_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "docs_per_sec": docs_per_sec,
+                "extract_docs": n_rows,
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,83 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from batch_doc_vqa_spark.operators import analytics, multimodal, textstats
+
+
+def test_pareto_frontier(spark):
+    # (cost, value): frontier = (1,5),(2,7),(4,9); (3,6) dominated by (2,7)
+    df = spark.createDataFrame(
+        [(1.0, 5), (2.0, 7), (3.0, 6), (4.0, 9), (5.0, 9)], "cost double, val int"
+    )
+    got = {(r["cost"], r["val"]) for r in analytics.pareto_frontier(df, "cost", "val").collect()}
+    assert got == {(1.0, 5), (2.0, 7), (4.0, 9)}
+
+
+def test_top_k_and_latest(spark):
+    df = spark.createDataFrame(
+        [(1, 10, 100), (1, 20, 101), (1, 20, 102), (2, 5, 103)],
+        "grp int, v int, id int",
+    )
+    top = analytics.top_k_per_group(df, "grp", "v", 1, "id").collect()
+    by_grp = {r["grp"]: r["id"] for r in top}
+    assert by_grp == {1: 101, 2: 103}  # tie on v=20 broken by id asc
+    latest = analytics.latest_per_key(df, "grp", "v", "id")
+    assert {r["id"] for r in latest.collect()} == {101, 103}
+
+
+def test_calibration_bins(spark):
+    df = spark.createDataFrame(
+        [(0.05, True), (0.05, False), (0.95, True), (0.99, True)], "p double, ok boolean"
+    )
+    rows = {r["bin"]: r for r in analytics.calibration_bins(df, "p", "ok", 7).collect()}
+    assert rows[0]["n"] == 2 and rows[0]["mean_correct"] == 0.5
+    assert rows[6]["n"] == 2 and rows[6]["mean_correct"] == 1.0
+
+
+def test_grouped_product(spark):
+    df = spark.createDataFrame([(1, 0.5), (1, 0.5), (2, 0.0), (2, 0.9)], "g int, p double")
+    got = {r["g"]: r["prob_product"] for r in analytics.grouped_product(df, ["g"], "p").collect()}
+    assert got[1] == pytest.approx(0.25)
+    assert got[2] == 0.0  # exact-zero guard, not exp(log(0))
+
+
+def test_quality_features_exact(spark):
+    df = spark.createDataFrame([(1, "The cat, and the dog. " * 10)], "doc_id int, text string")
+    r = textstats.quality_features(df, "doc_id", "text").collect()[0]
+    assert r["n_tokens"] == 50
+    assert r["stopword_ratio"] == pytest.approx(0.6)  # the, and, the / 5 tokens per rep
+    assert r["punct_ratio"] == pytest.approx(20 / 220, abs=1e-6)
+    assert r["quality_score"] == pytest.approx(0.4 + 0.3 + 0.3)
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog from home"), (2, "und der hund nicht mit aber"), (3, "zzz qqq")],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r["lang_guess"] for r in textstats.lang_id(df, "doc_id", "text").collect()}
+    assert got == {1: "en", 2: "de", 3: "und"}
+
+
+def test_multimodal_probe_and_frames(spark):
+    df = spark.createDataFrame(
+        [("m1", b"\x89PNG fake bytes", "image"), ("m2", b"RIFF fake wav", "audio"), ("m3", None, "video")],
+        "media_id string, payload binary, kind string",
+    )
+    meta = multimodal.probe_media(df, "media_id", "payload", "kind")
+    rows = {r["media_id"]: r for r in meta.collect()}
+    assert rows["m1"]["decode_status"] == "stub" and rows["m1"]["width"] > 0
+    assert rows["m3"]["decode_status"] == "empty" and rows["m3"]["n_bytes"] == 0
+    assert rows["m2"]["sha256"] != rows["m1"]["sha256"]
+
+    frames = multimodal.sample_frames(df, "media_id", "payload", every_ms=1000)
+    per_media = {
+        r["media_id"]: r["n"] for r in frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert "m3" not in per_media  # null payload → no frames
+    assert all(n >= 1 for n in per_media.values())
+    # deterministic: same input → same frame hashes
+    again = multimodal.sample_frames(df, "media_id", "payload", every_ms=1000)
+    assert sorted(map(tuple, frames.collect())) == sorted(map(tuple, again.collect()))

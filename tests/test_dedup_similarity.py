@@ -1,0 +1,125 @@
+"""Dedup & similarity operators: exact semantics on handcrafted corpora and
+approximate-tier recall measured against the exact oracles."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from batch_doc_vqa_spark.operators import dedup, similarity
+
+WORDS = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu xi".split()
+
+
+def _doc(rng: random.Random, n: int = 60) -> str:
+    return " ".join(rng.choice(WORDS) for _ in range(n))
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """40 base docs + 10 near-dups (small perturbations) + 5 exact dups."""
+    rng = random.Random(13)
+    docs = [(i, _doc(rng)) for i in range(40)]
+    near = []
+    for j in range(10):
+        base_id, base = docs[j]
+        words = base.split()
+        words[5] = "changed"
+        near.append((100 + j, " ".join(words)))
+    exact = [(200 + j, docs[j][1]) for j in range(5)]
+    return spark.createDataFrame(docs + near + exact, "doc_id long, text string")
+
+
+def test_exact_dedup(corpus):
+    groups = dedup.exact_dedup(corpus, "doc_id", "text")
+    dup_groups = groups.filter(F.col("n_dups") > 1).collect()
+    assert len(dup_groups) == 5
+    assert all(r["n_dups"] == 2 and r["canonical_id"] < 5 for r in dup_groups)
+    assert groups.agg(F.sum("n_dups")).collect()[0][0] == 55
+
+
+def test_jaccard_finds_near_dups(corpus):
+    pairs = dedup.jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    for j in range(10):
+        assert (j, 100 + j) in got  # one word changed → high jaccard
+    for j in range(5):
+        assert (j, 200 + j) in got  # exact dup → jaccard 1.0
+    ones = {r["jaccard"] for r in pairs.filter(F.col("id_a") < 5).filter(F.col("id_b") >= 200).collect()}
+    assert ones == {1.0}
+
+
+def test_minhash_lsh_recall_vs_exact(corpus):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.jaccard_pairs(corpus, "doc_id", "text", 3, 0.5).collect()
+    }
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(corpus, "doc_id", "text", 3, 64, 16).collect()
+    }
+    recall = len(exact & cand) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall} on {len(exact)} true pairs"
+
+
+def test_minhash_estimates_jaccard(corpus):
+    est = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in dedup.minhash_lsh_pairs(corpus, "doc_id", "text", 3, 64, 16).collect()
+    }
+    for j in range(5):
+        if (j, 200 + j) in est:
+            assert est[(j, 200 + j)] == 1.0  # identical docs → identical signatures
+
+
+def test_simhash_near_dups(corpus):
+    pairs = dedup.simhash_pairs(corpus, "doc_id", "text", max_hamming=10)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    for j in range(5):
+        assert got.get((j, 200 + j)) == 0  # exact dups → distance 0
+    hits = sum(1 for j in range(10) if (j, 100 + j) in got)
+    assert hits >= 7  # one-word perturbations stay within hamming 10
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = random.Random(5)
+    rows = []
+    for i in range(50):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(16)]))
+    # vec 100 = vec 0 scaled (cosine 1.0); vec 101 = vec 1 + tiny noise
+    rows.append((100, [2.0 * x for x in rows[0][1]]))
+    rows.append((101, [x + 0.01 for x in rows[1][1]]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cosine_topk_exact(vectors):
+    queries = vectors.filter(F.col("vec_id").isin(0, 1)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    top = similarity.cosine_topk(vectors, queries, k=1)
+    best = {r["q_id"]: (r["neighbor_id"], r["cosine"]) for r in top.collect()}
+    assert best[0][0] == 100 and best[0][1] == 1.0
+    assert best[1][0] == 101 and best[1][1] > 0.999
+
+
+def test_lsh_topk_recall(vectors):
+    queries = vectors.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = {
+        (r["q_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(vectors, queries, k=3).collect()
+    }
+    approx = {
+        (r["q_id"], r["neighbor_id"])
+        for r in similarity.lsh_cosine_topk(
+            vectors, queries, dim=16, k=3, n_planes=4, n_tables=8
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"LSH recall {recall}"
+    # the scaled-copy pair must collide (same signs → same bucket)
+    assert (0, 100) in approx

@@ -1,0 +1,98 @@
+"""Kernel unit tests: byte-identity, determinism, cascade, robustness.
+
+Mirrors the reference's test style — tiny handcrafted inputs with exact
+expected values (/root/reference/tests/test_relaxed_name_matching.py style)
+plus seeded-suite determinism
+(/root/reference/tests/test_synthetic_benchmark_suite.py:49-66).
+"""
+
+from __future__ import annotations
+
+from batch_doc_vqa_spark.functions import extract_html, extract_payload
+from batch_doc_vqa_spark.sources.pages import page_row
+
+LONG = "alpha beta gamma delta epsilon zeta eta theta iota kappa"  # 10 words
+
+
+def test_drops_nav_aside_footer_keeps_content():
+    html = (
+        "<html><body>"
+        '<nav><ul><li><a href="/a">Home page link</a></li><li><a href="/b">Other link here</a></li></ul></nav>'
+        f"<header><h1>Great Title</h1></header><div><p>{LONG}</p><p>{LONG} extra words here now</p></div>"
+        f'<aside><a href="/x">promo one two</a> <a href="/y">promo three four</a></aside>'
+        f"<footer><p>Copyright 2025 some media group all rights reserved</p></footer>"
+        "</body></html>"
+    )
+    r = extract_html(html)
+    assert r.status == "ok"
+    assert r.text == f"Great Title\n\n{LONG}\n\n{LONG} extra words here now"
+    assert [s[2] for s in r.spans] == ["heading", "para", "para"]
+    # spans index exactly into text
+    for start, end, _ in r.spans:
+        assert r.text[start:end] == r.text[start:end].strip()
+
+
+def test_script_style_comments_stripped():
+    html = f"<body><script>var x = 'not {LONG} content';</script><style>p{{}}</style><!-- {LONG} --><p>{LONG}</p></body>"
+    r = extract_html(html)
+    assert r.text == LONG
+
+
+def test_link_density_filter():
+    farm = " ".join(f'<a href="/{i}">link text {i} here</a>' for i in range(10))
+    html = f"<body><div>{farm}</div><p>{LONG}</p></body>"
+    assert extract_html(html).text == LONG
+
+
+def test_entities_and_whitespace_normalized():
+    html = f"<body><p>  {LONG} &amp; more&nbsp;words\n\t here today friend  </p></body>"
+    r = extract_html(html)
+    # &nbsp; → \xa0 which is Unicode whitespace → collapsed like any other run
+    assert r.text == f"{LONG} & more words here today friend"
+
+
+def test_recall_cascade_short_doc():
+    # every paragraph under the strict 8-word floor → precision yields nothing
+    html = "<body><p>tiny fragment one two</p><p>second small block here</p><p>third wee block text</p></body>"
+    r = extract_html(html)
+    assert r.status == "ok_recall"
+    assert r.text == "tiny fragment one two\n\nsecond small block here\n\nthird wee block text"
+
+
+def test_malformed_html_no_crash():
+    html = f"<body><div><span>{LONG}<p>{LONG} trailing words</div><p><b>{LONG}</body>"
+    r = extract_html(html)
+    assert r.status in ("ok", "ok_recall")
+    assert LONG in r.text
+
+
+def test_empty_and_garbage_inputs():
+    assert extract_payload(b"").status == "empty"
+    assert extract_payload(b"\x00\xff\xfe binary junk").status in ("empty", "ok_recall", "ok")
+    assert extract_payload(None).status == "empty"
+
+
+def test_clean_profile_byte_identity_to_intent():
+    n_checked = 0
+    for i in range(400):
+        row = page_row(42, i)
+        if row["profile"] not in ("clean", "pdf"):
+            continue
+        r = extract_payload(row["html"])
+        assert r.text == row["intent_text"], row["url"]
+        assert r.text.encode("utf-8") == row["intent_text"].encode("utf-8")
+        n_checked += 1
+    assert n_checked > 100
+
+
+def test_generator_determinism():
+    a, b = page_row(4101, 17), page_row(4101, 17)
+    assert a["html"] == b["html"] and a["url"] == b["url"] and a["warc_ts"] == b["warc_ts"]
+    assert page_row(4201, 17)["html"] != a["html"]
+
+
+def test_kernel_determinism_on_noisy():
+    for i in range(100):
+        row = page_row(4301, i)
+        r1, r2 = extract_payload(row["html"]), extract_payload(row["html"])
+        assert r1.text == r2.text and r1.spans == r2.spans and r1.status == r2.status
