@@ -17,15 +17,57 @@ similarities are rounded; rankings always carry an explicit integer tiebreak.
 
 from __future__ import annotations
 
+import datetime as _dt
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from batch_doc_vqa_spark.functions.udfs import extract_udf
-from batch_doc_vqa_spark.operators import analytics, dedup, similarity, textstats
+from batch_doc_vqa_spark.operators import (
+    analytics,
+    dedup,
+    matching,
+    probs as probs_ops,
+    regions,
+    runs_analytics,
+    similarity,
+    textstats,
+)
 from batch_doc_vqa_spark.plans.skew import salted_host_stats, with_salted_partition
+from batch_doc_vqa_spark.sources import matching_fixture, probs_fixture, runs_fixture
 from batch_doc_vqa_spark.sources.pages import pages_df, rows_for_sf
+
+
+# ---------------------------------------------------- fixture → SQL VALUES
+#
+# The extraction-adjacent operators run on deterministic seeded fixtures
+# (FIXTURES.md F3-F6) that DuckDB can't read from parquet — so the oracle SQL
+# embeds the exact same fixture rows as VALUES CTEs, generated from the same
+# Python generators. Both engines see literally identical inputs.
+
+
+def _sql_lit(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        return f"CAST('{v!r}' AS DOUBLE)"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, _dt.datetime):
+        return f"TIMESTAMP '{v.strftime('%Y-%m-%d %H:%M:%S')}'"
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(_sql_lit(x) for x in v) + "]"
+    raise TypeError(f"no SQL literal for {type(v)}")
+
+
+def _values_cte(name: str, cols: list[str], rows: list[tuple]) -> str:
+    vals = ",\n  ".join("(" + ", ".join(_sql_lit(v) for v in r) + ")" for r in rows)
+    return f"{name}({', '.join(cols)}) AS (VALUES\n  {vals})"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -255,6 +297,63 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.fingerprint(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def _q_matching_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = matching_fixture.truth_df(spark)
+    extracted = matching_fixture.extracted_df(spark)
+    dist = matching.pair_distances(extracted, truth)
+    return matching.best_matches(dist).select(
+        "doc", "student_id", "id_distance", "lastname_distance", "found"
+    )
+
+
+def _q_cost_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return runs_analytics.cost_rollup(runs_fixture.results_df(spark))
+
+
+def _q_parallel_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return runs_analytics.parallel_runtime(runs_fixture.results_df(spark))
+
+
+def _q_failure_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return runs_analytics.failure_counts(runs_fixture.results_df(spark))
+
+
+def _q_cohort_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.select_cohorts(runs_fixture.runs_df(spark))
+
+
+def _q_predict_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return probs_ops.predict_ids(
+        probs_fixture.probs_df(spark).drop("truth_digit"), probs_fixture.truth_df(spark)
+    )
+
+
+def _q_topk_digit_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return probs_ops.topk_digit_accuracy(probs_fixture.probs_df(spark))
+
+
+def _q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.bootstrap_median_ci(runs_fixture.runs_df(spark), "model_key", "digit_top1")
+
+
+def _region_fixture(spark: SparkSession):
+    labels, preds = [], []
+    for d in range(8):
+        for r in range(3):
+            x0, y0 = 10.0 * r + d, 50.0 * r
+            labels.append((d, 1, "figure", [x0, y0, x0 + 20.0, y0 + 20.0]))
+            # predictions drift more with r: r=0 overlaps well, r=2 misses
+            off = 4.0 * r * r
+            preds.append((d, 1, "figure", [x0 + off, y0 + off, x0 + 20.0 + off, y0 + 20.0 + off]))
+    schema = "doc_id long, page int, kind string, bbox array<double>"
+    return spark.createDataFrame(labels, schema), spark.createDataFrame(preds, schema)
+
+
+def _q_region_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels, preds = _region_fixture(spark)
+    return regions.micro_prf(regions.greedy_region_match(labels, preds))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_main_content": _q_extract,
@@ -281,14 +380,169 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
         "fingerprint": _q_fingerprint,
+        "matching_pipeline": _q_matching_pipeline,
+        "cost_rollup": _q_cost_rollup,
+        "parallel_runtime": _q_parallel_runtime,
+        "failure_counts": _q_failure_counts,
+        "cohort_select": _q_cohort_select,
+        "predict_ids": _q_predict_ids,
+        "topk_digit_accuracy": _q_topk_digit_accuracy,
+        "bootstrap_median_ci": _q_bootstrap_ci,
+        "region_match_prf": _q_region_match,
     }
 
 
 _TOKS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '')"
 
+# DuckDB mirror of operators.matching.surname_candidates (same candidate SET;
+# order is irrelevant because only the min pair distance is used)
+_CAND = """list_distinct(list_transform(
+      list_concat(
+        list_filter([
+            toks[len(toks)],
+            CASE WHEN len(toks) >= 2 THEN toks[len(toks)-1] || ' ' || toks[len(toks)] END,
+            array_to_string(string_split(toks[len(toks)], '-'), ' ')
+          ], x -> x IS NOT NULL),
+        list_filter(string_split(toks[len(toks)], '-'), x -> x != '')
+      ), x -> lower(x)))"""
+
+_SPLIT_NAME = r"string_split(regexp_replace(trim({col}), '\s+', ' ', 'g'), ' ')"
+
+
+def _fixture_oracles() -> dict[str, str]:
+    truth_cte = _values_cte(
+        "truth", ["doc", "student_id", "student_full_name"], matching_fixture.truth_rows()
+    )
+    ex_cte = _values_cte(
+        "extracted", ["doc", "page", "llm_id", "llm_fullname"], matching_fixture.extracted_rows()
+    )
+    results_cte = _values_cte(
+        "results",
+        [
+            "run_name", "url", "prompt_tokens", "completion_tokens", "actual_cost",
+            "cost_is_estimated", "generation_id", "failure_marker", "elapsed_seconds",
+        ],
+        runs_fixture.result_rows(),
+    )
+    runs_cte = _values_cte(
+        "runs",
+        [
+            "run_name", "model_key", "ts", "fingerprint", "runtime_seconds",
+            "digit_top1", "id_top1", "docs_detected",
+        ],
+        runs_fixture.runs_rows(),
+    )
+    probs_cte = _values_cte(
+        "probs", ["doc", "pos", "probs", "truth_digit"], probs_fixture.probs_rows()
+    )
+    cands_cte = _values_cte(
+        "cands", ["student_id"], [(probs_fixture.truth_id(42, d),) for d in range(32)]
+    )
+    cutoff = repr(probs_ops.DETECTION_CUTOFF)
+
+    return {
+        "matching_pipeline": f"""
+            WITH {truth_cte},
+            {ex_cte},
+            tc0 AS (SELECT *, {_SPLIT_NAME.format(col='student_full_name')} AS toks FROM truth),
+            tc AS (SELECT doc, student_id, {_CAND} AS ct FROM tc0),
+            ec0 AS (SELECT *, {_SPLIT_NAME.format(col='llm_fullname')} AS toks FROM extracted),
+            ec AS (SELECT doc, llm_id, {_CAND} AS ce FROM ec0),
+            pairs AS (
+              SELECT e.doc, t.student_id,
+                     levenshtein(lower(e.llm_id), lower(t.student_id)) AS id_distance,
+                     list_min(flatten(list_transform(e.ce,
+                         a -> list_transform(t.ct, b -> levenshtein(a, b))))) AS lastname_distance
+              FROM ec e CROSS JOIN tc t)
+            SELECT doc, student_id, MIN(id_distance) AS id_distance,
+                   MIN(lastname_distance) AS lastname_distance,
+                   (MIN(id_distance) <= 3 OR MIN(lastname_distance) = 0) AS found
+            FROM pairs WHERE id_distance <= 3 OR lastname_distance = 0
+            GROUP BY doc, student_id
+        """,
+        "cost_rollup": f"""
+            WITH {results_cte},
+            agg AS (
+              SELECT run_name, COUNT(*) AS n_rows,
+                     SUM(prompt_tokens) AS prompt_tokens,
+                     SUM(completion_tokens) AS completion_tokens,
+                     SUM(CASE WHEN actual_cost IS NULL THEN 1 ELSE 0 END) AS n_missing,
+                     SUM(CASE WHEN actual_cost IS NOT NULL AND cost_is_estimated THEN 1 ELSE 0 END) AS n_estimated,
+                     SUM(CASE WHEN actual_cost IS NOT NULL AND NOT cost_is_estimated AND actual_cost = 0 THEN 1 ELSE 0 END) AS n_zero,
+                     SUM(CASE WHEN actual_cost IS NOT NULL AND NOT cost_is_estimated AND actual_cost > 0 THEN 1 ELSE 0 END) AS n_precise,
+                     SUM(actual_cost) AS cost_sum
+              FROM results GROUP BY run_name)
+            SELECT run_name, n_rows, prompt_tokens, completion_tokens,
+                   n_missing, n_estimated, n_zero, n_precise,
+                   CASE WHEN n_missing = n_rows THEN 'unavailable'
+                        WHEN n_missing > 0 THEN 'partial'
+                        WHEN n_estimated > 0 THEN 'estimated'
+                        WHEN n_zero = n_rows THEN 'verified_zero'
+                        ELSE 'precise' END AS cost_status,
+                   CASE WHEN n_missing = 0 THEN ROUND(cost_sum, 8) END AS total_cost,
+                   CASE WHEN n_missing = 0 THEN ROUND(cost_sum / n_rows, 10) END AS cost_per_row
+            FROM agg
+        """,
+        "parallel_runtime": f"""
+            WITH {results_cte}
+            SELECT run_name, COUNT(*) AS n_rows,
+                   SUM(CASE WHEN elapsed_seconds IS NULL THEN 1 ELSE 0 END) AS n_untimed,
+                   CASE WHEN SUM(CASE WHEN elapsed_seconds IS NULL THEN 1 ELSE 0 END) = 0
+                        THEN MAX(elapsed_seconds) END AS parallel_runtime_seconds
+            FROM results GROUP BY run_name
+        """,
+        "failure_counts": f"""
+            WITH {results_cte}
+            SELECT run_name,
+                   CASE WHEN failure_marker = '' THEN 'ok' ELSE failure_marker END AS reason,
+                   COUNT(*) AS n
+            FROM results GROUP BY 1, 2
+        """,
+        "cohort_select": f"""
+            WITH {runs_cte},
+            anchors AS (
+              SELECT model_key, fingerprint, ts AS anchor_ts FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY model_key ORDER BY ts DESC, run_name ASC) AS rn
+                FROM runs) WHERE rn = 1)
+            SELECT r.run_name, r.model_key, r.ts, r.fingerprint, r.runtime_seconds,
+                   r.digit_top1, r.id_top1, r.docs_detected, a.anchor_ts
+            FROM runs r
+            JOIN anchors a ON r.model_key = a.model_key AND r.fingerprint = a.fingerprint
+            WHERE epoch(a.anchor_ts) - epoch(r.ts) BETWEEN 0 AND 86400
+        """,
+        "predict_ids": f"""
+            WITH {probs_cte},
+            {cands_cte},
+            cd AS (SELECT student_id, pos, CAST(substr(lpad(student_id, 8, '0'), CAST(pos AS INT) + 1, 1) AS INT) AS d
+                   FROM cands CROSS JOIN range(8) t(pos)),
+            j AS (SELECT p.doc, cd.student_id, list_extract(p.probs, cd.d + 1) AS pv
+                  FROM probs p JOIN cd ON p.pos = cd.pos),
+            s AS (SELECT doc, student_id,
+                         ROUND(CASE WHEN MAX(CASE WHEN pv <= 0 THEN 1 ELSE 0 END) = 1 THEN CAST(0 AS DOUBLE)
+                                    ELSE EXP(SUM(LN(CASE WHEN pv > 0 THEN pv END))) END, 12) AS score
+                  FROM j GROUP BY doc, student_id)
+            SELECT doc, student_id, score, score >= CAST('{cutoff}' AS DOUBLE) AS detected
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc ORDER BY score DESC, student_id ASC) AS rn FROM s)
+            WHERE rn = 1
+        """,
+        "topk_digit_accuracy": f"""
+            WITH {probs_cte},
+            p2 AS (SELECT probs, truth_digit, list_extract(probs, truth_digit + 1) AS pt FROM probs),
+            r AS (SELECT len(list_filter([0,1,2,3,4,5,6,7,8,9],
+                       d -> list_extract(probs, d + 1) > pt
+                            OR (list_extract(probs, d + 1) = pt AND d < truth_digit))) AS rank
+                  FROM p2)
+            SELECT ROUND(AVG(CASE WHEN rank < 1 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END), 6) AS top1_acc,
+                   ROUND(AVG(CASE WHEN rank < 2 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END), 6) AS top2_acc,
+                   ROUND(AVG(CASE WHEN rank < 3 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END), 6) AS top3_acc
+            FROM r
+        """,
+    }
+
 
 def oracle_sql() -> dict[str, str]:
     return {
+        **_fixture_oracles(),
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

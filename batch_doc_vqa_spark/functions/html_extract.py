@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import html as _html
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
@@ -74,15 +74,6 @@ MIN_YIELD_CHARS = 150
 
 
 @dataclass
-class _Block:
-    tag: str  # nearest block tag label
-    container: str  # '' | 'nav' | 'aside' | 'footer' | 'form' | 'header'
-    chars: list[str] = field(default_factory=list)
-    anchor_chars: int = 0
-    total_chars: int = 0
-
-
-@dataclass
 class ExtractResult:
     text: str
     spans: list[tuple[int, int, str]]  # (start, end, label) into ``text``
@@ -100,64 +91,71 @@ def _label_of(tag: str) -> str:
     return "para"
 
 
-def _tokenize(doc: str) -> list[tuple[str, str, str]]:
-    """Linear scan → raw blocks of (label, container, text, link-chars).
+def _tokenize(doc: str) -> list[tuple[str, str, str, int, int]]:
+    """Linear scan → raw blocks (tag, container, text, anchor_chars, chars).
 
-    Returns a list of (label, container, text) with anchor char counts folded
-    into the parallel arrays built by ``_features``; implemented as one pass
-    maintaining a container stack and an anchor depth (inline tags do not
-    flush the current block).
+    One pass over ``_TAG_RE.split`` output (interleaved [text, closing, tag,
+    selfclose, text, ...] — no Match objects allocated), maintaining a
+    boilerplate-container stack and an anchor depth; inline tags do not flush
+    the current block.
     """
     doc = _STRIP_RE.sub(" ", doc)
     doc = _COMMENT_RE.sub(" ", doc)
 
-    blocks: list[_Block] = []
-    cur = _Block(tag="p", container="")
+    parts = _TAG_RE.split(doc)
+    blocks: list[tuple[str, str, str, int, int]] = []
     container_stack: list[str] = []
+    cur_tag, cur_container = "p", ""
+    buf: list[str] = []
+    anchor_chars = total = 0
     anchor_depth = 0
-    pos = 0
 
     def flush(next_tag: str) -> None:
-        nonlocal cur
-        if cur.total_chars:
-            blocks.append(cur)
-        cur = _Block(tag=next_tag, container=container_stack[-1] if container_stack else "")
+        nonlocal buf, anchor_chars, total, cur_tag, cur_container
+        if total:
+            blocks.append((cur_tag, cur_container, "".join(buf), anchor_chars, total))
+            buf = []
+            anchor_chars = 0
+            total = 0
+        cur_tag = next_tag
+        cur_container = container_stack[-1] if container_stack else ""
 
-    for m in _TAG_RE.finditer(doc):
-        text = doc[pos : m.start()]
-        if text:
-            cur.chars.append(text)
-            cur.total_chars += len(text)
-            if anchor_depth > 0:
-                cur.anchor_chars += len(text)
-        pos = m.end()
-        closing, tag, selfclose = m.group(1) == "/", m.group(2).lower(), m.group(3) == "/"
+    text = parts[0]
+    if text:
+        buf.append(text)
+        total = len(text)
+    n = len(parts)
+    idx = 1
+    while idx + 2 < n:
+        closing = parts[idx] == "/"
+        tag = parts[idx + 1].lower()
+        selfclose = parts[idx + 2] == "/"
+        text = parts[idx + 3] if idx + 3 < n else ""
+        idx += 4
         if tag == "a":
             if closing:
-                anchor_depth = max(0, anchor_depth - 1)
+                if anchor_depth:
+                    anchor_depth -= 1
             elif not selfclose:
                 anchor_depth += 1
-            continue
-        if tag not in _BLOCK_TAGS:
-            continue  # inline tag: no flush
-        if tag in _BOILER_CONTAINERS or tag == _HEADER_CONTAINER:
-            if closing:
-                flush("p")
-                if container_stack and container_stack[-1] == tag:
-                    container_stack.pop()
-                cur.container = container_stack[-1] if container_stack else ""
+        elif tag in _BLOCK_TAGS:
+            if tag in _BOILER_CONTAINERS or tag == _HEADER_CONTAINER:
+                if closing:
+                    flush("p")
+                    if container_stack and container_stack[-1] == tag:
+                        container_stack.pop()
+                    cur_container = container_stack[-1] if container_stack else ""
+                else:
+                    flush(tag)
+                    container_stack.append(tag)
+                    cur_container = tag
             else:
-                flush(tag)
-                container_stack.append(tag)
-                cur.container = tag
-        else:
-            flush(tag if not closing else "p")
-    tail = doc[pos:]
-    if tail:
-        cur.chars.append(tail)
-        cur.total_chars += len(tail)
-        if anchor_depth > 0:
-            cur.anchor_chars += len(tail)
+                flush(tag if not closing else "p")
+        if text:
+            buf.append(text)
+            total += len(text)
+            if anchor_depth > 0:
+                anchor_chars += len(text)
     flush("p")
     return blocks
 
@@ -185,18 +183,18 @@ def extract_html(payload: bytes | str) -> ExtractResult:
     boiler = []
     headerish = []
     heading = []
-    for b in raw_blocks:
-        t = _normalize("".join(b.chars))
+    for tag, container, raw, anchor_chars, total_chars in raw_blocks:
+        t = _normalize(raw)
         if not t:
             continue
         texts.append(t)
-        lab = _label_of(b.tag)
+        lab = _label_of(tag)
         labels.append(lab)
         words.append(len(t.split(" ")))
         chars.append(len(t))
-        link_density.append(b.anchor_chars / b.total_chars if b.total_chars else 0.0)
-        boiler.append(b.container in _BOILER_CONTAINERS)
-        headerish.append(b.container == _HEADER_CONTAINER)
+        link_density.append(anchor_chars / total_chars if total_chars else 0.0)
+        boiler.append(container in _BOILER_CONTAINERS)
+        headerish.append(container == _HEADER_CONTAINER)
         heading.append(lab == "heading")
         n += 1
     if n == 0:
