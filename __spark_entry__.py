@@ -34,8 +34,9 @@ from batch_doc_vqa_spark.operators import (
     similarity,
     textstats,
 )
+from batch_doc_vqa_spark.operators import ta_metrics
 from batch_doc_vqa_spark.plans.skew import salted_host_stats, with_salted_partition
-from batch_doc_vqa_spark.sources import matching_fixture, probs_fixture, runs_fixture
+from batch_doc_vqa_spark.sources import matching_fixture, probs_fixture, runs_fixture, ta_fixture
 from batch_doc_vqa_spark.sources.pages import pages_df, rows_for_sf
 
 
@@ -306,6 +307,20 @@ def _q_matching_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_detection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dist = matching.pair_distances(
+        matching_fixture.extracted_df(spark), matching_fixture.truth_df(spark)
+    )
+    return matching.detection_stats(dist)
+
+
+def _q_accuracy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dist = matching.pair_distances(
+        matching_fixture.extracted_df(spark), matching_fixture.truth_df(spark)
+    )
+    return matching.accuracy_stats(matching.best_match_per_doc(dist))
+
+
 def _q_cost_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return runs_analytics.cost_rollup(runs_fixture.results_df(spark))
 
@@ -354,6 +369,76 @@ def _q_region_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return regions.micro_prf(regions.greedy_region_match(labels, preds))
 
 
+_TA_TEXT_SCHEMA = "doc int, gt string, pred string"
+_TA_ITEM_SCHEMA = "doc_id int, item string"
+_RUBRIC_SCHEMA = "doc int, problem_uid string, criterion_id string, awarded_points double"
+_FB_SCHEMA = "doc int, problem_uid string, specificity int, actionability int, correctness int"
+
+
+def _q_ta_cer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = spark.createDataFrame(ta_fixture.text_pairs(), _TA_TEXT_SCHEMA)
+    return ta_metrics.cer(pairs, "gt", "pred")
+
+
+def _q_ta_set_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g, p = ta_fixture.item_sets()
+    return ta_metrics.set_prf(
+        spark.createDataFrame(g, _TA_ITEM_SCHEMA), spark.createDataFrame(p, _TA_ITEM_SCHEMA)
+    )
+
+
+def _q_ta_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g, p = ta_fixture.item_sets()
+    return ta_metrics.macro_f1_by_tag(
+        spark.createDataFrame(g, _TA_ITEM_SCHEMA), spark.createDataFrame(p, _TA_ITEM_SCHEMA)
+    )
+
+
+def _q_ta_exact_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = spark.createDataFrame(ta_fixture.text_pairs(), _TA_TEXT_SCHEMA)
+    return ta_metrics.exact_match_rate(pairs, "gt", "pred")
+
+
+def _q_ta_rubric_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g, p = ta_fixture.rubric_rows()
+    return ta_metrics.rubric_mae(
+        spark.createDataFrame(g, _RUBRIC_SCHEMA),
+        spark.createDataFrame(p, _RUBRIC_SCHEMA),
+        ["doc", "problem_uid", "criterion_id"],
+    )
+
+
+def _q_ta_qwk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = spark.createDataFrame(ta_fixture.label_pairs(), "t int, p int")
+    return ta_metrics.quadratic_weighted_kappa(pairs, "t", "p", 4)
+
+
+def _q_ta_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g, p = ta_fixture.feedback_rows()
+    return ta_metrics.feedback_agreement(
+        spark.createDataFrame(g, _FB_SCHEMA),
+        spark.createDataFrame(p, _FB_SCHEMA),
+        ["doc", "problem_uid"],
+        ["specificity", "actionability", "correctness"],
+    )
+
+
+def _q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(F.when(k.isNull(), 1)).alias("n_null_k"),
+    )
+
+
+def _q_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderkey") % 3 == 0)
+    b = orders.filter(F.col("o_orderkey") % 2 == 0)
+    return a.unionByName(b).dropDuplicates(["o_orderkey"]).select("o_orderkey", "o_totalprice")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_main_content": _q_extract,
@@ -381,6 +466,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "fingerprint": _q_fingerprint,
         "matching_pipeline": _q_matching_pipeline,
+        "detection_stats": _q_detection_stats,
+        "accuracy_stats": _q_accuracy_stats,
         "cost_rollup": _q_cost_rollup,
         "parallel_runtime": _q_parallel_runtime,
         "failure_counts": _q_failure_counts,
@@ -389,6 +476,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_digit_accuracy": _q_topk_digit_accuracy,
         "bootstrap_median_ci": _q_bootstrap_ci,
         "region_match_prf": _q_region_match,
+        "ta_cer": _q_ta_cer,
+        "ta_set_prf": _q_ta_set_prf,
+        "ta_macro_f1": _q_ta_macro_f1,
+        "ta_exact_match": _q_ta_exact_match,
+        "ta_rubric_mae": _q_ta_rubric_mae,
+        "ta_qwk": _q_ta_qwk,
+        "ta_feedback_agreement": _q_ta_feedback,
+        "json_extract_rollup": _q_json_extract,
+        "union_dedup": _q_union_dedup,
     }
 
 
@@ -440,7 +536,108 @@ def _fixture_oracles() -> dict[str, str]:
     )
     cutoff = repr(probs_ops.DETECTION_CUTOFF)
 
+    ta_text_cte = _values_cte("pairs", ["doc", "gt", "pred"], ta_fixture.text_pairs())
+    ta_g, ta_p = ta_fixture.item_sets()
+    ta_gt_cte = _values_cte("gt", ["doc_id", "item"], ta_g)
+    ta_pred_cte = _values_cte("pred", ["doc_id", "item"], ta_p)
+    rub_g, rub_p = ta_fixture.rubric_rows()
+    rub_gt_cte = _values_cte("rgt", ["doc", "problem_uid", "criterion_id", "awarded_points"], rub_g)
+    rub_pred_cte = _values_cte("rpred", ["doc", "problem_uid", "criterion_id", "awarded_points"], rub_p)
+    qwk_cte = _values_cte("qpairs", ["t", "p"], ta_fixture.label_pairs())
+    fb_g, fb_p = ta_fixture.feedback_rows()
+    fb_gt_cte = _values_cte("fgt", ["doc", "problem_uid", "specificity", "actionability", "correctness"], fb_g)
+    fb_pred_cte = _values_cte("fpred", ["doc", "problem_uid", "specificity", "actionability", "correctness"], fb_p)
+    _d1 = "CAST(1 AS DOUBLE)"
+    _d0 = "CAST(0 AS DOUBLE)"
+
+    ta_oracles = {
+        "ta_cer": f"""
+            WITH {ta_text_cte}
+            SELECT ROUND(CAST(SUM(levenshtein(gt, pred)) AS DOUBLE) / SUM(greatest(length(gt), 1)), 6) AS cer,
+                   ROUND(AVG(levenshtein(gt, pred) / greatest(length(gt), length(pred), 1)), 6) AS mean_norm_lev
+            FROM pairs
+        """,
+        "ta_set_prf": f"""
+            WITH {ta_gt_cte},
+            {ta_pred_cte},
+            g AS (SELECT DISTINCT doc_id, item FROM gt),
+            p AS (SELECT DISTINCT doc_id, item FROM pred),
+            j AS (SELECT COALESCE(g.doc_id, p.doc_id) AS doc_id, g.item AS gi, p.item AS pi
+                  FROM g FULL OUTER JOIN p ON g.doc_id = p.doc_id AND g.item = p.item)
+            SELECT doc_id,
+                   SUM(CASE WHEN gi IS NOT NULL AND pi IS NOT NULL THEN 1 ELSE 0 END) AS tp,
+                   SUM(CASE WHEN gi IS NULL AND pi IS NOT NULL THEN 1 ELSE 0 END) AS fp,
+                   SUM(CASE WHEN gi IS NOT NULL AND pi IS NULL THEN 1 ELSE 0 END) AS fn
+            FROM j GROUP BY doc_id
+        """,
+        "ta_macro_f1": f"""
+            WITH {ta_gt_cte},
+            {ta_pred_cte},
+            g AS (SELECT DISTINCT doc_id, item FROM gt),
+            p AS (SELECT DISTINCT doc_id, item FROM pred),
+            j AS (SELECT COALESCE(g.item, p.item) AS item, g.item AS gi, p.item AS pi
+                  FROM g FULL OUTER JOIN p ON g.doc_id = p.doc_id AND g.item = p.item),
+            per_tag AS (
+              SELECT item,
+                     SUM(CASE WHEN gi IS NOT NULL AND pi IS NOT NULL THEN 1 ELSE 0 END) AS tp,
+                     SUM(CASE WHEN gi IS NULL AND pi IS NOT NULL THEN 1 ELSE 0 END) AS fp,
+                     SUM(CASE WHEN gi IS NOT NULL AND pi IS NULL THEN 1 ELSE 0 END) AS fn
+              FROM j GROUP BY item)
+            SELECT item, tp, fp, fn,
+                   ROUND(CASE WHEN 2 * tp + fp + fn > 0
+                              THEN CAST(2 AS DOUBLE) * tp / (2 * tp + fp + fn)
+                              ELSE {_d0} END, 6) AS f1
+            FROM per_tag
+        """,
+        "ta_exact_match": f"""
+            WITH {ta_text_cte}
+            SELECT ROUND(AVG(CASE WHEN gt = pred THEN {_d1} ELSE {_d0} END), 6) AS exact_match,
+                   COUNT(*) AS n
+            FROM pairs WHERE gt IS NOT NULL AND gt != ''
+        """,
+        "ta_rubric_mae": f"""
+            WITH {rub_gt_cte},
+            {rub_pred_cte},
+            j AS (SELECT g.awarded_points AS _gt, p.awarded_points AS _pred
+                  FROM rgt g LEFT JOIN rpred p
+                  ON g.doc = p.doc AND g.problem_uid = p.problem_uid AND g.criterion_id = p.criterion_id)
+            SELECT ROUND(AVG(ABS(_gt - COALESCE(_pred, {_d0}))), 6) AS mae,
+                   ROUND(AVG(CASE WHEN ABS(_gt - COALESCE(_pred, {_d0})) = 0 THEN {_d1} ELSE {_d0} END), 6) AS exact_rate,
+                   COUNT(*) AS n
+            FROM j
+        """,
+        "ta_qwk": f"""
+            WITH {qwk_cte},
+            obs AS (SELECT t AS _t, p AS _p, COUNT(*) AS o FROM qpairs GROUP BY 1, 2),
+            mt AS (SELECT t AS _t, COUNT(*) AS m_t FROM qpairs GROUP BY 1),
+            mp AS (SELECT p AS _p, COUNT(*) AS m_p FROM qpairs GROUP BY 1),
+            grid AS (SELECT mt._t, mp._p, mt.m_t, mp.m_p FROM mt CROSS JOIN mp),
+            filled AS (SELECT grid._t, grid._p, grid.m_t, grid.m_p, COALESCE(obs.o, 0) AS o
+                       FROM grid LEFT JOIN obs ON grid._t = obs._t AND grid._p = obs._p),
+            agg AS (SELECT
+                SUM(((_t - _p) * (_t - _p)) / CAST(9 AS DOUBLE) * o) AS wo,
+                SUM(((_t - _p) * (_t - _p)) / CAST(9 AS DOUBLE) * m_t * m_p / CAST({len(ta_fixture.label_pairs())} AS DOUBLE)) AS we
+              FROM filled)
+            SELECT ROUND(CASE WHEN we > 0 THEN {_d1} - wo / we ELSE {_d1} END, 6) AS qwk FROM agg
+        """,
+        "ta_feedback_agreement": f"""
+            WITH {fb_gt_cte},
+            {fb_pred_cte},
+            j AS (SELECT g.specificity AS gs, g.actionability AS ga, g.correctness AS gc,
+                         p.specificity AS ps, p.actionability AS pa, p.correctness AS pc
+                  FROM fgt g JOIN fpred p ON g.doc = p.doc AND g.problem_uid = p.problem_uid),
+            s AS (
+              SELECT 'specificity' AS dim, CASE WHEN gs = ps THEN {_d1} ELSE {_d0} END AS agree FROM j
+              UNION ALL
+              SELECT 'actionability', CASE WHEN ga = pa THEN {_d1} ELSE {_d0} END FROM j
+              UNION ALL
+              SELECT 'correctness', CASE WHEN gc = pc THEN {_d1} ELSE {_d0} END FROM j)
+            SELECT dim, ROUND(AVG(agree), 6) AS agreement FROM s GROUP BY dim
+        """,
+    }
+
     return {
+        **ta_oracles,
         "matching_pipeline": f"""
             WITH {truth_cte},
             {ex_cte},
@@ -459,6 +656,50 @@ def _fixture_oracles() -> dict[str, str]:
                    (MIN(id_distance) <= 3 OR MIN(lastname_distance) = 0) AS found
             FROM pairs WHERE id_distance <= 3 OR lastname_distance = 0
             GROUP BY doc, student_id
+        """,
+        "detection_stats": f"""
+            WITH {truth_cte},
+            {ex_cte},
+            tc0 AS (SELECT *, {_SPLIT_NAME.format(col='student_full_name')} AS toks FROM truth),
+            tc AS (SELECT doc, student_id, {_CAND} AS ct FROM tc0),
+            ec0 AS (SELECT *, {_SPLIT_NAME.format(col='llm_fullname')} AS toks FROM extracted),
+            ec AS (SELECT doc, llm_id, {_CAND} AS ce FROM ec0),
+            pairs AS (
+              SELECT e.doc,
+                     levenshtein(lower(e.llm_id), lower(t.student_id)) AS id_distance,
+                     list_min(flatten(list_transform(e.ce,
+                         a -> list_transform(t.ct, b -> levenshtein(a, b))))) AS lastname_distance
+              FROM ec e CROSS JOIN tc t),
+            per_doc AS (
+              SELECT doc, MIN(id_distance) AS min_id, MIN(lastname_distance) AS min_lastname
+              FROM pairs GROUP BY doc)
+            SELECT COUNT(*) AS n_docs,
+                   SUM(CASE WHEN min_id <= 3 OR min_lastname = 0 THEN 1 ELSE 0 END) AS n_detected,
+                   ROUND(AVG(CASE WHEN min_id <= 3 OR min_lastname = 0 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) * 100, 6) AS docs_detected_pct
+            FROM per_doc
+        """,
+        "accuracy_stats": f"""
+            WITH {truth_cte},
+            {ex_cte},
+            tc0 AS (SELECT *, {_SPLIT_NAME.format(col='student_full_name')} AS toks FROM truth),
+            tc AS (SELECT doc, student_id, {_CAND} AS ct FROM tc0),
+            ec0 AS (SELECT *, {_SPLIT_NAME.format(col='llm_fullname')} AS toks FROM extracted),
+            ec AS (SELECT doc, llm_id, {_CAND} AS ce FROM ec0),
+            pairs AS (
+              SELECT e.doc,
+                     levenshtein(lower(e.llm_id), lower(t.student_id)) AS id_distance,
+                     list_min(flatten(list_transform(e.ce,
+                         a -> list_transform(t.ct, b -> levenshtein(a, b))))) AS lastname_distance
+              FROM ec e CROSS JOIN tc t),
+            best AS (
+              SELECT doc, id_distance, lastname_distance FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY doc ORDER BY id_distance, lastname_distance) AS rn
+                FROM pairs) WHERE rn = 1)
+            SELECT ROUND(AVG(CASE WHEN id_distance = 0 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) * 100, 6) AS id_top1,
+                   ROUND(AVG(id_distance), 6) AS id_avg_lev,
+                   ROUND(AVG(CASE WHEN lastname_distance = 0 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) * 100, 6) AS lastname_top1,
+                   SUM(CASE WHEN id_distance = 0 THEN 1 ELSE 0 END) AS n_perfect_id
+            FROM best
         """,
         "cost_rollup": f"""
             WITH {results_cte},
@@ -734,5 +975,15 @@ def oracle_sql() -> dict[str, str]:
                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_md5,
                    sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_sha256
             FROM documents
+        """,
+        "json_extract_rollup": """
+            SELECT event_type,
+                   SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+                   SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS n_null_k
+            FROM events GROUP BY event_type
+        """,
+        "union_dedup": """
+            SELECT DISTINCT o_orderkey, o_totalprice FROM orders
+            WHERE o_orderkey % 3 = 0 OR o_orderkey % 2 = 0
         """,
     }

@@ -36,12 +36,31 @@ def normalized_tokens(text_col):
 
 
 def word_shingles(text_col, n: int = 3):
-    """Array of word n-gram shingles (distinct)."""
+    """Array of word n-gram shingles (distinct).
+
+    NB: referencing a *derived expression* inside the transform lambda makes
+    Catalyst re-evaluate it per array element (no CSE inside higher-order
+    functions) — pass an already-projected token column where possible; this
+    convenience form is for small inputs/tests.
+    """
     toks = normalized_tokens(text_col)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return shingles_of_tokens(toks, n)
+
+
+def shingles_of_tokens(tok_col, n: int = 3):
+    """Shingles from a token array column (project tokens FIRST — see above)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tok_col) - (n - 1), F.lit(0)))
     return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+        F.transform(idx, lambda i: F.array_join(F.slice(tok_col, i, n), " "))
     )
+
+
+def exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) rows with the tokenizer evaluated exactly once per doc."""
+    toks = df.select(
+        F.col(id_col).alias("_id"), normalized_tokens(F.col(text_col)).alias("_toks")
+    )
+    return toks.select("_id", F.explode(shingles_of_tokens(F.col("_toks"), n)).alias("sh"))
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -67,9 +86,7 @@ def jaccard_pairs(
     bucket sizes, and Catalyst shuffles on the shingle key. This is the exact
     oracle the approximate tiers (MinHash, SimHash) are tested against.
     """
-    sh = (
-        df.select(F.col(id_col).alias("_id"), F.explode(word_shingles(F.col(text_col), n)).alias("sh"))
-    )
+    sh = exploded_shingles(df, id_col, text_col, n)
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -110,10 +127,9 @@ def minhash_signatures(
     """
     a, b = _hash_family(num_hashes, seed)
     p = F.lit(_MERSENNE)
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("_s"),
-    ).select("_id", F.pmod(F.xxhash64("_s"), p).alias("_h"))
+    sh = exploded_shingles(df, id_col, text_col, n).select(
+        "_id", F.pmod(F.xxhash64("sh"), p).alias("_h")
+    )
     agg = sh.groupBy("_id").agg(
         *[
             F.min(F.pmod(F.col("_h") * F.lit(a[i]) + F.lit(b[i]), p)).alias(f"_m{i}")
@@ -142,7 +158,10 @@ def minhash_lsh_pairs(
     signature positions.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
+    # materialize signatures before the self-join: otherwise the whole
+    # explode+aggregate signature pipeline is recomputed for BOTH join sides
+    # (at scale this would be a checkpointed signatures table)
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed).persist()
     banded = sigs.select(
         "_id",
         "signature",
@@ -213,7 +232,7 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
     """Near-dup pairs by SimHash: band on 16-bit chunks (pigeonhole: any pair
     within Hamming distance ≤3 collides in at least one of 4 chunks), then
     verify with bit_count(xor)."""
-    sh = df.select(F.col(id_col).alias("_id"), simhash_udf()(F.col(text_col)).alias("sim"))
+    sh = df.select(F.col(id_col).alias("_id"), simhash_udf()(F.col(text_col)).alias("sim")).persist()
     chunks = sh.select(
         "_id",
         "sim",

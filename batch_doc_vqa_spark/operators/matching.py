@@ -95,6 +95,39 @@ def best_match_per_doc(distances: DataFrame, doc_col: str = "doc") -> DataFrame:
     return distances.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
+def detection_stats(distances: DataFrame, doc_col: str = "doc") -> DataFrame:
+    """Per-doc min distances → detection rate summary (A2).
+
+    Reference: groupby('doc').min() then detected = id ≤ cutoff OR lastname
+    == 0, rate = detected/expected·100
+    (/root/reference/src/batch_doc_vqa/benchmarks/table_generator.py:752-766).
+    """
+    per_doc = distances.groupBy(doc_col).agg(
+        F.min("id_distance").alias("min_id"),
+        F.min("lastname_distance").alias("min_lastname"),
+    )
+    detected = (F.col("min_id") <= D_CUTOFF) | (F.col("min_lastname") == 0)
+    return per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(detected.cast("long")).alias("n_detected"),
+        F.round(F.avg(detected.cast("double")) * 100, 6).alias("docs_detected_pct"),
+    )
+
+
+def accuracy_stats(best_per_doc: DataFrame) -> DataFrame:
+    """Scalar accuracy metrics over best-match rows (A4/A5).
+
+    id_top1 = share of exact ids ·100, avg_lev = mean distance, n_perfect =
+    count of zero-distance matches (table_generator.py:735-744,
+    string_matching.py:292-295)."""
+    return best_per_doc.agg(
+        F.round(F.avg((F.col("id_distance") == 0).cast("double")) * 100, 6).alias("id_top1"),
+        F.round(F.avg("id_distance"), 6).alias("id_avg_lev"),
+        F.round(F.avg((F.col("lastname_distance") == 0).cast("double")) * 100, 6).alias("lastname_top1"),
+        F.sum((F.col("id_distance") == 0).cast("long")).alias("n_perfect_id"),
+    )
+
+
 def digit_accuracy(df: DataFrame, pred_col: str, truth_col: str, width: int = 8) -> DataFrame:
     """Digit-level accuracy via aligned posexplode (A3).
 

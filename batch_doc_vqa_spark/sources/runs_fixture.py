@@ -71,13 +71,16 @@ def result_rows(n_runs: int = 6, per_run: int = 32, seed: int = 42) -> list[tupl
     for r in range(n_runs):
         for i in range(per_run):
             rng = _rng(seed, f"res{r}", i)
-            cost_class = rng.choice(["precise", "precise", "estimated", "missing", "zero"])
+            cost_class = rng.choice(["precise", "precise", "estimated", "pending", "missing", "zero"])
             if cost_class == "precise":
                 cost, est, gen = round(rng.uniform(1e-5, 1e-3), 8), False, f"gen-{r}-{i}"
             elif cost_class == "estimated":
                 cost, est, gen = round(rng.uniform(1e-5, 1e-3), 8), True, f"gen-{r}-{i}"
             elif cost_class == "zero":
                 cost, est, gen = 0.0, False, f"gen-{r}-{i}"
+            elif cost_class == "pending":
+                # generation recorded but cost not yet fetched → backfill candidate
+                cost, est, gen = None, False, f"gen-{r}-{i}"
             else:
                 cost, est, gen = None, False, None
             marker = rng.choice(FAILURE_MARKERS)

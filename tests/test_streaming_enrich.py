@@ -1,0 +1,93 @@
+"""Structured Streaming twins + enrichment backfill.
+
+The streaming extraction test is the incremental-persistence analogue of the
+reference's save-after-every-image (inference.py:2206-2207): files arrive,
+availableNow drains them through the same Arrow UDF with a checkpoint, and a
+second trigger after new files only processes the delta."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from batch_doc_vqa_spark.plans.enrich import backfill_costs, missing_cost_candidates
+from batch_doc_vqa_spark.sources import pages_df
+from batch_doc_vqa_spark.sources.runs_fixture import results_df
+from batch_doc_vqa_spark.streaming import extraction_stream, hourly_rollup_stream
+
+
+def _drain(q):
+    q.awaitTermination(120)
+
+
+def test_streaming_extraction_incremental(spark, tmp_path):
+    src = str(tmp_path / "pages_in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    pages_df(spark, 100, seed=42).write.parquet(src)
+    stream = extraction_stream(spark, src)
+    assert stream.isStreaming
+    q = stream.writeStream.format("parquet").option("path", out).option(
+        "checkpointLocation", ckpt
+    ).trigger(availableNow=True).start()
+    _drain(q)
+    first = spark.read.parquet(out)
+    assert first.count() == 100
+
+    # new files arrive; the checkpoint means only the delta is processed
+    pages_df(spark, 150, seed=42).filter(
+        ~F.col("url").isin([r["url"] for r in first.select("url").collect()])
+    ).write.mode("append").parquet(src)
+    q = extraction_stream(spark, src).writeStream.format("parquet").option(
+        "path", out
+    ).option("checkpointLocation", ckpt).trigger(availableNow=True).start()
+    _drain(q)
+    final = spark.read.parquet(out)
+    assert final.count() == 150
+    assert final.select("url").distinct().count() == 150
+    # streamed text identical to batch kernel output
+    batch = {r["url"]: r for r in pages_df(spark, 150, seed=42).collect()}
+    sample = final.limit(20).collect()
+    from batch_doc_vqa_spark.functions import extract_payload
+
+    for r in sample:
+        assert r["text"] == extract_payload(batch[r["url"]]["html"]).text
+
+
+def test_streaming_hourly_rollup(spark, tmp_path, sf_dir):
+    src = str(tmp_path / "events_in")
+    spark.read.parquet(f"{sf_dir}/events.parquet").write.parquet(src)
+    stream = hourly_rollup_stream(spark, src)
+    q = stream.writeStream.format("memory").queryName("rollup").outputMode(
+        "append"
+    ).trigger(availableNow=True).start()
+    _drain(q)
+    got = spark.sql("select * from rollup")
+    # append mode emits only watermark-closed windows; all but the last hour close
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert got.count() > 0.5 * batch.count()
+    g = {(r["hour"], r["event_type"]): r["n"] for r in got.collect()}
+    b = {(r["hour"], r["event_type"]): r["n"] for r in batch.collect()}
+    assert all(b[k] == v for k, v in g.items())  # emitted windows match batch
+
+
+def test_backfill_idempotent(spark):
+    results = results_df(spark, n_runs=3)
+    cands = missing_cost_candidates(results)
+    n_missing = cands.count()
+    assert n_missing > 0
+    costs = cands.select("generation_id").withColumn("actual_cost", F.lit(0.00042))
+
+    once = backfill_costs(results, costs)
+    assert once.filter(F.col("actual_cost").isNull() & F.col("generation_id").isNotNull()).count() == 0
+    # existing costs never overwritten
+    kept = results.filter(F.col("actual_cost").isNotNull()).agg(F.sum("actual_cost")).collect()[0][0]
+    after = once.filter(F.col("actual_cost") != 0.00042).agg(F.sum("actual_cost")).collect()[0][0]
+    assert abs(kept - after) < 1e-9
+
+    twice = backfill_costs(once, costs)
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
