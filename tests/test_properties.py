@@ -1,0 +1,58 @@
+"""Property-based kernel tests (hypothesis): robustness + invariants the
+golden fixtures can't enumerate — arbitrary byte soup never crashes, spans
+always index exactly into the text, extraction is idempotent-deterministic."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from batch_doc_vqa_spark.functions import extract_html, extract_payload
+
+TAGS = ["p", "div", "h1", "li", "nav", "aside", "footer", "a", "span", "table", "td", "br"]
+
+
+@st.composite
+def html_soup(draw):
+    parts = []
+    for _ in range(draw(st.integers(0, 25))):
+        kind = draw(st.integers(0, 3))
+        if kind == 0:
+            parts.append(draw(st.text(max_size=80)))
+        elif kind == 1:
+            parts.append(f"<{draw(st.sampled_from(TAGS))}>")
+        elif kind == 2:
+            parts.append(f"</{draw(st.sampled_from(TAGS))}>")
+        else:
+            parts.append("<script>x</script>" if draw(st.booleans()) else "<!-- c -->")
+    return "".join(parts)
+
+
+@settings(max_examples=150, deadline=None)
+@given(html_soup())
+def test_spans_index_into_text(doc):
+    r = extract_html(doc)
+    assert r.status in ("ok", "ok_recall", "empty")
+    for start, end, label in r.spans:
+        assert 0 <= start <= end <= len(r.text)
+        seg = r.text[start:end]
+        assert seg == seg.strip()
+        assert label in ("heading", "para", "list", "cell")
+    # blocks joined by exactly \n\n and spans tile the text
+    if r.spans:
+        assert r.spans[0][0] == 0 and r.spans[-1][1] == len(r.text)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=400))
+def test_arbitrary_bytes_never_crash(payload):
+    r1 = extract_payload(payload)
+    r2 = extract_payload(payload)
+    assert r1.text == r2.text and r1.spans == r2.spans and r1.status == r2.status
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=200))
+def test_plain_text_roundtrip(text):
+    # a document with no markup: output is whitespace-normalized input (or empty)
+    r = extract_html(f"<p>{text}</p>")
+    assert "\n\n" not in r.text or len(r.spans) > 1
