@@ -432,6 +432,16 @@ def _q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("o_totalprice"), 6).alias("mean_price"),
+        F.round(F.median("o_totalprice"), 6).alias("median_price"),
+        F.round(F.stddev("o_totalprice"), 6).alias("stddev_price"),
+    )
+
+
 def _q_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     a = orders.filter(F.col("o_orderkey") % 3 == 0)
@@ -485,6 +495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ta_feedback_agreement": _q_ta_feedback,
         "json_extract_rollup": _q_json_extract,
         "union_dedup": _q_union_dedup,
+        "summary_stats": _q_summary_stats,
     }
 
 
@@ -985,5 +996,12 @@ def oracle_sql() -> dict[str, str]:
         "union_dedup": """
             SELECT DISTINCT o_orderkey, o_totalprice FROM orders
             WHERE o_orderkey % 3 = 0 OR o_orderkey % 2 = 0
+        """,
+        "summary_stats": """
+            SELECT o_orderpriority, COUNT(*) AS n,
+                   ROUND(AVG(o_totalprice), 6) AS mean_price,
+                   ROUND(MEDIAN(o_totalprice), 6) AS median_price,
+                   ROUND(STDDEV_SAMP(o_totalprice), 6) AS stddev_price
+            FROM orders GROUP BY o_orderpriority
         """,
     }

@@ -161,7 +161,9 @@ def _tokenize(doc: str) -> list[tuple[str, str, str, int, int]]:
 
 
 def _normalize(raw: str) -> str:
-    return _WS_RE.sub(" ", _html.unescape(raw)).strip()
+    if "&" in raw:  # unescape only when an entity can exist (hot-path save)
+        raw = _html.unescape(raw)
+    return _WS_RE.sub(" ", raw).strip()
 
 
 def extract_html(payload: bytes | str) -> ExtractResult:
