@@ -34,7 +34,7 @@ from batch_doc_vqa_spark.operators import (
     similarity,
     textstats,
 )
-from batch_doc_vqa_spark.operators import ta_metrics
+from batch_doc_vqa_spark.operators import sessions, ta_metrics
 from batch_doc_vqa_spark.plans.skew import salted_host_stats, with_salted_partition
 from batch_doc_vqa_spark.sources import matching_fixture, probs_fixture, runs_fixture, ta_fixture
 from batch_doc_vqa_spark.sources.pages import pages_df, rows_for_sf
@@ -432,6 +432,10 @@ def _q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessions.session_stats(_t(spark, sf_dir, "events"))
+
+
 def _q_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     return orders.groupBy("o_orderpriority").agg(
@@ -496,6 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract_rollup": _q_json_extract,
         "union_dedup": _q_union_dedup,
         "summary_stats": _q_summary_stats,
+        "sessionize_events": _q_sessionize,
     }
 
 
@@ -996,6 +1001,24 @@ def oracle_sql() -> dict[str, str]:
         "union_dedup": """
             SELECT DISTINCT o_orderkey, o_totalprice FROM orders
             WHERE o_orderkey % 3 = 0 OR o_orderkey % 2 = 0
+        """,
+        "sessionize_events": """
+            WITH b AS (
+              SELECT user_id, ts, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ws
+              FROM events
+            ), brk AS (
+              SELECT user_id, ts, event_id, ws,
+                     CASE WHEN lag(ws) OVER w IS NULL OR ws - lag(ws) OVER w > 1800
+                          THEN 1 ELSE 0 END AS is_break
+              FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+              SELECT user_id, ts,
+                     SUM(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS session_idx
+              FROM brk)
+            SELECT user_id, session_idx, MIN(ts) AS session_start,
+                   MAX(ts) AS session_end, COUNT(*) AS n_events
+            FROM sess GROUP BY user_id, session_idx
         """,
         "summary_stats": """
             SELECT o_orderpriority, COUNT(*) AS n,
