@@ -298,6 +298,15 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.fingerprint(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def _q_lang_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.lang_id_trigram(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = textstats.winnow_fingerprints(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return out.select("doc_id", F.size("fingerprints").alias("n_fp"), F.col("fingerprints"))
+
+
 def _q_matching_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = matching_fixture.truth_df(spark)
     extracted = matching_fixture.extracted_df(spark)
@@ -501,6 +510,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_dedup": _q_union_dedup,
         "summary_stats": _q_summary_stats,
         "sessionize_events": _q_sessionize,
+        "lang_id_trigram": _q_lang_id_trigram,
+        "winnow_fingerprints": _q_winnow,
     }
 
 
@@ -797,6 +808,33 @@ def _fixture_oracles() -> dict[str, str]:
     }
 
 
+def _lang_trigram_oracle() -> str:
+    from batch_doc_vqa_spark.operators.textstats import _TRIGRAM_PROFILES
+
+    def hits(grams: list[str]) -> str:
+        parts = " + ".join(
+            f"(length(t) - length(replace(t, '{g}', ''))) / {len(g)}" for g in grams
+        )
+        return f"CAST({parts} AS BIGINT)"
+
+    score_cols = ",\n               ".join(
+        f"{hits(g)} AS tri_{lang}" for lang, g in _TRIGRAM_PROFILES.items()
+    )
+    langs = list(_TRIGRAM_PROFILES)
+    g4 = ", ".join(f"tri_{lg}" for lg in langs)
+    guess = "CASE WHEN greatest({g}) = 0 THEN 'und' ".format(g=g4)
+    for lang in langs[:-1]:
+        guess += f"WHEN tri_{lang} = greatest({g4}) THEN '{lang}' "
+    guess += f"ELSE '{langs[-1]}' END"
+    return f"""
+        WITH lowered AS (SELECT doc_id, lower(text) AS t FROM documents),
+        s AS (SELECT doc_id,
+               {score_cols}
+              FROM lowered)
+        SELECT doc_id, {g4}, {guess} AS lang_guess FROM s
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         **_fixture_oracles(),
@@ -1020,6 +1058,7 @@ def oracle_sql() -> dict[str, str]:
                    MAX(ts) AS session_end, COUNT(*) AS n_events
             FROM sess GROUP BY user_id, session_idx
         """,
+        "lang_id_trigram": _lang_trigram_oracle(),
         "summary_stats": """
             SELECT o_orderpriority, COUNT(*) AS n,
                    ROUND(AVG(o_totalprice), 6) AS mean_price,

@@ -10,6 +10,7 @@ semantics are expressible as the DuckDB oracle SQL — no UDFs.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -84,6 +85,87 @@ def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col),
         F.size(_tokens(F.col(text_col))).alias("ws_tokens"),
         F.regexp_count(F.col(text_col), F.lit(TOKEN_REGEX)).alias("regex_tokens"),
+    )
+
+
+def winnow_fingerprint_kernel(text: str, k: int = 5, w: int = 4) -> list[int]:
+    """Winnowing (Schleimer et al., SIGMOD 2003): k-gram rolling hashes,
+    keep the min of each length-w window (rightmost on ties), dedup
+    consecutive picks. Pure function — the oracle for the Arrow UDF."""
+    import numpy as np
+
+    t = text.lower()
+    n = len(t) - k + 1
+    if n <= 0:
+        return []
+    codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    B = np.uint64(1000003)
+    # polynomial rolling hash mod 2^64 (deterministic uint64 wraparound)
+    with np.errstate(over="ignore"):
+        pows = np.empty(k, dtype=np.uint64)
+        pows[0] = 1
+        for i in range(1, k):
+            pows[i] = pows[i - 1] * B
+        h = np.zeros(n, dtype=np.uint64)
+        for j in range(k):  # k is small (5): k vectorized passes
+            h = h + codes[j : j + n] * pows[k - 1 - j]
+    h = h.view(np.int64)  # LongType-compatible; sign is irrelevant for a fingerprint
+    if n <= w:
+        return [int(h.min())]
+    # sliding-window minima, rightmost on ties
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    win = sliding_window_view(h, w)
+    rev_idx = w - 1 - np.argmin(win[:, ::-1], axis=1)
+    picks = h[np.arange(len(win)) + rev_idx]
+    keep = np.concatenate(([True], (np.arange(len(win))[1:] + rev_idx[1:]) != (np.arange(len(win))[:-1] + rev_idx[:-1])))
+    return [int(x) for x in picks[keep]]
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str, k: int = 5, w: int = 4) -> DataFrame:
+    """Document fingerprints via winnowed rolling hashes (Arrow-batched)."""
+
+    @F.pandas_udf("array<long>")
+    def _winnow(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: winnow_fingerprint_kernel(t or "", k, w))
+
+    return df.select(F.col(id_col), _winnow(F.col(text_col)).alias("fingerprints"))
+
+
+# char-trigram profiles per language (top frequent trigrams, public knowledge)
+_TRIGRAM_PROFILES = {
+    "en": [" th", "the", "he ", " an", "and", "nd ", "ing", " to", "ion", "ent"],
+    "de": ["er ", "en ", "ch ", "der", " de", "ein", "ich", "sch", "die", "und"],
+    "fr": [" de", "es ", "de ", "ent", "le ", "nt ", "la ", " le", "ion", "que"],
+    "es": [" de", "de ", "os ", " la", "la ", "el ", " el", "ent", "as ", "ión"],
+}
+
+
+def lang_id_trigram(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Char-trigram language ID: per-language profile hit counts, argmax.
+
+    A stronger heuristic than marker words: counts occurrences of each
+    language's top trigrams with JVM-side expressions (no UDF) — a
+    Cavnar-Trenkle-style n-gram profile match reduced to fixed literals.
+    """
+    low = F.lower(F.col(text_col))
+
+    def hits(grams: list[str]):
+        total = F.lit(0)
+        for g in grams:
+            # occurrences of g = (len(text) - len(remove(text, g))) / len(g)
+            total = total + (F.length(low) - F.length(F.replace(low, F.lit(g), F.lit("")))) / len(g)
+        return total.cast("long")
+
+    scores = {lang: hits(g) for lang, g in _TRIGRAM_PROFILES.items()}
+    best = F.greatest(*scores.values())
+    guess = F.when(best == 0, F.lit("und"))
+    for lang in _TRIGRAM_PROFILES:
+        guess = guess.when(scores[lang] == best, F.lit(lang))
+    return df.select(
+        F.col(id_col),
+        *[scores[lang].alias(f"tri_{lang}") for lang in _TRIGRAM_PROFILES],
+        guess.alias("lang_guess"),
     )
 
 
