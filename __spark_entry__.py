@@ -28,6 +28,7 @@ from batch_doc_vqa_spark.operators import (
     analytics,
     dedup,
     matching,
+    multimodal,
     probs as probs_ops,
     regions,
     runs_analytics,
@@ -441,6 +442,17 @@ def _q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing over driver data: documents' text bytes stand in
+    for opaque media payloads; the mapInPandas probe emits typed metadata."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("blob").alias("kind"),
+    )
+    return multimodal.probe_media(docs, "media_id", "payload", "kind")
+
+
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.session_stats(_t(spark, sf_dir, "events"))
 
@@ -512,6 +524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": _q_sessionize,
         "lang_id_trigram": _q_lang_id_trigram,
         "winnow_fingerprints": _q_winnow,
+        "media_probe": _q_media_probe,
     }
 
 
@@ -1059,6 +1072,26 @@ def oracle_sql() -> dict[str, str]:
             FROM sess GROUP BY user_id, session_idx
         """,
         "lang_id_trigram": _lang_trigram_oracle(),
+        "media_probe": """
+            WITH m AS (
+              SELECT CAST(doc_id AS VARCHAR) AS media_id, 'blob' AS kind,
+                     strlen(text) AS n_bytes, sha256(text) AS sha
+              FROM documents),
+            b AS (SELECT *,
+                   (instr('0123456789abcdef', substr(sha, 1, 1)) - 1) * 16
+                 + (instr('0123456789abcdef', substr(sha, 2, 1)) - 1) AS b0,
+                   (instr('0123456789abcdef', substr(sha, 3, 1)) - 1) * 16
+                 + (instr('0123456789abcdef', substr(sha, 4, 1)) - 1) AS b1,
+                   (instr('0123456789abcdef', substr(sha, 5, 1)) - 1) * 16
+                 + (instr('0123456789abcdef', substr(sha, 6, 1)) - 1) AS b2
+              FROM m)
+            SELECT media_id, kind, CAST(n_bytes AS BIGINT) AS n_bytes, sha AS sha256,
+                   CAST(CASE WHEN n_bytes > 0 THEN 320 + b0 ELSE 0 END AS INT) AS width,
+                   CAST(CASE WHEN n_bytes > 0 THEN 240 + b1 ELSE 0 END AS INT) AS height,
+                   CAST(CASE WHEN n_bytes > 0 THEN 1000 * (1 + (b2 % 30)) ELSE 0 END AS BIGINT) AS duration_ms,
+                   CASE WHEN n_bytes > 0 THEN 'stub' ELSE 'empty' END AS decode_status
+            FROM b
+        """,
         "summary_stats": """
             SELECT o_orderpriority, COUNT(*) AS n,
                    ROUND(AVG(o_totalprice), 6) AS mean_price,

@@ -215,7 +215,14 @@ def extract_html(payload: bytes | str) -> ExtractResult:
         # header containers contribute only their headings (the headline)
         kept &= ~is_header | is_heading
         # Boilerpipe-style context smoothing: weak blocks flanked by content
-        quasi = (w >= SMOOTH_MIN_WORDS) & (ld <= SMOOTH_MAX_LINK_DENSITY) & ~is_boiler & ~kept
+        # (header/boilerplate containers are never rescued by context)
+        quasi = (
+            (w >= SMOOTH_MIN_WORDS)
+            & (ld <= SMOOTH_MAX_LINK_DENSITY)
+            & ~is_boiler
+            & ~is_header
+            & ~kept
+        )
         if quasi.any() and kept.any():
             prev_kept = np.concatenate(([False], kept[:-1]))
             next_kept = np.concatenate((kept[1:], [False]))

@@ -40,6 +40,10 @@ BENCH_QUERIES = [
     "doc_quality",
     "lang_id",
     "fingerprint",
+    "sessionize_events",
+    "matching_pipeline",
+    "winnow_fingerprints",
+    "media_probe",
 ]
 
 
