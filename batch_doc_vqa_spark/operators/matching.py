@@ -50,7 +50,12 @@ def pair_distances(
     Truth is small (dozens of rows — reference q11 has 32): broadcast, so the
     cross join is a broadcast nested-loop with no shuffle of the big side.
     """
+    # candidate arrays are PROJECTED as columns on both sides before the
+    # join: referencing the candidate *expression* inside the transform
+    # lambda would make Catalyst re-evaluate the whole expansion per array
+    # element (no CSE inside higher-order functions)
     ex = extracted.withColumn("_cand", surname_candidates(F.col(ex_name)))
+    truth = truth.withColumn("_tcand", surname_candidates(F.col(t_name)))
     # grouping key downstream is the *extraction-side* doc (the reference
     # groups the crossed frame by the manifest doc, string_matching.py:299);
     # rename truth's clashing columns
@@ -58,19 +63,20 @@ def pair_distances(
         if c in ex.columns:
             truth = truth.withColumnRenamed(c, f"truth_{c}")
     pairs = ex.crossJoin(F.broadcast(truth))
-    t_cand = surname_candidates(F.col(t_name))
     # relaxed lastname distance = min over candidate × candidate pairs
     lastname_d = F.array_min(
         F.flatten(
             F.transform(
                 F.col("_cand"),
-                lambda a: F.transform(t_cand, lambda b: F.levenshtein(a, b)),
+                lambda a: F.transform(F.col("_tcand"), lambda b: F.levenshtein(a, b)),
             )
         )
     )
-    return pairs.withColumn(
-        "id_distance", F.levenshtein(F.lower(F.col(ex_id)), F.lower(F.col(t_id)))
-    ).withColumn("lastname_distance", lastname_d).drop("_cand")
+    return (
+        pairs.withColumn("id_distance", F.levenshtein(F.lower(F.col(ex_id)), F.lower(F.col(t_id))))
+        .withColumn("lastname_distance", lastname_d)
+        .drop("_cand", "_tcand")
+    )
 
 
 def best_matches(distances: DataFrame, doc_col: str = "doc", truth_id: str = "student_id") -> DataFrame:
