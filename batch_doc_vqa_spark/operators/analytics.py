@@ -23,11 +23,51 @@ def pareto_frontier(df: DataFrame, cost_col: str, value_col: str) -> DataFrame:
 
     Expressed as a NOT EXISTS anti-join rather than a running-max window so
     the plan has no single-partition global sort; with AQE the anti-join
-    broadcasts when the frontier candidate set is small.
+    broadcasts when the input is small. The reference applies this to
+    aggregate-level benchmark points (dozens of rows); for raw-table-scale
+    inputs use ``pareto_frontier_scalable``.
     """
     other = df.select(F.col(cost_col).alias("_c"), F.col(value_col).alias("_v"))
     cond = (F.col("_c") < F.col(cost_col)) & (F.col("_v") >= F.col(value_col))
     return df.join(other, cond, "left_anti")
+
+
+def pareto_frontier_scalable(df: DataFrame, cost_col: str, value_col: str) -> DataFrame:
+    """Exact distributed skyline: per-partition local frontier → global
+    frontier of the (small) candidate union.
+
+    Dominance is transitive, so a point dominated anywhere is dominated
+    within its partition or by another partition's survivor — phase 1 never
+    drops a global-frontier point, phase 2 removes cross-partition dominance
+    exactly. Phase 1 is a linear scan after an in-partition sort; phase 2
+    runs on the union of local frontiers, which is tiny for any realistic
+    value distribution, so the final anti-join broadcasts.
+    """
+    import pandas as pd
+
+    cols = df.columns
+    schema = df.schema
+
+    def local_frontier(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = pdf.sort_values([cost_col, value_col], ascending=[True, False])
+        best = float("-inf")
+        keep = []
+        prev_cost = None
+        pending_best = float("-inf")
+        for _, row in s.iterrows():
+            c, v = row[cost_col], row[value_col]
+            if prev_cost is not None and c > prev_cost:
+                best = max(best, pending_best)
+            if v > best:
+                keep.append(row)
+                pending_best = max(pending_best, v)
+            else:
+                pending_best = max(pending_best, v)
+            prev_cost = c
+        return pd.DataFrame(keep, columns=cols) if keep else pdf.iloc[0:0]
+
+    candidates = df.mapInPandas(lambda it: (local_frontier(p) for p in it), schema=schema)
+    return pareto_frontier(candidates, cost_col, value_col)
 
 
 def top_k_per_group(df: DataFrame, group_col: str, order_col: str, k: int, tiebreak_col: str) -> DataFrame:

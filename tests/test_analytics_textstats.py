@@ -15,6 +15,17 @@ def test_pareto_frontier(spark):
     assert got == {(1.0, 5), (2.0, 7), (4.0, 9)}
 
 
+def test_pareto_scalable_matches_antijoin(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = [(round(rng.uniform(0, 100), 2), rng.randint(0, 50)) for _ in range(500)]
+    df = spark.createDataFrame(rows, "cost double, val int").repartition(7)
+    a = {(r["cost"], r["val"]) for r in analytics.pareto_frontier(df, "cost", "val").collect()}
+    b = {(r["cost"], r["val"]) for r in analytics.pareto_frontier_scalable(df, "cost", "val").collect()}
+    assert a == b and len(a) > 0
+
+
 def test_top_k_and_latest(spark):
     df = spark.createDataFrame(
         [(1, 10, 100), (1, 20, 101), (1, 20, 102), (2, 5, 103)],
