@@ -57,12 +57,19 @@ def run_extraction(
     run_id: str | None = None,
     num_buckets: int = 32,
     target_rows_per_task: int | None = None,
+    strict: bool = False,
 ) -> dict:
     """Run (or resume) the extraction job. Returns per-run lineage summary.
 
     ``pages`` must have columns (url, warc_ts, html, text, lang) — the
     BASELINE.json input shape. Results land at ``{out_dir}/results`` (append),
     lineage at ``{out_dir}/lineage`` (append).
+
+    ``strict`` selects the validate→fail vs validate→coerce behavior of the
+    reference's schema ladder (openrouter/inference.py:1920-2070, SURVEY §2.7
+    X6): strict ⇒ rows whose extraction came back empty are *failures*
+    (counted + urls recorded in lineage, text nulled); lenient (default) ⇒
+    the recall-cascade output is kept and only hard errors count as failures.
     """
     run_id = run_id or uuid.uuid4().hex[:12]
     results_path = f"{out_dir}/results"
@@ -75,6 +82,8 @@ def run_extraction(
         todo = pages.join(done, "url", "left_anti")
 
     bucketed = with_salted_partition(todo, num_buckets, target_rows_per_task=target_rows_per_task)
+    failure_statuses = ("error", "empty") if strict else ("error",)
+    is_failed = F.col("_ex.status").isin(*failure_statuses)
     extracted = (
         bucketed.withColumn("_ex", extract_udf(F.col("html")))
         .select(
@@ -82,11 +91,11 @@ def run_extraction(
             "warc_ts",
             "lang",
             F.col(BUCKET_COL),
-            F.col("_ex.text").alias("text"),
-            F.col("_ex.spans").alias("spans"),
-            F.col("_ex.status").alias("status"),
+            F.when(~is_failed, F.col("_ex.text")).alias("text"),
+            F.when(~is_failed, F.col("_ex.spans")).alias("spans"),
+            F.when(is_failed, F.lit("failed")).otherwise(F.col("_ex.status")).alias("status"),
             F.col("_ex.error").alias("error"),
-            F.length("_ex.text").alias("n_chars"),
+            F.coalesce(F.length("_ex.text"), F.lit(0)).alias("n_chars"),
             F.length("html").alias("n_input_bytes"),
             F.lit(run_id).alias("run_id"),
         )
@@ -99,9 +108,9 @@ def run_extraction(
         F.lit(run_id).alias("run_id"),
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_input_bytes").alias("n_bytes"),
-        F.sum((F.col("status") == "error").cast("long")).alias("n_failed"),
+        F.sum((F.col("status") == "failed").cast("long")).alias("n_failed"),
         F.slice(
-            F.collect_list(F.when(F.col("status") == "error", F.col("url"))),
+            F.collect_list(F.when(F.col("status") == "failed", F.col("url"))),
             1,
             MAX_FAILURE_URLS_PER_PARTITION,
         ).alias("failure_urls"),

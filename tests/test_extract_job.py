@@ -47,6 +47,29 @@ def test_job_end_to_end(spark, tmp_path):
     assert lin.select("bucket").distinct().count() == results.select("bucket").distinct().count()
 
 
+def test_strict_mode_routes_failures_to_lineage(spark, tmp_path):
+    pages = pages_df(spark, 50, seed=SEED)
+    # corrupt some payloads so extraction yields nothing for them
+    broken = pages.withColumn(
+        "html",
+        F.when(F.xxhash64("url") % 5 == 0, F.lit(b"")).otherwise(F.col("html")),
+    )
+    out = str(tmp_path / "strict")
+    s = run_extraction(spark, broken, out, run_id="strictrun", num_buckets=4, strict=True)
+    assert s["n_failed"] > 0
+    res = read_results(spark, out)
+    failed = res.filter(F.col("status") == "failed")
+    assert failed.count() == s["n_failed"]
+    assert failed.filter(F.col("text").isNotNull()).count() == 0  # fail-row: no text
+    lin = read_lineage(spark, out)
+    urls = [u for r in lin.collect() for u in r["failure_urls"]]
+    assert len(urls) == s["n_failed"]
+    # lenient mode on the same input keeps the rows as 'empty'-free successes
+    out2 = str(tmp_path / "lenient")
+    s2 = run_extraction(spark, broken, out2, run_id="lenientrun", num_buckets=4, strict=False)
+    assert s2["n_failed"] == 0
+
+
 def test_resume_is_idempotent_and_incremental(spark, tmp_path):
     full = pages_df(spark, N, seed=SEED)
     prefix = full.filter(F.xxhash64("url") % 2 == 0)  # deterministic half
