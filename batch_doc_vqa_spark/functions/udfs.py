@@ -55,3 +55,60 @@ def extract_udf(html: pd.Series) -> pd.DataFrame:
 def host_of(url_col):
     """Column expr: url → host (the skew key for Common-Crawl-style data)."""
     return F.regexp_extract(url_col, r"^[a-z]+://([^/]+)/", 1)
+
+
+BLOCK_ROW_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("block_idx", T.IntegerType()),
+            T.StructField("bbox", T.ArrayType(T.DoubleType())),
+            T.StructField("block_text", T.StringType()),
+        ]
+    )
+)
+
+
+@F.pandas_udf(BLOCK_ROW_TYPE)
+def split_blocks_udf(payload: pd.Series) -> pd.Series:
+    """SPDF payload → array of per-block rows (reading order).
+
+    The document→page fan-out shape of the reference's ``pdf_to_imgs``
+    (/root/reference/src/batch_doc_vqa/utils/image_processing.py:8-53): one
+    binary document becomes N ordered rows via posexplode of this array.
+    Non-SPDF payloads yield an empty array.
+    """
+    from .pdf_extract import SPDF_MAGIC, decode_spdf, extract_spdf
+
+    out = []
+    for p in payload:
+        if p is None or p[: len(SPDF_MAGIC)] != SPDF_MAGIC:
+            out.append([])
+            continue
+        text, spans = extract_spdf(p)
+        boxes, texts = decode_spdf(p)
+        # re-derive reading order from the extracted span texts
+        blocks = []
+        by_text: dict[str, list[int]] = {}
+        for i, t in enumerate(texts):
+            by_text.setdefault(t.strip(), []).append(i)
+        for j, (s, e, _) in enumerate(spans):
+            seg = text[s:e]
+            idx = by_text.get(seg, [None]).pop(0) if by_text.get(seg) else None
+            bbox = [float(v) for v in boxes[idx]] if idx is not None else []
+            blocks.append({"block_idx": j, "bbox": bbox, "block_text": seg})
+        out.append(blocks)
+    return pd.Series(out)
+
+
+def split_pages(df, url_col: str = "url", bin_col: str = "html"):
+    """Fan out binary layout docs to per-block rows (S5 posexplode shape)."""
+    return df.select(
+        F.col(url_col),
+        F.posexplode(split_blocks_udf(F.col(bin_col))).alias("pos", "block"),
+    ).select(
+        url_col,
+        "pos",
+        F.col("block.block_idx").alias("block_idx"),
+        F.col("block.bbox").alias("bbox"),
+        F.col("block.block_text").alias("block_text"),
+    )
