@@ -23,7 +23,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from batch_doc_vqa_spark.functions.udfs import extract_udf
+from batch_doc_vqa_spark.functions.udfs import extract_udf, split_pages
 from batch_doc_vqa_spark.operators import (
     analytics,
     dedup,
@@ -442,6 +442,11 @@ def _q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_split_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = min(1000, rows_for_sf(_sf_of(sf_dir)))
+    return split_pages(pages_df(spark, n, seed=42))
+
+
 def _q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing over driver data: documents' text bytes stand in
     for opaque media payloads; the mapInPandas probe emits typed metadata."""
@@ -525,6 +530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_trigram": _q_lang_id_trigram,
         "winnow_fingerprints": _q_winnow,
         "media_probe": _q_media_probe,
+        "split_pages": _q_split_pages,
     }
 
 
