@@ -6,6 +6,12 @@ from __future__ import annotations
 
 from hypothesis import given, settings, strategies as st
 
+# deterministic example generation: the driver's verify must see the same
+# inputs every run (a flaky counterexample should arrive as a code change,
+# not a CI surprise)
+settings.register_profile("ci", derandomize=True)
+settings.load_profile("ci")
+
 from batch_doc_vqa_spark.functions import extract_html, extract_payload
 
 TAGS = ["p", "div", "h1", "li", "nav", "aside", "footer", "a", "span", "table", "td", "br"]
