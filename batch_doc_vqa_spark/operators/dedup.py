@@ -162,9 +162,11 @@ def minhash_lsh_pairs(
     # explode+aggregate signature pipeline is recomputed for BOTH join sides
     # (at scale this would be a checkpointed signatures table)
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed).persist()
+    # the exploded self-join carries only (id, band_idx, band_hash) — the
+    # 64-long signature arrays rejoin *after* candidate dedup, so the shuffle
+    # payload stays 3 longs per banded row
     banded = sigs.select(
         "_id",
-        "signature",
         F.posexplode(
             F.array(
                 *[
@@ -176,19 +178,27 @@ def minhash_lsh_pairs(
     )
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
+    cand_ids = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a._id") < F.col("b._id")),
         )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sig_a = sigs.select(F.col("_id").alias("id_a"), F.col("signature").alias("_sig_a"))
+    sig_b = sigs.select(F.col("_id").alias("id_b"), F.col("signature").alias("_sig_b"))
+    return (
+        cand_ids.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
         .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
+            "id_a",
+            "id_b",
             F.round(
                 F.aggregate(
-                    F.zip_with(F.col("a.signature"), F.col("b.signature"), lambda x, y: (x == y).cast("int")),
+                    F.zip_with(F.col("_sig_a"), F.col("_sig_b"), lambda x, y: (x == y).cast("int")),
                     F.lit(0),
                     lambda acc, v: acc + v,
                 )
@@ -196,9 +206,7 @@ def minhash_lsh_pairs(
                 6,
             ).alias("est_jaccard"),
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
-    return cand
 
 
 _SIMHASH_BITS = 64
