@@ -207,8 +207,10 @@ def _q_digit_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # scalable two-phase skyline (vectorized local frontier → tiny anti-join):
+    # the plain anti-join form is a broadcast nested loop that dies at scale
     part = _t(spark, sf_dir, "part")
-    return analytics.pareto_frontier(part, "p_retailprice", "p_size").select(
+    return analytics.pareto_frontier_scalable(part, "p_retailprice", "p_size").select(
         "p_partkey", "p_retailprice", "p_size"
     )
 
@@ -304,8 +306,16 @@ def _q_lang_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Arrays crash the driver's canonicalizer (unhashable in pandas sort), so
+    # serialize the fingerprint list to a CSV string; the DuckDB oracle
+    # reimplements winnowing independently (window functions over HUGEINT
+    # rolling hashes) and emits the same string.
     out = textstats.winnow_fingerprints(_t(spark, sf_dir, "documents"), "doc_id", "text")
-    return out.select("doc_id", F.size("fingerprints").alias("n_fp"), F.col("fingerprints"))
+    return out.select(
+        "doc_id",
+        F.size("fingerprints").alias("n_fp"),
+        F.array_join(F.transform("fingerprints", lambda x: x.cast("string")), ",").alias("fps"),
+    )
 
 
 def _q_matching_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -435,16 +445,54 @@ def _q_ta_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
+    raw = F.get_json_object("props", "$.k")
+    # n_null_k counts *missing keys* (raw extract is null), matching the oracle's
+    # json_extract_string IS NULL — not failed int casts, which would silently
+    # diverge on non-numeric values.
     return ev.groupBy("event_type").agg(
-        F.sum(k).alias("sum_k"),
-        F.count(F.when(k.isNull(), 1)).alias("n_null_k"),
+        F.sum(raw.cast("int")).alias("sum_k"),
+        F.count(F.when(raw.isNull(), 1)).alias("n_null_k"),
     )
 
 
+_N_SPLIT = 256  # fixed so the VALUES oracle matches at every sf
+
+
 def _q_split_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n = min(1000, rows_for_sf(_sf_of(sf_dir)))
-    return split_pages(pages_df(spark, n, seed=42))
+    # bbox is array<double>; the driver's canonicalizer can't hash lists, so
+    # flatten to 4 nullable doubles (empty bbox -> nulls).
+    out = split_pages(pages_df(spark, _N_SPLIT, seed=42))
+    return out.select(
+        "url",
+        "pos",
+        "block_idx",
+        F.try_element_at("bbox", F.lit(1)).alias("x0"),
+        F.try_element_at("bbox", F.lit(2)).alias("y0"),
+        F.try_element_at("bbox", F.lit(3)).alias("x1"),
+        F.try_element_at("bbox", F.lit(4)).alias("y1"),
+        "block_text",
+    )
+
+
+def _split_pages_oracle() -> str:
+    """Embed the pure-kernel fan-out of the same seeded fixture as VALUES."""
+    from batch_doc_vqa_spark.functions.pdf_extract import split_blocks
+    from batch_doc_vqa_spark.sources.pages import page_row
+
+    rows = []
+    for i in range(_N_SPLIT):
+        r = page_row(42, i)
+        for pos, b in enumerate(split_blocks(r["html"])):
+            bb = b["bbox"] or [None] * 4
+            rows.append((r["url"], pos, b["block_idx"], bb[0], bb[1], bb[2], bb[3], b["block_text"]))
+    cte = _values_cte("sp", ["url", "pos", "block_idx", "x0", "y0", "x1", "y1", "block_text"], rows)
+    return f"""
+        WITH {cte}
+        SELECT url, CAST(pos AS INT) AS pos, CAST(block_idx AS INT) AS block_idx,
+               CAST(x0 AS DOUBLE) AS x0, CAST(y0 AS DOUBLE) AS y0,
+               CAST(x1 AS DOUBLE) AS x1, CAST(y1 AS DOUBLE) AS y1, block_text
+        FROM sp
+    """
 
 
 def _q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -538,17 +586,25 @@ _TOKS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '')"
 
 # DuckDB mirror of operators.matching.surname_candidates (same candidate SET;
 # order is irrelevant because only the min pair distance is used)
+# DuckDB mirror of matching.surname_candidates (reference
+# string_matching.py:46-96): last two tokens individually for 3+-token names,
+# else the last token; per-token variants = token, hyphen parts, hyphen-free
+# concatenation; lower + dedup.
 _CAND = """list_distinct(list_transform(
-      list_concat(
-        list_filter([
-            toks[len(toks)],
-            CASE WHEN len(toks) >= 2 THEN toks[len(toks)-1] || ' ' || toks[len(toks)] END,
-            array_to_string(string_split(toks[len(toks)], '-'), ' ')
-          ], x -> x IS NOT NULL),
-        list_filter(string_split(toks[len(toks)], '-'), x -> x != '')
-      ), x -> lower(x)))"""
+      list_filter(
+        flatten(list_transform(
+          CASE WHEN len(toks) >= 3 THEN toks[len(toks)-1:len(toks)]
+               WHEN len(toks) >= 1 THEN [toks[len(toks)]]
+               ELSE CAST([] AS VARCHAR[]) END,
+          t -> CASE WHEN contains(t, '-')
+                    THEN list_concat(list_concat([t],
+                             list_filter(string_split(t, '-'), p -> p != '')),
+                         [array_to_string(string_split(t, '-'), '')])
+                    ELSE [t] END)),
+        x -> x != ''),
+      x -> lower(x)))"""
 
-_SPLIT_NAME = r"string_split(regexp_replace(trim({col}), '\s+', ' ', 'g'), ' ')"
+_SPLIT_NAME = r"list_filter(string_split(regexp_replace(trim({col}), '\s+', ' ', 'g'), ' '), x -> x != '')"
 
 
 def _fixture_oracles() -> dict[str, str]:
@@ -611,9 +667,9 @@ def _fixture_oracles() -> dict[str, str]:
             j AS (SELECT COALESCE(g.doc_id, p.doc_id) AS doc_id, g.item AS gi, p.item AS pi
                   FROM g FULL OUTER JOIN p ON g.doc_id = p.doc_id AND g.item = p.item)
             SELECT doc_id,
-                   SUM(CASE WHEN gi IS NOT NULL AND pi IS NOT NULL THEN 1 ELSE 0 END) AS tp,
-                   SUM(CASE WHEN gi IS NULL AND pi IS NOT NULL THEN 1 ELSE 0 END) AS fp,
-                   SUM(CASE WHEN gi IS NOT NULL AND pi IS NULL THEN 1 ELSE 0 END) AS fn
+                   CAST(SUM(CASE WHEN gi IS NOT NULL AND pi IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                   CAST(SUM(CASE WHEN gi IS NULL AND pi IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                   CAST(SUM(CASE WHEN gi IS NOT NULL AND pi IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS fn
             FROM j GROUP BY doc_id
         """,
         "ta_macro_f1": f"""
@@ -625,9 +681,9 @@ def _fixture_oracles() -> dict[str, str]:
                   FROM g FULL OUTER JOIN p ON g.doc_id = p.doc_id AND g.item = p.item),
             per_tag AS (
               SELECT item,
-                     SUM(CASE WHEN gi IS NOT NULL AND pi IS NOT NULL THEN 1 ELSE 0 END) AS tp,
-                     SUM(CASE WHEN gi IS NULL AND pi IS NOT NULL THEN 1 ELSE 0 END) AS fp,
-                     SUM(CASE WHEN gi IS NOT NULL AND pi IS NULL THEN 1 ELSE 0 END) AS fn
+                     CAST(SUM(CASE WHEN gi IS NOT NULL AND pi IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                     CAST(SUM(CASE WHEN gi IS NULL AND pi IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                     CAST(SUM(CASE WHEN gi IS NOT NULL AND pi IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS fn
               FROM j GROUP BY item)
             SELECT item, tp, fp, fn,
                    ROUND(CASE WHEN 2 * tp + fp + fn > 0
@@ -720,7 +776,7 @@ def _fixture_oracles() -> dict[str, str]:
               SELECT doc, MIN(id_distance) AS min_id, MIN(lastname_distance) AS min_lastname
               FROM pairs GROUP BY doc)
             SELECT COUNT(*) AS n_docs,
-                   SUM(CASE WHEN min_id <= 3 OR min_lastname = 0 THEN 1 ELSE 0 END) AS n_detected,
+                   CAST(SUM(CASE WHEN min_id <= 3 OR min_lastname = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_detected,
                    ROUND(AVG(CASE WHEN min_id <= 3 OR min_lastname = 0 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) * 100, 6) AS docs_detected_pct
             FROM per_doc
         """,
@@ -744,19 +800,19 @@ def _fixture_oracles() -> dict[str, str]:
             SELECT ROUND(AVG(CASE WHEN id_distance = 0 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) * 100, 6) AS id_top1,
                    ROUND(AVG(id_distance), 6) AS id_avg_lev,
                    ROUND(AVG(CASE WHEN lastname_distance = 0 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) * 100, 6) AS lastname_top1,
-                   SUM(CASE WHEN id_distance = 0 THEN 1 ELSE 0 END) AS n_perfect_id
+                   CAST(SUM(CASE WHEN id_distance = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_perfect_id
             FROM best
         """,
         "cost_rollup": f"""
             WITH {results_cte},
             agg AS (
               SELECT run_name, COUNT(*) AS n_rows,
-                     SUM(prompt_tokens) AS prompt_tokens,
-                     SUM(completion_tokens) AS completion_tokens,
-                     SUM(CASE WHEN actual_cost IS NULL THEN 1 ELSE 0 END) AS n_missing,
-                     SUM(CASE WHEN actual_cost IS NOT NULL AND cost_is_estimated THEN 1 ELSE 0 END) AS n_estimated,
-                     SUM(CASE WHEN actual_cost IS NOT NULL AND NOT cost_is_estimated AND actual_cost = 0 THEN 1 ELSE 0 END) AS n_zero,
-                     SUM(CASE WHEN actual_cost IS NOT NULL AND NOT cost_is_estimated AND actual_cost > 0 THEN 1 ELSE 0 END) AS n_precise,
+                     CAST(SUM(prompt_tokens) AS BIGINT) AS prompt_tokens,
+                     CAST(SUM(completion_tokens) AS BIGINT) AS completion_tokens,
+                     CAST(SUM(CASE WHEN actual_cost IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+                     CAST(SUM(CASE WHEN actual_cost IS NOT NULL AND cost_is_estimated THEN 1 ELSE 0 END) AS BIGINT) AS n_estimated,
+                     CAST(SUM(CASE WHEN actual_cost IS NOT NULL AND NOT cost_is_estimated AND actual_cost = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+                     CAST(SUM(CASE WHEN actual_cost IS NOT NULL AND NOT cost_is_estimated AND actual_cost > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_precise,
                      SUM(actual_cost) AS cost_sum
               FROM results GROUP BY run_name)
             SELECT run_name, n_rows, prompt_tokens, completion_tokens,
@@ -773,7 +829,7 @@ def _fixture_oracles() -> dict[str, str]:
         "parallel_runtime": f"""
             WITH {results_cte}
             SELECT run_name, COUNT(*) AS n_rows,
-                   SUM(CASE WHEN elapsed_seconds IS NULL THEN 1 ELSE 0 END) AS n_untimed,
+                   CAST(SUM(CASE WHEN elapsed_seconds IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_untimed,
                    CASE WHEN SUM(CASE WHEN elapsed_seconds IS NULL THEN 1 ELSE 0 END) = 0
                         THEN MAX(elapsed_seconds) END AS parallel_runtime_seconds
             FROM results GROUP BY run_name
@@ -857,6 +913,7 @@ def _lang_trigram_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         **_fixture_oracles(),
+        "split_pages": _split_pages_oracle(),
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -1049,10 +1106,77 @@ def oracle_sql() -> dict[str, str]:
                    sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_sha256
             FROM documents
         """,
+        # Independent SQL reimplementation of winnowing (Schleimer et al. 2003):
+        # per-char unnest -> k=5 polynomial rolling hash mod 2^64 in HUGEINT
+        # (exact literal powers of 1000003; ** would go through DOUBLE) ->
+        # w=4 sliding windows, rightmost-min pick, dedup consecutive picks.
+        "winnow_fingerprints": """
+            WITH base AS (
+              SELECT doc_id, lower(text) AS t, length(text) AS len FROM documents
+            ),
+            codes AS (
+              SELECT doc_id, u.i, CAST(unicode(substr(t, CAST(u.i AS INT), 1)) AS HUGEINT) AS c
+              FROM base, unnest(range(1, len + 1)) u(i)
+            ),
+            h0 AS (
+              SELECT doc_id, i,
+                ((c * CAST('1000012000054000108000081' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT)
+                 + (lead(c,1) OVER w * CAST('1000009000027000027' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT)
+                 + (lead(c,2) OVER w * CAST('1000006000009' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT)
+                 + (lead(c,3) OVER w * CAST('1000003' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT)
+                 + lead(c,4) OVER w) % CAST('18446744073709551616' AS HUGEINT) AS hm
+              FROM codes WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+            ),
+            h1 AS (
+              SELECT doc_id, i, hm, count(*) OVER (PARTITION BY doc_id) AS n
+              FROM h0 WHERE hm IS NOT NULL
+            ),
+            h AS (
+              SELECT doc_id, i, n,
+                CAST(CASE WHEN hm >= CAST('9223372036854775808' AS HUGEINT)
+                          THEN hm - CAST('18446744073709551616' AS HUGEINT) ELSE hm END AS BIGINT) AS h
+              FROM h1
+            ),
+            win AS (
+              SELECT doc_id, i AS ws,
+                h AS h0_, lead(h,1) OVER w AS h1_, lead(h,2) OVER w AS h2_, lead(h,3) OVER w AS h3_
+              FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+            ),
+            picks AS (
+              SELECT doc_id, ws,
+                CASE WHEN h3_ <= least(h0_, h1_, h2_) THEN 3
+                     WHEN h2_ <= least(h0_, h1_) THEN 2
+                     WHEN h1_ <= h0_ THEN 1 ELSE 0 END AS rel
+              FROM win WHERE h3_ IS NOT NULL
+            ),
+            kept AS (
+              SELECT doc_id, ws, ws + rel AS gpos,
+                lag(ws + rel) OVER (PARTITION BY doc_id ORDER BY ws) AS prev_gpos
+              FROM picks
+            ),
+            sel AS (
+              SELECT k2.doc_id, k2.ws, h.h
+              FROM kept k2 JOIN h ON h.doc_id = k2.doc_id AND h.i = k2.gpos
+              WHERE prev_gpos IS NULL OR gpos != prev_gpos
+            ),
+            short AS (
+              SELECT doc_id, min(h) AS h FROM h WHERE n <= 4 GROUP BY doc_id
+            ),
+            fps AS (
+              SELECT doc_id, string_agg(CAST(h AS VARCHAR), ',' ORDER BY ws) AS fps,
+                     count(*) AS n_fp
+              FROM sel GROUP BY doc_id
+              UNION ALL
+              SELECT doc_id, CAST(h AS VARCHAR), 1 FROM short
+            )
+            SELECT b.doc_id, CAST(COALESCE(f.n_fp, 0) AS INT) AS n_fp,
+                   COALESCE(f.fps, '') AS fps
+            FROM base b LEFT JOIN fps f USING (doc_id)
+        """,
         "json_extract_rollup": """
             SELECT event_type,
-                   SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
-                   SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS n_null_k
+                   CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+                   CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k
             FROM events GROUP BY event_type
         """,
         "union_dedup": """
@@ -1070,8 +1194,8 @@ def oracle_sql() -> dict[str, str]:
               FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ), sess AS (
               SELECT user_id, ts,
-                     SUM(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                         ROWS UNBOUNDED PRECEDING) AS session_idx
+                     CAST(SUM(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
               FROM brk)
             SELECT user_id, session_idx, MIN(ts) AS session_start,
                    MAX(ts) AS session_end, COUNT(*) AS n_events

@@ -117,3 +117,27 @@ def extract_spdf(payload: bytes) -> tuple[str, list[tuple[int, int, str]]]:
         offset += len(t)
         out.append(t)
     return "\n\n".join(out), spans
+
+
+def split_blocks(payload: bytes | None) -> list[dict]:
+    """Pure kernel: SPDF payload → per-block rows in reading order.
+
+    One dict per extracted span: ``{"block_idx", "bbox", "block_text"}``,
+    ``bbox`` as ``[x0, y0, x1, y1]`` floats (empty when the span text can't be
+    mapped back to a source box). Non-SPDF / null payloads → ``[]``. This is
+    the oracle for ``split_blocks_udf`` — the Spark UDF calls this exact code.
+    """
+    if payload is None or payload[: len(SPDF_MAGIC)] != SPDF_MAGIC:
+        return []
+    text, spans = extract_spdf(payload)
+    boxes, texts = decode_spdf(payload)
+    blocks: list[dict] = []
+    by_text: dict[str, list[int]] = {}
+    for i, t in enumerate(texts):
+        by_text.setdefault(t.strip(), []).append(i)
+    for j, (s, e, _) in enumerate(spans):
+        seg = text[s:e]
+        idx = by_text.get(seg, [None]).pop(0) if by_text.get(seg) else None
+        bbox = [float(v) for v in boxes[idx]] if idx is not None else []
+        blocks.append({"block_idx": j, "bbox": bbox, "block_text": seg})
+    return blocks

@@ -77,27 +77,9 @@ def split_blocks_udf(payload: pd.Series) -> pd.Series:
     binary document becomes N ordered rows via posexplode of this array.
     Non-SPDF payloads yield an empty array.
     """
-    from .pdf_extract import SPDF_MAGIC, decode_spdf, extract_spdf
+    from .pdf_extract import split_blocks
 
-    out = []
-    for p in payload:
-        if p is None or p[: len(SPDF_MAGIC)] != SPDF_MAGIC:
-            out.append([])
-            continue
-        text, spans = extract_spdf(p)
-        boxes, texts = decode_spdf(p)
-        # re-derive reading order from the extracted span texts
-        blocks = []
-        by_text: dict[str, list[int]] = {}
-        for i, t in enumerate(texts):
-            by_text.setdefault(t.strip(), []).append(i)
-        for j, (s, e, _) in enumerate(spans):
-            seg = text[s:e]
-            idx = by_text.get(seg, [None]).pop(0) if by_text.get(seg) else None
-            bbox = [float(v) for v in boxes[idx]] if idx is not None else []
-            blocks.append({"block_idx": j, "bbox": bbox, "block_text": seg})
-        out.append(blocks)
-    return pd.Series(out)
+    return pd.Series([split_blocks(p) for p in payload])
 
 
 def split_pages(df, url_col: str = "url", bin_col: str = "html"):

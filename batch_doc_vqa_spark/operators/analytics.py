@@ -49,22 +49,16 @@ def pareto_frontier_scalable(df: DataFrame, cost_col: str, value_col: str) -> Da
     schema = df.schema
 
     def local_frontier(pdf: pd.DataFrame) -> pd.DataFrame:
+        # vectorized: a row survives iff value > max(value) over all strictly
+        # cheaper rows — cummax of per-cost maxima shifted by one cost group
+        if pdf.empty:
+            return pdf.iloc[0:0]
         s = pdf.sort_values([cost_col, value_col], ascending=[True, False])
-        best = float("-inf")
-        keep = []
-        prev_cost = None
-        pending_best = float("-inf")
-        for _, row in s.iterrows():
-            c, v = row[cost_col], row[value_col]
-            if prev_cost is not None and c > prev_cost:
-                best = max(best, pending_best)
-            if v > best:
-                keep.append(row)
-                pending_best = max(pending_best, v)
-            else:
-                pending_best = max(pending_best, v)
-            prev_cost = c
-        return pd.DataFrame(keep, columns=cols) if keep else pdf.iloc[0:0]
+        prev_best = (
+            s.groupby(cost_col, sort=True)[value_col].max().cummax().shift(1, fill_value=float("-inf"))
+        )
+        mask = s[value_col].to_numpy() > prev_best.reindex(s[cost_col]).to_numpy()
+        return s[mask]
 
     candidates = df.mapInPandas(lambda it: (local_frontier(p) for p in it), schema=schema)
     return pareto_frontier(candidates, cost_col, value_col)
@@ -137,7 +131,8 @@ def bootstrap_median_ci(
                 statistics.median(rng.choices(vals, k=n)) for _ in range(n_resamples)
             )
             lo = meds[int(0.025 * n_resamples)]
-            hi = meds[int(0.975 * n_resamples)]
+            # reference convention: upper index is int(0.975*n) - 1, clamped
+            hi = meds[min(n_resamples - 1, int(0.975 * n_resamples) - 1)]
         return pd.DataFrame(
             {group_col: [str(key[0])], "n": [n], "median": [med], "ci_low": [lo], "ci_high": [hi]}
         )

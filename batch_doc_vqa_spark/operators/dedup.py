@@ -48,8 +48,15 @@ def word_shingles(text_col, n: int = 3):
 
 
 def shingles_of_tokens(tok_col, n: int = 3):
-    """Shingles from a token array column (project tokens FIRST — see above)."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(tok_col) - (n - 1), F.lit(0)))
+    """Shingles from a token array column (project tokens FIRST — see above).
+
+    Docs with fewer than ``n`` tokens yield an empty array. The guard matters:
+    ``sequence(1, 0)`` in Spark is the *descending* [1, 0], not empty, and the
+    slice at index 0 then throws INVALID_PARAMETER_VALUE.START.
+    """
+    idx = F.when(
+        F.size(tok_col) >= n, F.sequence(F.lit(1), F.size(tok_col) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     return F.array_distinct(
         F.transform(idx, lambda i: F.array_join(F.slice(tok_col, i, n), " "))
     )
@@ -159,9 +166,11 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     # materialize signatures before the self-join: otherwise the whole
-    # explode+aggregate signature pipeline is recomputed for BOTH join sides
-    # (at scale this would be a checkpointed signatures table)
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed).persist()
+    # explode+aggregate signature pipeline is recomputed for BOTH join sides.
+    # localCheckpoint (not persist): blocks are released when the RDD is GC'd,
+    # so a long-lived session doesn't leak cache across calls — persist() would
+    # pin a CacheManager entry until an unpersist() no caller can reach.
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed).localCheckpoint(eager=True)
     # the exploded self-join carries only (id, band_idx, band_hash) — the
     # 64-long signature arrays rejoin *after* candidate dedup, so the shuffle
     # payload stays 3 longs per banded row
@@ -240,7 +249,11 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
     """Near-dup pairs by SimHash: band on 16-bit chunks (pigeonhole: any pair
     within Hamming distance ≤3 collides in at least one of 4 chunks), then
     verify with bit_count(xor)."""
-    sh = df.select(F.col(id_col).alias("_id"), simhash_udf()(F.col(text_col)).alias("sim")).persist()
+    # localCheckpoint: computed once for both self-join sides, auto-released
+    # on GC (see minhash_lsh_pairs).
+    sh = df.select(F.col(id_col).alias("_id"), simhash_udf()(F.col(text_col)).alias("sim")).localCheckpoint(
+        eager=True
+    )
     chunks = sh.select(
         "_id",
         "sim",

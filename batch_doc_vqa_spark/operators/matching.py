@@ -19,22 +19,40 @@ D_CUTOFF = 3  # reference: string_matching.py:13
 
 
 def surname_candidates(name_col):
-    """Candidate surname array: last 1-2 tokens + hyphen variants, deduped.
+    """Candidate surname array mirroring the reference's expansion exactly
+    (string_matching.py:46-96 / get_surname_candidates):
 
-    Pure-SQL reimplementation of the reference's candidate expansion
-    (string_matching.py:46-96): tokens = whitespace-split; candidates are the
-    last token, the last two tokens joined, and hyphen split/join variants of
-    the last token; case-insensitive dedup via lower() + array_distinct.
+    - surname tokens = last TWO tokens individually when the name has >= 3
+      tokens (compound-surname handling), else just the last token;
+    - per-token variants = the token itself, its hyphen-split parts, and the
+      hyphen-free concatenation (Garcia-Lopez -> Garcia, Lopez, GarciaLopez);
+    - casefold dedup (lower() + array_distinct here — distances are computed
+      on lowered strings anyway).
+
+    No space-joined variants: the reference never emits them.
     """
-    toks = F.split(F.regexp_replace(F.trim(name_col), r"\s+", " "), " ")
-    last = F.element_at(toks, -1)
-    last2 = F.when(F.size(toks) >= 2, F.concat_ws(" ", F.element_at(toks, -2), last))
-    hyphen_parts = F.split(last, "-")
-    cands = F.array_union(
-        F.array_compact(F.array(last, last2, F.array_join(hyphen_parts, " "))),
-        F.filter(hyphen_parts, lambda x: x != F.lit("")),
+    toks = F.filter(F.split(F.trim(name_col), r"\s+"), lambda t: t != F.lit(""))
+    surname_toks = (
+        F.when(F.size(toks) >= 3, F.slice(toks, -2, 2))
+        .when(F.size(toks) >= 1, F.slice(toks, -1, 1))
+        .otherwise(F.array().cast("array<string>"))
     )
-    return F.array_distinct(F.transform(cands, lambda c: F.lower(c)))
+    variants = F.flatten(
+        F.transform(
+            surname_toks,
+            lambda t: F.when(
+                t.contains("-"),
+                F.concat(
+                    F.array(t),
+                    F.filter(F.split(t, "-"), lambda p: p != F.lit("")),
+                    F.array(F.array_join(F.split(t, "-"), "")),
+                ),
+            ).otherwise(F.array(t)),
+        )
+    )
+    return F.array_distinct(
+        F.transform(F.filter(variants, lambda v: v != F.lit("")), lambda c: F.lower(c))
+    )
 
 
 def pair_distances(

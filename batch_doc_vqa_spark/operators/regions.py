@@ -59,8 +59,13 @@ def greedy_region_match(labels: DataFrame, preds: DataFrame, threshold: float = 
         prs = pdf[pdf["_side"] == "pred"]
         used: set[int] = set()
         tp = 0
-        gt_rows = list(gts.itertuples(index=False))
-        pr_rows = list(prs.itertuples(index=False))
+        # greedy bipartite matching is order-dependent (GT order decides which
+        # prediction is consumed; pred order breaks IoU ties) — applyInPandas
+        # delivers the group in arbitrary order, so sort by a pure-data key to
+        # keep results partition- and rerun-independent.
+        _key = lambda r: (r.page, r.kind, tuple(float(v) for v in r.bbox))  # noqa: E731
+        gt_rows = sorted(gts.itertuples(index=False), key=_key)
+        pr_rows = sorted(prs.itertuples(index=False), key=_key)
         for g in gt_rows:
             best_j, best_iou = -1, 0.0
             for j, p in enumerate(pr_rows):

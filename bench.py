@@ -77,7 +77,12 @@ def main() -> None:
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
         df = qs[name](spark, sf_dir)
-        df.select(F.count(F.lit(1))).collect()
+        # force evaluation of EVERY output column: a bare count(1) lets
+        # Catalyst prune unused projections, so projection-only queries
+        # (doc_quality, lang_id, fingerprint, winnow) would time a row scan.
+        # xxhash64 over all columns keeps each expression in the plan.
+        # try_sum: a plain sum of int64 hashes overflows under ANSI mode
+        df.agg(F.try_sum(F.xxhash64(*[F.col(c).cast("string") for c in df.columns]))).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)

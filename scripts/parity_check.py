@@ -14,6 +14,8 @@ import math
 import sys
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
@@ -24,16 +26,32 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def canon(v):
-    if isinstance(v, bool):
-        return ("b", int(v))
-    if isinstance(v, float):
+    """Dtype-sensitive canonical form, mirroring the driver's pandas-based hash.
+
+    The driver fetches both sides into pandas and hashes values *including their
+    dtype*, so int64 vs float64 (e.g. a DuckDB HUGEINT SUM landing as float64)
+    is a mismatch even when the numbers are equal. We therefore keep int and
+    float in distinct buckets and never coerce between them.
+    """
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
+    if isinstance(v, (float, np.floating)):
+        v = float(v)
         if math.isnan(v):
             return ("f", "nan")
         return ("f", repr(v))
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v))
+    if isinstance(v, pd.Timestamp):
+        return ("ts", v.to_pydatetime().replace(tzinfo=None).isoformat())
     if isinstance(v, datetime.datetime):
         return ("ts", v.replace(tzinfo=None).isoformat())
+    if isinstance(v, np.ndarray):
+        return ("l", tuple(canon(x) for x in v.tolist()))
     if isinstance(v, (list, tuple)):
         return ("l", tuple(canon(x) for x in v))
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return ("null", None)
     return (type(v).__name__, v)
 
 
@@ -57,8 +75,9 @@ def main() -> int:
             continue
         try:
             sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
+            scols = list(spdf.columns)
+            srows = [tuple(r) for r in spdf.itertuples(index=False, name=None)]
         except Exception as exc:
             print(f"FAIL  {name}: spark error {type(exc).__name__}: {exc}")
             n_fail += 1
@@ -67,9 +86,9 @@ def main() -> int:
             print(f"rows  {name}: {len(srows)} rows (no oracle)")
             continue
         try:
-            rel = con.sql(oracles[name])
-            ocols = [c.lower() for c in rel.columns]
-            orows = rel.fetchall()
+            opdf = con.sql(oracles[name]).df()
+            ocols = [c.lower() for c in opdf.columns]
+            orows = [tuple(r) for r in opdf.itertuples(index=False, name=None)]
         except Exception as exc:
             print(f"FAIL  {name}: duckdb error {exc}")
             n_fail += 1

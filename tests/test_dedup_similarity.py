@@ -123,3 +123,29 @@ def test_lsh_topk_recall(vectors):
     assert recall >= 0.6, f"LSH recall {recall}"
     # the scaled-copy pair must collide (same signs → same bucket)
     assert (0, 100) in approx
+
+
+def test_short_and_empty_docs_yield_empty_shingles(spark):
+    """Docs with fewer than n tokens must not crash (Spark's sequence(1,0) is
+    the descending [1,0], not empty — regression for the slice guard)."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "two words"), (4, "exactly three tokens"),
+         (5, None), (6, "   "), (7, "a much longer document with plenty of tokens here")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: list(r["sh"])
+        for r in df.select(
+            "doc_id", dedup.word_shingles(F.col("text")).alias("sh")
+        ).collect()
+    }
+    assert rows[1] == [] and rows[2] == [] and rows[6] == []
+    assert rows[4] == ["exactly three tokens"]
+    assert len(rows[7]) > 0
+    # the pair pipelines must run end-to-end over a corpus containing shorties
+    pairs = dedup.jaccard_pairs(df, "doc_id", "text", threshold=0.0)
+    assert pairs.count() >= 0
+    lsh = dedup.minhash_lsh_pairs(df, "doc_id", "text")
+    assert lsh.count() >= 0
+    sims = dedup.minhash_signatures(df, "doc_id", "text")
+    assert sims.count() == sum(1 for v in rows.values() if v)  # only docs with shingles

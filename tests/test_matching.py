@@ -31,15 +31,46 @@ def fixture(spark):
     return truth, extracted
 
 
-def test_surname_candidates_hyphen_and_compound(spark):
-    df = spark.createDataFrame([("Maria Garcia-Lopez",), ("John van der Berg",)], "name string")
-    rows = df.select(matching.surname_candidates(F.col("name")).alias("c")).collect()
-    cands = rows[0]["c"]
-    assert "garcia-lopez" in cands
-    assert "garcia lopez" in cands
-    assert "garcia" in cands and "lopez" in cands
-    cands2 = rows[1]["c"]
-    assert "berg" in cands2 and "der berg" in cands2
+def _ref_surname_candidates(full_name: str) -> list[str]:
+    """Pure-Python port of the reference's get_surname_candidates
+    (string_matching.py:46-96), lowered to match the Spark column expr."""
+    tokens = [t for t in " ".join(str(full_name or "").strip().split()).split(" ") if t]
+    if not tokens:
+        return []
+    surname_tokens = tokens[-2:] if len(tokens) >= 3 else [tokens[-1]]
+    out, seen = [], set()
+    for tok in surname_tokens:
+        variants = [tok]
+        if "-" in tok:
+            parts = [p for p in tok.split("-") if p]
+            variants.extend(parts)
+            if "".join(parts):
+                variants.append("".join(parts))
+        for v in variants:
+            k = v.casefold()
+            if k not in seen:
+                seen.add(k)
+                out.append(v.lower())
+    return out
+
+
+def test_surname_candidates_match_reference_rules(spark):
+    names = [
+        "Maria Garcia-Lopez",       # 2 tokens: only the hyphenated last expands
+        "John van der Berg",        # 4 tokens: last two individually
+        "Ana Sousa Garcia-Lopez",   # 3 tokens incl. hyphen in last
+        "Cher",                     # single token
+        "  padded   name  ",        # whitespace noise
+        "",                         # empty
+        "A -",                      # degenerate hyphen-only token
+    ]
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    rows = df.select("name", matching.surname_candidates(F.col("name")).alias("c")).collect()
+    for r in rows:
+        assert sorted(r["c"]) == sorted(_ref_surname_candidates(r["name"])), r["name"]
+    got = {r["name"]: list(r["c"]) for r in rows}
+    assert set(got["Maria Garcia-Lopez"]) == {"garcia-lopez", "garcia", "lopez", "garcialopez"}
+    assert set(got["John van der Berg"]) == {"der", "berg"}  # no space-joined variant
 
 
 def test_pair_distances_and_best_matches(fixture):
