@@ -253,6 +253,14 @@ def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
 
 
+def _q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.dedup_resolve(docs, "doc_id", "text", n=3, threshold=0.5)
+    return out.select(
+        F.col("id").alias("doc_id"), "cluster_id", "keep", "cluster_size"
+    )
+
+
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_hashes=64, bands=16)
@@ -327,6 +335,13 @@ def _q_matching_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_digit_accuracy_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dist = matching.pair_distances(
+        matching_fixture.extracted_df(spark), matching_fixture.truth_df(spark)
+    )
+    return matching.digit_accuracy_chain(dist)
+
+
 def _q_detection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = matching.pair_distances(
         matching_fixture.extracted_df(spark), matching_fixture.truth_df(spark)
@@ -371,7 +386,11 @@ def _q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.bootstrap_median_ci(runs_fixture.runs_df(spark), "model_key", "digit_top1")
 
 
-def _region_fixture(spark: SparkSession):
+def _region_rows() -> tuple[list[tuple], list[tuple]]:
+    """Conflict-free region fixture: every prediction geometrically overlaps
+    exactly one ground-truth region (vertical separation 50 ≫ box size 20),
+    so greedy matching == per-GT best-IoU thresholding and the oracle is
+    plain SQL. Greedy *conflict* resolution is covered by unit tests."""
     labels, preds = [], []
     for d in range(8):
         for r in range(3):
@@ -380,6 +399,11 @@ def _region_fixture(spark: SparkSession):
             # predictions drift more with r: r=0 overlaps well, r=2 misses
             off = 4.0 * r * r
             preds.append((d, 1, "figure", [x0 + off, y0 + off, x0 + 20.0 + off, y0 + 20.0 + off]))
+    return labels, preds
+
+
+def _region_fixture(spark: SparkSession):
+    labels, preds = _region_rows()
     schema = "doc_id long, page int, kind string, bbox array<double>"
     return spark.createDataFrame(labels, schema), spark.createDataFrame(preds, schema)
 
@@ -387,6 +411,45 @@ def _region_fixture(spark: SparkSession):
 def _q_region_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels, preds = _region_fixture(spark)
     return regions.micro_prf(regions.greedy_region_match(labels, preds))
+
+
+def _region_match_oracle() -> str:
+    labels, preds = _region_rows()
+    flat = lambda rows: [(d, p, k, b[0], b[1], b[2], b[3]) for d, p, k, b in rows]  # noqa: E731
+    cols = ["doc_id", "page", "kind", "x0", "y0", "x1", "y1"]
+    lab_cte = _values_cte("lab", cols, flat(labels))
+    prd_cte = _values_cte("prd", cols, flat(preds))
+    return f"""
+        WITH {lab_cte},
+        {prd_cte},
+        pair AS (
+          SELECT l.doc_id, l.x0 AS gx0, l.y0 AS gy0,
+                 greatest(least(l.x1, p.x1) - greatest(l.x0, p.x0), 0)
+                 * greatest(least(l.y1, p.y1) - greatest(l.y0, p.y0), 0) AS inter,
+                 (l.x1 - l.x0) * (l.y1 - l.y0) + (p.x1 - p.x0) * (p.y1 - p.y0) AS areas
+          FROM lab l JOIN prd p
+            ON l.doc_id = p.doc_id AND l.page = p.page AND l.kind = p.kind),
+        per_gt AS (
+          SELECT l.doc_id, l.x0, l.y0,
+                 COALESCE(MAX(CASE WHEN pr.areas - pr.inter > 0
+                                   THEN pr.inter / (pr.areas - pr.inter) END), 0) AS best
+          FROM lab l LEFT JOIN pair pr
+            ON pr.doc_id = l.doc_id AND pr.gx0 = l.x0 AND pr.gy0 = l.y0
+          GROUP BY 1, 2, 3),
+        counts AS (
+          SELECT CAST(SUM(CASE WHEN best >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                 (SELECT COUNT(*) FROM prd) - CAST(SUM(CASE WHEN best >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                 COUNT(*) - CAST(SUM(CASE WHEN best >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+          FROM per_gt),
+        pr AS (
+          SELECT tp, fp, fn,
+                 CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END AS p,
+                 CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0.0 END AS r
+          FROM counts)
+        SELECT tp, fp, fn, ROUND(p, 6) AS precision, ROUND(r, 6) AS recall,
+               ROUND(CASE WHEN p + r > 0 THEN 2 * p * r / (p + r) ELSE 0.0 END, 6) AS f1
+        FROM pr
+    """
 
 
 _TA_TEXT_SCHEMA = "doc int, gt string, pred string"
@@ -510,6 +573,53 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.session_stats(_t(spark, sf_dir, "events"))
 
 
+def _q_media_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P15: binary → base64 transport encoding (reference image_utils.py:13-16)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return multimodal.base64_payloads(docs, "doc_id", "payload").select(
+        "media_id", "n_bytes", "payload_b64"
+    )
+
+
+def _q_best_supplier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8: best-value highlight — flag per-nation max-acctbal suppliers."""
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey", "s_acctbal")
+    return analytics.best_value_flags(sup, "s_nationkey", "s_acctbal")
+
+
+def _q_publish_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11: validation-gated publish — reject-reason rollup over a stream of
+    results with deterministically injected dirt (NaN values, bad JSON, PII)."""
+    from batch_doc_vqa_spark.plans.publish import publish_reject_reason
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn(
+            "value",
+            F.when(F.col("event_id") % 97 == 0, F.lit(float("nan"))).otherwise(F.col("value")),
+        )
+        .withColumn(
+            "props",
+            F.when(F.col("event_id") % 89 == 0, F.lit("{not json")).otherwise(F.col("props")),
+        )
+        .withColumn(
+            "note",
+            F.when(
+                F.col("event_id") % 83 == 0,
+                F.lit("contact me at someone@example.com please"),
+            ).otherwise(F.lit("clean note")),
+        )
+    )
+    reason = publish_reject_reason(text_col="note", numeric_cols=("value",), json_cols=("props",))
+    return (
+        ev.withColumn("reason", F.coalesce(reason, F.lit("ok")))
+        .groupBy("reason")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def _q_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     return orders.groupBy("o_orderpriority").agg(
@@ -545,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "discount_product": _q_discount_product,
         "dedup_exact": _q_dedup_exact,
         "jaccard_pairs": _q_jaccard_pairs,
+        "dedup_resolve": _q_dedup_resolve,
         "minhash_lsh_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "ann_cosine_topk": _q_ann_cosine,
@@ -556,6 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matching_pipeline": _q_matching_pipeline,
         "detection_stats": _q_detection_stats,
         "accuracy_stats": _q_accuracy_stats,
+        "digit_accuracy_chain": _q_digit_accuracy_chain,
         "cost_rollup": _q_cost_rollup,
         "parallel_runtime": _q_parallel_runtime,
         "failure_counts": _q_failure_counts,
@@ -575,6 +687,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_dedup": _q_union_dedup,
         "summary_stats": _q_summary_stats,
         "sessionize_events": _q_sessionize,
+        "media_base64": _q_media_base64,
+        "best_supplier_flags": _q_best_supplier_flags,
+        "publish_gate": _q_publish_gate,
         "lang_id_trigram": _q_lang_id_trigram,
         "winnow_fingerprints": _q_winnow,
         "media_probe": _q_media_probe,
@@ -780,6 +895,34 @@ def _fixture_oracles() -> dict[str, str]:
                    ROUND(AVG(CASE WHEN min_id <= 3 OR min_lastname = 0 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) * 100, 6) AS docs_detected_pct
             FROM per_doc
         """,
+        # reference table_generator.py:700-730: best match per doc → digit
+        # explode of matched (llm_id, student_id) → mean·100
+        "digit_accuracy_chain": f"""
+            WITH {truth_cte},
+            {ex_cte},
+            tc0 AS (SELECT *, {_SPLIT_NAME.format(col='student_full_name')} AS toks FROM truth),
+            tc AS (SELECT doc, student_id, {_CAND} AS ct FROM tc0),
+            ec0 AS (SELECT *, {_SPLIT_NAME.format(col='llm_fullname')} AS toks FROM extracted),
+            ec AS (SELECT doc, llm_id, {_CAND} AS ce FROM ec0),
+            pairs AS (
+              SELECT e.doc, e.llm_id, t.student_id,
+                     levenshtein(lower(e.llm_id), lower(t.student_id)) AS id_distance,
+                     list_min(flatten(list_transform(e.ce,
+                         a -> list_transform(t.ct, b -> levenshtein(a, b))))) AS lastname_distance
+              FROM ec e CROSS JOIN tc t),
+            best AS (
+              SELECT doc, llm_id, student_id FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY doc ORDER BY id_distance, lastname_distance, student_id) AS rn
+                FROM pairs) WHERE rn = 1),
+            dg AS (
+              SELECT substr(lpad(student_id, 8, '0'), CAST(u.i AS INT), 1) AS a,
+                     substr(lpad(llm_id, 8, '0'), CAST(u.i AS INT), 1) AS b
+              FROM best, unnest(range(1, 9)) u(i))
+            SELECT ROUND(AVG(CASE WHEN a = b THEN 1.0 ELSE 0.0 END) * 100, 6) AS digit_top1,
+                   COUNT(*) AS n_digits
+            FROM dg
+        """,
         "accuracy_stats": f"""
             WITH {truth_cte},
             {ex_cte},
@@ -914,6 +1057,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         **_fixture_oracles(),
         "split_pages": _split_pages_oracle(),
+        "region_match_prf": _region_match_oracle(),
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -1036,6 +1180,48 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE ROUND(n_inter / (sa.sz + sb.sz - n_inter), 6) >= 0.2
+        """,
+        # pairs → duplicate clusters → keep-one, the step after candidate
+        # emission a real dedup ships. Components via a recursive reachability
+        # closure + MIN (tiny clusters at this sf; Spark uses min-label
+        # propagation — same fixpoint).
+        "dedup_resolve": """
+            WITH RECURSIVE toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+'), x -> x != '') AS t
+                FROM documents
+            ), sh AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                           range(1, greatest(len(t) - 2, 0) + 1),
+                           i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS s
+                FROM toks
+            ), sizes AS (
+                SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), edges0 AS (
+                SELECT id_a, id_b FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE ROUND(n_inter / (sa.sz + sb.sz - n_inter), 6) >= 0.5
+            ), edges AS (
+                SELECT id_a AS src, id_b AS dst FROM edges0
+                UNION
+                SELECT id_b AS src, id_a AS dst FROM edges0
+            ), reach(id, r) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+            ), cc AS (
+                SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+            ), csz AS (
+                SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_id
+            )
+            SELECT cc.id AS doc_id, cc.cluster_id,
+                   cc.id = cc.cluster_id AS keep, csz.cluster_size
+            FROM cc JOIN csz USING (cluster_id)
         """,
         "ann_cosine_topk": """
             WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1182,6 +1368,37 @@ def oracle_sql() -> dict[str, str]:
         "union_dedup": """
             SELECT DISTINCT o_orderkey, o_totalprice FROM orders
             WHERE o_orderkey % 3 = 0 OR o_orderkey % 2 = 0
+        """,
+        "media_base64": """
+            SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                   CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+                   to_base64(encode(text)) AS payload_b64
+            FROM documents
+        """,
+        "best_supplier_flags": """
+            SELECT s_suppkey, s_nationkey, s_acctbal,
+                   s_acctbal = MAX(s_acctbal) OVER (PARTITION BY s_nationkey) AS is_best
+            FROM supplier
+        """,
+        # mirrors plans/publish.publish_reject_reason rule order exactly:
+        # empty -> pii -> non-finite -> bad json, first match wins
+        "publish_gate": """
+            WITH ev AS (
+              SELECT event_id,
+                CASE WHEN event_id % 97 = 0 THEN CAST('nan' AS DOUBLE) ELSE value END AS value,
+                CASE WHEN event_id % 89 = 0 THEN '{not json' ELSE props END AS props,
+                CASE WHEN event_id % 83 = 0 THEN 'contact me at someone@example.com please'
+                     ELSE 'clean note' END AS note
+              FROM events),
+            tagged AS (
+              SELECT CASE
+                WHEN note IS NULL OR trim(note) = '' THEN 'empty'
+                WHEN regexp_matches(note, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}') THEN 'pii_email'
+                WHEN value IS NOT NULL AND (isnan(value) OR isinf(value)) THEN 'non_finite'
+                WHEN props IS NOT NULL AND NOT json_valid(props) THEN 'bad_json'
+                ELSE 'ok' END AS reason
+              FROM ev)
+            SELECT reason, COUNT(*) AS n FROM tagged GROUP BY reason
         """,
         "sessionize_events": """
             WITH b AS (

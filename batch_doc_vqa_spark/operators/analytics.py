@@ -175,3 +175,15 @@ def grouped_product(df: DataFrame, group_cols: list[str], prob_col: str):
     return df.groupBy(*group_cols).agg(
         F.when(has_zero == 1, F.lit(0.0)).otherwise(F.round(F.exp(log_sum), 12)).alias("prob_product")
     )
+
+
+def best_value_flags(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Flag the best value within each group (W8 best-value highlight).
+
+    The reference bolds the best cell per metric column when rendering tables
+    (table_generator.py:1594-1632); the engine form is a max-over-window flag
+    — every row keeps its data plus ``is_best``. Ties all flag (the reference
+    highlights every cell equal to the max).
+    """
+    w = Window.partitionBy(group_col)
+    return df.withColumn("is_best", F.col(value_col) == F.max(value_col).over(w))

@@ -277,3 +277,73 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def resolve_clusters(ids: DataFrame, pairs: DataFrame, id_col: str = "doc_id", max_iter: int = 30) -> DataFrame:
+    """Candidate pairs → duplicate clusters: (id, cluster_id = min id reachable).
+
+    The step after pair emission that a real 100 TB dedup actually ships
+    (reference analogue: dedup-with-precedence, openrouter/inference.py:503-511
+    — but at corpus scale): connected components via iterative min-label
+    propagation, the standard scale-out CC formulation (one hash join + one
+    groupBy-min per round, O(cluster diameter) rounds — near-dup clusters have
+    tiny diameters). Each round localCheckpoints to truncate lineage; the
+    convergence probe is a LIMIT 1 existence check, not a full count.
+
+    ``ids`` supplies the full id universe so singletons resolve to themselves.
+    ``pairs`` needs columns (id_a, id_b).
+    """
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = (
+        edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        ids.select(F.col(id_col).alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        msgs = edges.join(
+            labels.select(F.col("id").alias("src"), F.col("label").alias("_ml")), "src"
+        ).select(F.col("dst").alias("id"), F.col("_ml").alias("label"))
+        new_labels = (
+            labels.unionByName(msgs).groupBy("id").agg(F.min("label").alias("label"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.select("id", F.col("label").alias("_new"))
+            .join(labels, "id")
+            .filter(F.col("_new") != F.col("label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def dedup_resolve(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """End-to-end near-dup dedup: exact Jaccard pairs → clusters → keep-one.
+
+    Returns (id, cluster_id, keep, cluster_size): ``keep`` marks the canonical
+    (minimum-id) member of each near-dup cluster. Built on the exact-pair tier
+    so it is SQL-oracle-checkable; at 100 TB swap ``jaccard_pairs`` for
+    ``minhash_lsh_pairs`` — the resolution plan is identical.
+    """
+    pairs = jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold)
+    clusters = resolve_clusters(df.select(id_col), pairs, id_col=id_col)
+    sizes = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        clusters.join(sizes, "cluster_id")
+        .select(
+            "id",
+            "cluster_id",
+            (F.col("id") == F.col("cluster_id")).alias("keep"),
+            "cluster_size",
+        )
+    )

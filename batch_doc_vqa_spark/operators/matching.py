@@ -113,10 +113,30 @@ def best_matches(distances: DataFrame, doc_col: str = "doc", truth_id: str = "st
     )
 
 
-def best_match_per_doc(distances: DataFrame, doc_col: str = "doc") -> DataFrame:
-    """Argmin over each doc (W1): the row with the smallest id_distance."""
-    w = Window.partitionBy(doc_col).orderBy("id_distance", "lastname_distance")
+def best_match_per_doc(
+    distances: DataFrame, doc_col: str = "doc", tiebreaks: tuple[str, ...] = ("lastname_distance",)
+) -> DataFrame:
+    """Argmin over each doc (W1): the row with the smallest id_distance.
+
+    ``tiebreaks`` extends the ordering so the pick is a pure function of the
+    data (the reference's idxmin keeps first-in-frame order, which has no
+    distributed analogue — rankings always carry explicit tiebreak columns).
+    """
+    w = Window.partitionBy(doc_col).orderBy("id_distance", *tiebreaks)
     return distances.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def digit_accuracy_chain(distances: DataFrame, doc_col: str = "doc", width: int = 8) -> DataFrame:
+    """The reference's full digit-accuracy composition (table_generator.py:700-730):
+    best match per doc (J4/W1) → per-digit explode of matched (llm_id,
+    student_id) pairs (A3) → mean·100. One row: (digit_top1, n_digits)."""
+    best = best_match_per_doc(distances, doc_col, tiebreaks=("lastname_distance", "student_id"))
+    pad = lambda c: F.split(F.lpad(F.col(c).cast("string"), width, "0"), "")  # noqa: E731
+    z = F.zip_with(pad("student_id"), pad("llm_id"), lambda a, b: (a == b).cast("int"))
+    return best.select(F.explode(z).alias("ok")).agg(
+        F.round(F.avg("ok") * 100, 6).alias("digit_top1"),
+        F.count(F.lit(1)).alias("n_digits"),
+    )
 
 
 def detection_stats(distances: DataFrame, doc_col: str = "doc") -> DataFrame:

@@ -97,3 +97,22 @@ def sample_frames(df: DataFrame, id_col: str, bin_col: str, every_ms: int = 5000
     return df.repartition(max(df.sparkSession.sparkContext.defaultParallelism, 8)).mapInPandas(
         sample, schema=FRAME_SCHEMA
     )
+
+
+def base64_payloads(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+    """Binary payload → base64 transport encoding (P15).
+
+    The reference base64-encodes page images for vision-model request bodies
+    (core/image_utils.py:13-16). Pure JVM column expressions — no Python on
+    the hot path; the data-URL prefix mirrors the reference's payload shape.
+    Spark's base64 may emit MIME-chunked output (76-char lines joined by
+    CRLF, spark.sql.legacy.chunkBase64String); strip the line breaks so the
+    payload is canonical RFC 4648 regardless of session config.
+    """
+    b64 = F.regexp_replace(F.base64(F.col(bin_col)), "\r\n", "")
+    return df.select(
+        F.col(id_col).cast("string").alias("media_id"),
+        F.length(F.col(bin_col)).alias("n_bytes"),
+        b64.alias("payload_b64"),
+        F.concat(F.lit("data:application/octet-stream;base64,"), b64).alias("data_url"),
+    )

@@ -23,15 +23,28 @@ Contract (BASELINE.json north rule):
 
 from __future__ import annotations
 
+import hashlib
+import json
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import __version__ as ENGINE_VERSION
 from ..functions.udfs import extract_udf
 from .skew import BUCKET_COL, with_salted_partition
 
 MAX_FAILURE_URLS_PER_PARTITION = 100
+
+
+def config_fingerprint(config: dict) -> tuple[str, str]:
+    """(config_json, config_hash): run identity as a content hash of the job
+    config + engine version — the X10 reproducibility guard (reference
+    core/run_manager.py:42-63,66-148 hashes config + git state). Two runs with
+    different extractor settings are distinguishable in lineage forever."""
+    payload = dict(config, engine_version=ENGINE_VERSION)
+    config_json = json.dumps(payload, sort_keys=True, separators=(",", ":"))
+    return config_json, hashlib.sha256(config_json.encode()).hexdigest()[:16]
 
 
 def _table_exists(spark: SparkSession, path: str) -> bool:
@@ -74,6 +87,13 @@ def run_extraction(
     run_id = run_id or uuid.uuid4().hex[:12]
     results_path = f"{out_dir}/results"
     lineage_path = f"{out_dir}/lineage"
+    config_json, config_hash = config_fingerprint(
+        {
+            "num_buckets": num_buckets,
+            "target_rows_per_task": target_rows_per_task,
+            "strict": strict,
+        }
+    )
 
     todo = pages
     if _table_exists(spark, results_path):
@@ -116,6 +136,9 @@ def run_extraction(
         ).alias("failure_urls"),
         F.lit("done").alias("status"),
         F.current_timestamp().alias("finished_at"),
+        F.lit(config_hash).alias("config_hash"),
+        F.lit(config_json).alias("config_json"),
+        F.lit(ENGINE_VERSION).alias("engine_version"),
     )
     lineage.write.mode("append").parquet(lineage_path)
 

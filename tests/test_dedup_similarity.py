@@ -149,3 +149,29 @@ def test_short_and_empty_docs_yield_empty_shingles(spark):
     assert lsh.count() >= 0
     sims = dedup.minhash_signatures(df, "doc_id", "text")
     assert sims.count() == sum(1 for v in rows.values() if v)  # only docs with shingles
+
+
+def test_resolve_clusters_transitive_chain(spark):
+    """A-B and B-C edges must land A,B,C in one cluster even without an A-C
+    edge (multi-hop label propagation), singletons resolve to themselves."""
+    ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 9]], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (4, 5)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["cluster_id"] for r in dedup.resolve_clusters(ids, pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 9: 9}
+
+
+def test_dedup_resolve_keep_one(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base.replace("delta", "changed")
+    df = spark.createDataFrame(
+        [(10, base), (11, base), (12, near), (20, "totally different text with many other words here")],
+        "doc_id long, text string",
+    )
+    rows = {r["id"]: r for r in dedup.dedup_resolve(df, "doc_id", "text", threshold=0.3).collect()}
+    assert rows[10]["cluster_id"] == 10 and rows[10]["keep"]
+    assert rows[11]["cluster_id"] == 10 and not rows[11]["keep"]
+    assert rows[12]["cluster_id"] == 10 and not rows[12]["keep"]
+    assert rows[10]["cluster_size"] == 3
+    assert rows[20]["keep"] and rows[20]["cluster_size"] == 1

@@ -114,3 +114,49 @@ def test_salted_partitioning_bounds_hot_host(spark, tmp_path):
     )
     assert buckets > 1  # not funneled into a single task
     assert res.count() == N
+
+
+def test_lineage_carries_config_identity(spark, tmp_path):
+    """X10 reproducibility guard: lineage rows identify the exact job config —
+    two runs with different extractor settings have different config hashes,
+    identical configs hash identically (reference run_manager.py:66-148)."""
+    out = str(tmp_path / "cfg")
+    pages = pages_df(spark, 60, seed=SEED)
+    run_extraction(spark, pages, out, run_id="lenient1", num_buckets=4)
+    run_extraction(spark, pages_df(spark, 90, seed=SEED), out, run_id="strict1",
+                   num_buckets=4, strict=True)
+    lin = read_lineage(spark, out).select("run_id", "config_hash", "config_json", "engine_version")
+    by_run = {r["run_id"]: r for r in lin.distinct().collect()}
+    assert by_run["lenient1"]["config_hash"] != by_run["strict1"]["config_hash"]
+    assert '"strict":true' in by_run["strict1"]["config_json"]
+    assert by_run["lenient1"]["engine_version"]
+    # same config => same hash (pure content hash, no wall-clock/uuid inputs)
+    from batch_doc_vqa_spark.plans.extract_job import config_fingerprint
+    assert config_fingerprint({"a": 1}) == config_fingerprint({"a": 1})
+    assert config_fingerprint({"a": 1})[1] != config_fingerprint({"a": 2})[1]
+
+
+def test_publish_gate_quarantines_invalid_rows(spark, tmp_path):
+    """S11: publish splits clean vs quarantined; nothing silently dropped."""
+    from batch_doc_vqa_spark.plans import publish_run
+
+    df = spark.createDataFrame(
+        [
+            (1, "a perfectly clean row", 1.0, '{"k": 1}'),
+            (2, "", 2.0, '{"k": 2}'),                          # empty
+            (3, "write to bob@example.com", 3.0, '{"k": 3}'),  # pii
+            (4, "clean", float("nan"), '{"k": 4}'),            # non-finite
+            (5, "clean", 5.0, "{broken"),                      # bad json
+        ],
+        "id long, text string, score double, props string",
+    )
+    out = str(tmp_path / "pub")
+    counts = publish_run(spark, df, out, text_col="text",
+                         numeric_cols=("score",), json_cols=("props",))
+    assert counts == {"published": 1, "quarantined": 4}
+    quar = spark.read.parquet(f"{out}/quarantine")
+    reasons = {r["id"]: r["reject_reason"] for r in quar.collect()}
+    assert reasons == {2: "empty", 3: "pii_email", 4: "non_finite", 5: "bad_json"}
+    pub = spark.read.parquet(f"{out}/published")
+    assert [r["id"] for r in pub.collect()] == [1]
+    assert "reject_reason" not in pub.columns

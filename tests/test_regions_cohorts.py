@@ -73,3 +73,25 @@ def test_select_cohorts_window(spark):
     runs = spark.createDataFrame(rows, "model_key string, fingerprint string, ts timestamp, run_name string")
     cohort = {r["run_name"] for r in analytics.select_cohorts(runs).collect()}
     assert cohort == {"r-anchor", "r-in", "r-m2-anchor"}
+
+
+def test_greedy_conflict_resolved_in_data_order(spark):
+    """Two GTs both overlap one pred above threshold: greedy gives it to the
+    first GT in the sorted-by-(page, kind, bbox) order, the other is a FN —
+    and the result is identical under different partitionings."""
+    labels = spark.createDataFrame(
+        [
+            (1, 1, "figure", [0.0, 0.0, 10.0, 10.0]),
+            (1, 1, "figure", [2.0, 2.0, 12.0, 12.0]),
+        ],
+        "doc_id long, page int, kind string, bbox array<double>",
+    )
+    preds = spark.createDataFrame(
+        [(1, 1, "figure", [1.0, 1.0, 11.0, 11.0])],
+        "doc_id long, page int, kind string, bbox array<double>",
+    )
+    for parts in (1, 7):
+        m = regions.greedy_region_match(
+            labels.repartition(parts), preds.repartition(parts)
+        ).collect()[0]
+        assert (m["tp"], m["fp"], m["fn"]) == (1, 0, 1)
