@@ -108,15 +108,49 @@ def entry(spark: SparkSession) -> DataFrame:
 # --------------------------------------------------------------- queries
 
 
+_N_EXTRACT = 512  # fixed so the VALUES oracle matches at every sf
+
+
 def _q_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n = min(2000, rows_for_sf(_sf_of(sf_dir)))
-    pages = with_salted_partition(pages_df(spark, n, seed=42), num_buckets=16)
+    # text_md5 makes the oracle a *byte-identity* check of the distributed
+    # extraction against the pure kernel (the repo's north-rule invariant)
+    pages = with_salted_partition(pages_df(spark, _N_EXTRACT, seed=42), num_buckets=16)
     return pages.withColumn("_ex", extract_udf(F.col("html"))).select(
         "url",
         F.col("_ex.status").alias("status"),
         F.length("_ex.text").alias("n_chars"),
         F.size("_ex.spans").alias("n_spans"),
+        F.md5(F.encode("_ex.text", "utf-8")).alias("text_md5"),
     )
+
+
+def _extract_oracle() -> str:
+    """Embed the pure-kernel extraction of the same seeded pages as VALUES."""
+    import hashlib as _hl
+
+    from batch_doc_vqa_spark.functions import extract_payload
+    from batch_doc_vqa_spark.sources.pages import page_row
+
+    rows = []
+    for i in range(_N_EXTRACT):
+        r = page_row(42, i)
+        ex = extract_payload(r["html"])
+        rows.append(
+            (
+                r["url"],
+                ex.status,
+                len(ex.text or ""),
+                len(ex.spans),
+                _hl.md5((ex.text or "").encode("utf-8")).hexdigest(),
+            )
+        )
+    cte = _values_cte("ex", ["url", "status", "n_chars", "n_spans", "text_md5"], rows)
+    return f"""
+        WITH {cte}
+        SELECT url, status, CAST(n_chars AS INT) AS n_chars,
+               CAST(n_spans AS INT) AS n_spans, text_md5
+        FROM ex
+    """
 
 
 def _q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1058,6 +1092,7 @@ def oracle_sql() -> dict[str, str]:
         **_fixture_oracles(),
         "split_pages": _split_pages_oracle(),
         "region_match_prf": _region_match_oracle(),
+        "extract_main_content": _extract_oracle(),
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

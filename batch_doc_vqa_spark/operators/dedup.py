@@ -245,10 +245,44 @@ def simhash_udf():
     return _simhash
 
 
-def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash: band on 16-bit chunks (pigeonhole: any pair
-    within Hamming distance ≤3 collides in at least one of 4 chunks), then
-    verify with bit_count(xor)."""
+def _simhash_band_keys(scheme: str):
+    """Band-key column array for a 64-bit ``sim`` column.
+
+    - ``chunk16``: 4 disjoint 16-bit chunks. Pigeonhole-sound for Hamming ≤3
+      (3 flipped bits hit ≤3 chunks, one chunk stays clean). Bucket keyspace
+      is only 2^16: at 10^12 docs a bucket holds ~10^7 rows and the verify
+      join goes quadratic within it — fine to ~10^9 docs, not beyond.
+    - ``pair13``: 5 disjoint ~13-bit chunks, banded on all C(5,2)=10 ordered
+      chunk *pairs* (~26-bit keys). With ≤3 errors, ≥2 of 5 chunks are clean,
+      so some pair is clean → every true pair still collides (sound for ≤3),
+      while buckets shrink by ~2^10 — the 10^12-doc scale path.
+    """
+    if scheme == "chunk16":
+        return [
+            F.shiftrightunsigned(F.col("sim"), i * 16).bitwiseAND(F.lit(0xFFFF)) for i in range(4)
+        ]
+    if scheme == "pair13":
+        # chunk bit-offsets/widths: 13,13,13,13,12
+        bounds = [(0, 13), (13, 13), (26, 13), (39, 13), (52, 12)]
+        chunk = [
+            F.shiftrightunsigned(F.col("sim"), off).bitwiseAND(F.lit((1 << w) - 1))
+            for off, w in bounds
+        ]
+        return [
+            chunk[i] * F.lit(1 << 13) + chunk[j]
+            for i in range(5)
+            for j in range(i + 1, 5)
+        ]
+    raise ValueError(f"unknown simhash banding scheme: {scheme}")
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, scheme: str = "chunk16"
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band (see ``_simhash_band_keys``), then
+    verify candidates with bit_count(xor). Both schemes are exact for
+    Hamming ≤3 — they find the same pair set; ``pair13`` trades 10 bands for
+    ~2^10-smaller buckets and is the right choice past ~10^9 docs."""
     # localCheckpoint: computed once for both self-join sides, auto-released
     # on GC (see minhash_lsh_pairs).
     sh = df.select(F.col(id_col).alias("_id"), simhash_udf()(F.col(text_col)).alias("sim")).localCheckpoint(
@@ -257,9 +291,7 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
     chunks = sh.select(
         "_id",
         "sim",
-        F.posexplode(
-            F.array(*[F.shiftrightunsigned(F.col("sim"), i * 16).bitwiseAND(F.lit(0xFFFF)) for i in range(4)])
-        ).alias("chunk_idx", "chunk"),
+        F.posexplode(F.array(*_simhash_band_keys(scheme))).alias("chunk_idx", "chunk"),
     )
     a, b = chunks.alias("a"), chunks.alias("b")
     return (

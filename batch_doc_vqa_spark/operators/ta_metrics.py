@@ -98,19 +98,20 @@ def quadratic_weighted_kappa(pairs: DataFrame, t_col: str, p_col: str, n_labels:
     O = joint counts, E = outer product of marginals / n. The contingency
     table and marginals are tiny aggregates; the cross is a broadcast join.
     """
-    n = pairs.count()
     obs = pairs.groupBy(F.col(t_col).alias("_t"), F.col(p_col).alias("_p")).agg(
         F.count(F.lit(1)).alias("o")
     )
     mt = pairs.groupBy(F.col(t_col).alias("_t")).agg(F.count(F.lit(1)).alias("mt"))
     mp = pairs.groupBy(F.col(p_col).alias("_p")).agg(F.count(F.lit(1)).alias("mp"))
+    # n stays in-plan (1-row broadcast), no extra driver-side job
+    tot = pairs.agg(F.count(F.lit(1)).cast("double").alias("_n"))
     grid = F.broadcast(mt).crossJoin(F.broadcast(mp))
-    full = grid.join(obs, ["_t", "_p"], "left").fillna({"o": 0})
+    full = grid.join(obs, ["_t", "_p"], "left").fillna({"o": 0}).crossJoin(F.broadcast(tot))
     d = F.col("_t") - F.col("_p")
     w = (d * d) / float((n_labels - 1) ** 2)
     agg = full.agg(
         F.sum(w * F.col("o")).alias("wo"),
-        F.sum(w * F.col("mt") * F.col("mp") / F.lit(float(n))).alias("we"),
+        F.sum(w * F.col("mt") * F.col("mp") / F.col("_n")).alias("we"),
     )
     return agg.select(
         F.round(

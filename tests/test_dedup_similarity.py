@@ -175,3 +175,14 @@ def test_dedup_resolve_keep_one(spark):
     assert rows[12]["cluster_id"] == 10 and not rows[12]["keep"]
     assert rows[10]["cluster_size"] == 3
     assert rows[20]["keep"] and rows[20]["cluster_size"] == 1
+
+
+def test_simhash_banding_schemes_equivalent(spark, corpus):
+    """Both banding schemes are pigeonhole-sound for Hamming <= 3, so they
+    must emit the *identical* verified pair set; pair13 just has ~2^10
+    smaller buckets for the 10^12-doc regime."""
+    a = {(r["id_a"], r["id_b"]) for r in
+         dedup.simhash_pairs(corpus, "doc_id", "text", scheme="chunk16").collect()}
+    b = {(r["id_a"], r["id_b"]) for r in
+         dedup.simhash_pairs(corpus, "doc_id", "text", scheme="pair13").collect()}
+    assert a == b and len(a) > 0
