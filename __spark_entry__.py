@@ -305,14 +305,36 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
-def _q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings").select(
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
+
+
+def _q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     return similarity.cosine_topk(emb, queries, k=5).select("q_id", "neighbor_id", "cosine", "rank")
+
+
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return similarity.ivf_cosine_topk(emb, queries, n_centroids=16, nprobe=4, k=5).select(
+        "q_id", "neighbor_id", "cosine", "rank"
+    )
+
+
+def _q_embedding_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.4)
+
+
+def _q_embedding_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_dup_pairs_lsh(_emb(spark, sf_dir), dim=64, threshold=0.4)
 
 
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -418,6 +440,33 @@ def _q_topk_digit_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.bootstrap_median_ci(runs_fixture.runs_df(spark), "model_key", "digit_top1")
+
+
+def _bootstrap_ci_oracle() -> str:
+    """Pure-kernel bootstrap over the same seeded runs fixture → VALUES."""
+    from collections import defaultdict
+
+    groups: dict[str, list[float]] = defaultdict(list)
+    cols = None
+    for row in runs_fixture.runs_rows():
+        if cols is None:
+            # RUNS_SCHEMA order: locate model_key / digit_top1 positions once
+            names = [f.strip().split()[0] for f in runs_fixture.RUNS_SCHEMA.split(",")]
+            cols = (names.index("model_key"), names.index("digit_top1"))
+        k, v = row[cols[0]], row[cols[1]]
+        if v is not None:
+            groups[str(k)].append(float(v))
+    rows = []
+    for k in sorted(groups):
+        n, med, lo, hi = analytics.bootstrap_median_ci_kernel(k, groups[k])
+        rows.append((k, n, med, lo, hi))
+    cte = _values_cte("bci", ["model_key", "n", "median", "ci_low", "ci_high"], rows)
+    return f"""
+        WITH {cte}
+        SELECT model_key, CAST(n AS BIGINT) AS n, CAST(median AS DOUBLE) AS median,
+               CAST(ci_low AS DOUBLE) AS ci_low, CAST(ci_high AS DOUBLE) AS ci_high
+        FROM bci
+    """
 
 
 def _region_rows() -> tuple[list[tuple], list[tuple]]:
@@ -607,6 +656,19 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.session_stats(_t(spark, sf_dir, "events"))
 
 
+def _q_legacy_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: mixed-era table (some rows legacy 'ufid', some canonical) merges
+    losslessly through rewrite_legacy_aliases."""
+    from batch_doc_vqa_spark.operators import keys as keys_ops
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 3 == 0, F.col("c_name")).alias("ufid"),
+        F.when(F.col("c_custkey") % 3 != 0, F.col("c_name")).alias("university_id"),
+    )
+    return keys_ops.rewrite_legacy_aliases(cust, {"ufid": "university_id"})
+
+
 def _q_media_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P15: binary → base64 transport encoding (reference image_utils.py:13-16)."""
     docs = _t(spark, sf_dir, "documents").select(
@@ -694,6 +756,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
+        "embedding_dup_pairs": _q_embedding_dup,
+        "embedding_dup_pairs_lsh": _q_embedding_dup_lsh,
         "doc_quality": _q_doc_quality,
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
@@ -722,6 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "summary_stats": _q_summary_stats,
         "sessionize_events": _q_sessionize,
         "media_base64": _q_media_base64,
+        "legacy_alias_rewrite": _q_legacy_alias,
         "best_supplier_flags": _q_best_supplier_flags,
         "publish_gate": _q_publish_gate,
         "lang_id_trigram": _q_lang_id_trigram,
@@ -1093,6 +1159,7 @@ def oracle_sql() -> dict[str, str]:
         "split_pages": _split_pages_oracle(),
         "region_match_prf": _region_match_oracle(),
         "extract_main_content": _extract_oracle(),
+        "bootstrap_median_ci": _bootstrap_ci_oracle(),
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -1271,6 +1338,45 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             ) WHERE rank <= 5
         """,
+        # IVF is deterministic end to end (md5-ordered centroid sample is
+        # engine-portable), so unlike LSH it gets a full value oracle
+        "ann_ivf_topk": """
+            WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            cent AS (
+                SELECT vec_id AS cent_id, v AS cent_vec FROM emb
+                ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+            assign AS (
+                SELECT vec_id, v, cent_id FROM (
+                    SELECT e.vec_id, e.v, c.cent_id,
+                           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                               ORDER BY ROUND(list_cosine_similarity(e.v, c.cent_vec), 6) DESC,
+                                        c.cent_id) AS rn
+                    FROM emb e CROSS JOIN cent c) WHERE rn = 1),
+            q AS (SELECT vec_id AS q_id, v AS q_vec FROM emb WHERE vec_id % 50 = 0),
+            probe AS (
+                SELECT q_id, q_vec, cent_id FROM (
+                    SELECT q.q_id, q.q_vec, c.cent_id,
+                           ROW_NUMBER() OVER (PARTITION BY q.q_id
+                               ORDER BY ROUND(list_cosine_similarity(q.q_vec, c.cent_vec), 6) DESC,
+                                        c.cent_id) AS rn
+                    FROM q CROSS JOIN cent c) WHERE rn <= 4),
+            scored AS (
+                SELECT p.q_id, a.vec_id AS neighbor_id,
+                       ROUND(list_cosine_similarity(a.v, p.q_vec), 6) AS cosine
+                FROM probe p JOIN assign a USING (cent_id)
+                WHERE a.vec_id != p.q_id)
+            SELECT q_id, neighbor_id, cosine, rank FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                FROM scored
+            ) WHERE rank <= 5
+        """,
+        "embedding_dup_pairs": """
+            WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+            FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+            WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+        """,
         "doc_quality": f"""
             WITH t AS (
                 SELECT doc_id, text, {_TOKS} AS toks FROM documents
@@ -1403,6 +1509,12 @@ def oracle_sql() -> dict[str, str]:
         "union_dedup": """
             SELECT DISTINCT o_orderkey, o_totalprice FROM orders
             WHERE o_orderkey % 3 = 0 OR o_orderkey % 2 = 0
+        """,
+        "legacy_alias_rewrite": """
+            SELECT c_custkey,
+                   COALESCE(CASE WHEN c_custkey % 3 != 0 THEN c_name END,
+                            CASE WHEN c_custkey % 3 = 0 THEN c_name END) AS university_id
+            FROM customer
         """,
         "media_base64": """
             SELECT CAST(doc_id AS VARCHAR) AS media_id,

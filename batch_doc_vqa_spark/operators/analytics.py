@@ -120,24 +120,35 @@ def bootstrap_median_ci(
     schema = f"{group_col} string, n long, median double, ci_low double, ci_high double"
 
     def boot(key, pdf: pd.DataFrame):
-        vals = sorted(float(v) for v in pdf[value_col].dropna())
-        n = len(vals)
-        med = statistics.median(vals) if n else None
-        lo = hi = None
-        if n >= min_n:
-            h = hashlib.sha256(f"{seed}:{key[0]}".encode()).digest()
-            rng = random.Random(int.from_bytes(h[:8], "big"))
-            meds = sorted(
-                statistics.median(rng.choices(vals, k=n)) for _ in range(n_resamples)
-            )
-            lo = meds[int(0.025 * n_resamples)]
-            # reference convention: upper index is int(0.975*n) - 1, clamped
-            hi = meds[min(n_resamples - 1, int(0.975 * n_resamples) - 1)]
+        vals = [float(v) for v in pdf[value_col].dropna()]
+        n, med, lo, hi = bootstrap_median_ci_kernel(str(key[0]), vals, n_resamples, seed, min_n)
         return pd.DataFrame(
             {group_col: [str(key[0])], "n": [n], "median": [med], "ci_low": [lo], "ci_high": [hi]}
         )
 
     return df.groupBy(group_col).applyInPandas(boot, schema=schema)
+
+
+def bootstrap_median_ci_kernel(
+    key: str, vals: list[float], n_resamples: int = 1000, seed: int = 0, min_n: int = 3
+) -> tuple[int, float | None, float | None, float | None]:
+    """Pure kernel for one group: (n, median, ci_low, ci_high).
+
+    RNG seeded from (seed, group key) — never from partition/task ids — so the
+    distributed result is a pure function of the data; the oracle embeds this
+    kernel's output as SQL VALUES (kernel = oracle, the repo invariant)."""
+    vals = sorted(vals)
+    n = len(vals)
+    med = statistics.median(vals) if n else None
+    lo = hi = None
+    if n >= min_n:
+        h = hashlib.sha256(f"{seed}:{key}".encode()).digest()
+        rng = random.Random(int.from_bytes(h[:8], "big"))
+        meds = sorted(statistics.median(rng.choices(vals, k=n)) for _ in range(n_resamples))
+        lo = meds[int(0.025 * n_resamples)]
+        # reference convention: upper index is int(0.975*n) - 1, clamped
+        hi = meds[min(n_resamples - 1, int(0.975 * n_resamples) - 1)]
+    return n, med, lo, hi
 
 
 def select_cohorts(

@@ -222,24 +222,37 @@ _SIMHASH_BITS = 64
 
 
 def simhash_udf():
-    """Arrow-batched UDF: text series → int64 SimHash (vectorized NumPy)."""
+    """Arrow-batched UDF: text series → int64 SimHash.
+
+    Vectorized across the WHOLE batch, not per doc: one tokenize pass, one
+    hash_array over every token, one groupby((doc, hash)) for weights, one
+    scatter-add into the (n_docs, 64) bit-score matrix. Identical output to
+    the per-doc formulation (contributions are additive per hash), ~10×
+    less per-doc Python overhead.
+    """
 
     @F.pandas_udf("long")
     def _simhash(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.uint64)
-        for row, t in enumerate(texts):
-            if not t:
-                continue
-            toks = pd.Series(str(t).lower().split())
-            if toks.empty:
-                continue
-            counts = toks.value_counts()
+        n = len(texts)
+        out = np.zeros(n, dtype=np.uint64)
+        toks = texts.fillna("").astype(str).str.lower().str.split()
+        lens = toks.map(len).to_numpy(dtype=np.int64)
+        flat = [t for lst in toks for t in lst]
+        if flat:
+            doc_idx = np.repeat(np.arange(n), lens)
             # deterministic 64-bit token hashes via pandas (xxhash-free, stable)
-            hashes = pd.util.hash_array(counts.index.to_numpy(dtype=object)).astype(np.uint64)
-            w = counts.to_numpy(dtype=np.int64)
-            bits = ((hashes[:, None] >> np.arange(_SIMHASH_BITS, dtype=np.uint64)) & 1).astype(np.int64)
-            score = ((bits * 2 - 1) * w[:, None]).sum(axis=0)
-            out[row] = np.packbits(score > 0, bitorder="little").view(np.uint64)[0]
+            hashes = pd.util.hash_array(np.asarray(flat, dtype=object)).astype(np.uint64)
+            grp = pd.DataFrame({"d": doc_idx, "h": hashes}).groupby(["d", "h"], sort=False).size()
+            d = grp.index.get_level_values(0).to_numpy(dtype=np.int64)
+            h = grp.index.get_level_values(1).to_numpy().astype(np.uint64)
+            w = grp.to_numpy(dtype=np.int64)
+            bits = ((h[:, None] >> np.arange(_SIMHASH_BITS, dtype=np.uint64)) & 1).astype(np.int64)
+            score = np.zeros((n, _SIMHASH_BITS), dtype=np.int64)
+            np.add.at(score, d, (bits * 2 - 1) * w[:, None])
+            packed = np.packbits(score > 0, axis=1, bitorder="little").view(np.uint64).ravel()
+            # docs with zero tokens keep signature 0 (score row stays all-zero
+            # → packed 0 anyway, but be explicit about the empty-doc contract)
+            out = np.where(lens > 0, packed, np.uint64(0))
         return pd.Series(out.view(np.int64))
 
     return _simhash

@@ -77,3 +77,17 @@ def merge_page_entries(
         .filter(F.col("_rn") == 1)
         .select(doc_col, uid_col, page_col, value_col)
     )
+
+
+def rewrite_legacy_aliases(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """Legacy → canonical column rewrite (P3; reference presets/student.py:52-53
+    renames ufid → university_id). If both columns exist the canonical value
+    wins per row (coalesce) — mixed-era tables merge losslessly; a legacy-only
+    column is renamed outright.
+    """
+    for legacy, canonical in mapping.items():
+        if legacy in df.columns and canonical in df.columns:
+            df = df.withColumn(canonical, F.coalesce(F.col(canonical), F.col(legacy))).drop(legacy)
+        elif legacy in df.columns:
+            df = df.withColumnRenamed(legacy, canonical)
+    return df

@@ -116,3 +116,121 @@ def lsh_cosine_topk(
     )
     w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ threshold).
+
+    All-pairs — quadratic, the small-scale *oracle* tier (mirrors
+    ``dedup.jaccard_pairs``' role); at corpus scale use
+    ``embedding_dup_pairs_lsh``, which buckets first.
+    """
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine_sim(F.col("_va"), F.col("_vb")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_dup_pairs_lsh(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale-path embedding near-dup: hyperplane-LSH bucket self-join, then
+    exact-cosine verify of candidates only. Shuffle key (table, signature) —
+    corpus-linear; high-cosine pairs collide in some table with high
+    probability (recall vs the exact tier asserted in tests)."""
+    sigs = F.array(
+        *[hyperplane_signature(F.col(vec_col), dim, n_planes, seed=11 + t) for t in range(n_tables)]
+    )
+    banded = corpus.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+        F.posexplode(sigs).alias("_t", "_sig"),
+    ).localCheckpoint(eager=True)  # signatures computed once for both sides
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._t") == F.col("b._t"))
+            & (F.col("a._sig") == F.col("b._sig"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._v").alias("_va"),
+            F.col("b._v").alias("_vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select(
+        "id_a", "id_b", cosine_sim(F.col("_va"), F.col("_vb")).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into ``n_centroids`` cells,
+    probe only the ``nprobe`` cells nearest each query, exact-rank within.
+
+    Centroids are the corpus vectors with the smallest md5(vec_id) — a
+    deterministic, engine-portable pseudo-random sample (md5 exists in both
+    Spark and DuckDB, so the oracle reproduces the exact same model); a
+    k-means refinement would drop in here without changing the plan shape.
+    Everything is in-plan: centroid selection, assignment (broadcast argmax
+    join), probing, and ranking — no driver-side collect.
+    """
+    cent = (
+        corpus.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
+        .orderBy(F.md5(F.col("cent_id").cast("string")))
+        .limit(n_centroids)
+    )
+    w_assign = Window.partitionBy(id_col).orderBy(F.desc("_cs"), F.asc("cent_id"))
+    assign = (
+        corpus.crossJoin(F.broadcast(cent))
+        .withColumn("_cs", cosine_sim(F.col(vec_col), F.col("cent_vec")))
+        .withColumn("_rn", F.row_number().over(w_assign))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, vec_col, "cent_id")
+    )
+    w_probe = Window.partitionBy(q_id_col).orderBy(F.desc("_cs"), F.asc("cent_id"))
+    probe = (
+        queries.crossJoin(F.broadcast(cent))
+        .withColumn("_cs", cosine_sim(F.col(q_vec_col), F.col("cent_vec")))
+        .withColumn("_rn", F.row_number().over(w_probe))
+        .filter(F.col("_rn") <= nprobe)
+        .select(q_id_col, q_vec_col, "cent_id")
+    )
+    scored = (
+        probe.join(assign, "cent_id")
+        .filter(F.col(id_col) != F.col(q_id_col))
+        .select(
+            F.col(q_id_col),
+            F.col(id_col).alias("neighbor_id"),
+            cosine_sim(F.col(vec_col), F.col(q_vec_col)).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -186,3 +186,34 @@ def test_simhash_banding_schemes_equivalent(spark, corpus):
     b = {(r["id_a"], r["id_b"]) for r in
          dedup.simhash_pairs(corpus, "doc_id", "text", scheme="pair13").collect()}
     assert a == b and len(a) > 0
+
+
+def test_embedding_dup_pairs_exact_and_lsh_recall(vectors):
+    """Exact tier finds the two planted near-dup pairs; the LSH tier recovers
+    them (high-cosine pairs collide in some table with high probability)."""
+    exact = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in similarity.embedding_dup_pairs(vectors, threshold=0.95).collect()}
+    assert (0, 100) in exact and exact[(0, 100)] == 1.0
+    assert (1, 101) in exact and exact[(1, 101)] > 0.99
+    lsh = {(r["id_a"], r["id_b"])
+           for r in similarity.embedding_dup_pairs_lsh(vectors, dim=16, threshold=0.95).collect()}
+    true_pairs = set(exact)
+    recall = len(true_pairs & lsh) / len(true_pairs)
+    assert recall >= 0.9, f"LSH dup recall {recall} on {len(true_pairs)} pairs"
+    assert lsh <= true_pairs.union({p for p in lsh})  # verify step: no sub-threshold pairs
+    for pair in lsh:
+        assert pair in exact  # every emitted pair is exact-verified
+
+
+def test_ivf_topk_recall_vs_exact(vectors):
+    queries = vectors.filter(F.col("vec_id").isin(0, 1)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = {(r["q_id"], r["neighbor_id"])
+             for r in similarity.cosine_topk(vectors, queries, k=3).collect()}
+    ivf = {(r["q_id"], r["neighbor_id"])
+           for r in similarity.ivf_cosine_topk(vectors, queries, n_centroids=8, nprobe=4, k=3).collect()}
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall}"
+    # the planted duplicates are each query's top neighbor in both
+    assert (0, 100) in ivf and (1, 101) in ivf

@@ -156,3 +156,33 @@ def test_merge_page_entries_first_page_wins(spark):
     assert out[(1, "name")] == "from-page-1"
     assert out[(1, "id")] == "only-page-2"
     assert out[(2, "name")] == "late-but-first-nonempty"
+
+
+def test_glob_scan_natural_order(spark, tmp_path):
+    """S2/W4: pathGlobFilter scan + natural sort key — doc_2 before doc_10."""
+    from batch_doc_vqa_spark.sources import glob_scan
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    for name in ["doc_10_page2.bin", "doc_2_page1.bin", "doc_1_page1.bin", "skip.txt"]:
+        (d / name).write_bytes(name.encode())
+    df = glob_scan(spark, str(d), pattern="*.bin")
+    ordered = [r["path"].rsplit("/", 1)[-1] for r in df.orderBy("nat_key").collect()]
+    assert ordered == ["doc_1_page1.bin", "doc_2_page1.bin", "doc_10_page2.bin"]
+    assert df.count() == 3  # glob filtered out skip.txt
+    row = df.filter(F.col("path").contains("doc_2_")).collect()[0]
+    assert bytes(row["content"]) == b"doc_2_page1.bin"
+
+
+def test_rewrite_legacy_aliases(spark):
+    """P3: legacy-only renames; mixed-era coalesces with canonical winning."""
+    legacy_only = spark.createDataFrame([(1, "a")], "id long, ufid string")
+    out = keys.rewrite_legacy_aliases(legacy_only, {"ufid": "university_id"})
+    assert out.columns == ["id", "university_id"]
+    mixed = spark.createDataFrame(
+        [(1, "old1", None), (2, None, "new2"), (3, "old3", "new3")],
+        "id long, ufid string, university_id string",
+    )
+    got = {r["id"]: r["university_id"] for r in
+           keys.rewrite_legacy_aliases(mixed, {"ufid": "university_id"}).collect()}
+    assert got == {1: "old1", 2: "new2", 3: "new3"}
