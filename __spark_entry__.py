@@ -656,6 +656,25 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.session_stats(_t(spark, sf_dir, "events"))
 
 
+def _q_sweep_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X11: condition grid × seeded trials → A17 mean-per-condition. The
+    trial metric is a pure function of (condition, trial) so DuckDB mirrors
+    it exactly."""
+    from batch_doc_vqa_spark.plans.sweep import build_sweep_axes, condition_grid_df
+
+    axes = build_sweep_axes(["temperature=0.0,0.4,0.8", "top_k=10,20"])
+    grid = condition_grid_df(spark, axes).select("temperature", "top_k")
+    trials = spark.range(4).select(F.col("id").alias("trial"))
+    runs = grid.crossJoin(trials).withColumn(
+        "metric",
+        F.round(F.col("temperature") * 0.1 + F.col("top_k") * 0.01 + F.col("trial") * 0.001, 6),
+    )
+    return runs.groupBy("temperature", "top_k").agg(
+        F.count(F.lit(1)).alias("n_trials"),
+        F.round(F.avg("metric"), 6).alias("mean_metric"),
+    )
+
+
 def _q_legacy_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3: mixed-era table (some rows legacy 'ufid', some canonical) merges
     losslessly through rewrite_legacy_aliases."""
@@ -788,6 +807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": _q_sessionize,
         "media_base64": _q_media_base64,
         "legacy_alias_rewrite": _q_legacy_alias,
+        "sweep_grid": _q_sweep_grid,
         "best_supplier_flags": _q_best_supplier_flags,
         "publish_gate": _q_publish_gate,
         "lang_id_trigram": _q_lang_id_trigram,
@@ -1509,6 +1529,18 @@ def oracle_sql() -> dict[str, str]:
         "union_dedup": """
             SELECT DISTINCT o_orderkey, o_totalprice FROM orders
             WHERE o_orderkey % 3 = 0 OR o_orderkey % 2 = 0
+        """,
+        "sweep_grid": """
+            WITH t AS (SELECT unnest([CAST(0.0 AS DOUBLE), 0.4, 0.8]) AS temperature),
+            k AS (SELECT unnest([CAST(10 AS BIGINT), 20]) AS top_k),
+            tr AS (SELECT unnest(range(0, 4)) AS trial),
+            runs AS (
+              SELECT temperature, top_k, trial,
+                     ROUND(temperature * 0.1 + top_k * 0.01 + trial * 0.001, 6) AS metric
+              FROM t CROSS JOIN k CROSS JOIN tr)
+            SELECT temperature, top_k, COUNT(*) AS n_trials,
+                   ROUND(AVG(metric), 6) AS mean_metric
+            FROM runs GROUP BY temperature, top_k
         """,
         "legacy_alias_rewrite": """
             SELECT c_custkey,

@@ -1,1 +1,3 @@
 from .event_rollup import hourly_rollup_stream, extraction_stream  # noqa: F401
+from .dedup_stream import dedup_events_stream  # noqa: F401
+from .sessions_stream import session_stream  # noqa: F401

@@ -160,3 +160,30 @@ def test_publish_gate_quarantines_invalid_rows(spark, tmp_path):
     pub = spark.read.parquet(f"{out}/published")
     assert [r["id"] for r in pub.collect()] == [1]
     assert "reject_reason" not in pub.columns
+
+
+def test_param_sweep_grid_and_runner(spark):
+    """X11: axis parse rules (normalize, dedup, reject dupes), Cartesian grid
+    in axis order, and the run_sweep driver loop feeding A17 aggregation."""
+    import pytest as _pytest
+
+    from batch_doc_vqa_spark.plans import build_condition_grid, build_sweep_axes, parse_sweep_axis, run_sweep
+
+    ax = parse_sweep_axis("Top-K = 10, 20,10 ,40")
+    assert ax.name == "top_k" and ax.values == (10, 20, 40)
+    with _pytest.raises(ValueError):
+        parse_sweep_axis("no_equals_sign")
+    with _pytest.raises(ValueError):
+        build_sweep_axes(["a=1", "a=2"])  # duplicate axis
+
+    axes = build_sweep_axes(["temperature=0.0,0.5", "top_k=10,20"])
+    grid = build_condition_grid(axes)
+    assert grid == [
+        {"temperature": 0.0, "top_k": 10}, {"temperature": 0.0, "top_k": 20},
+        {"temperature": 0.5, "top_k": 10}, {"temperature": 0.5, "top_k": 20},
+    ]
+
+    runs = run_sweep(spark, axes, lambda cond, t: {"metric": cond["top_k"] + t}, trials=2)
+    agg = {(r["temperature"], r["top_k"]): r["m"] for r in
+           runs.groupBy("temperature", "top_k").agg(F.avg("metric").alias("m")).collect()}
+    assert agg[(0.0, 10)] == 10.5 and agg[(0.5, 20)] == 20.5

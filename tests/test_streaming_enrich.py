@@ -91,3 +91,25 @@ def test_backfill_idempotent(spark):
 
     twice = backfill_costs(once, costs)
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path, sf_dir):
+    """At-least-once redelivery: duplicated event_ids within the watermark are
+    dropped; output matches the batch distinct-on-id count."""
+    from batch_doc_vqa_spark.streaming import dedup_events_stream
+
+    src = str(tmp_path / "dup_in")
+    out = str(tmp_path / "dup_out")
+    ckpt = str(tmp_path / "dup_ckpt")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").limit(2000)
+    ev.write.parquet(src)
+    ev.limit(500).write.mode("append").parquet(src)  # redelivered duplicates
+
+    q = dedup_events_stream(spark, src).writeStream.format("parquet").option(
+        "path", out
+    ).option("checkpointLocation", ckpt).trigger(availableNow=True).start()
+    _drain(q)
+    got = spark.read.parquet(out)
+    expected = spark.read.parquet(src).select("event_id").distinct().count()
+    assert got.count() == expected
+    assert got.select("event_id").distinct().count() == expected
