@@ -156,6 +156,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     seed: int = 7,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH over MinHash signatures.
 
@@ -163,6 +164,14 @@ def minhash_lsh_pairs(
     any band become a candidate pair. The shuffle key is (band_idx, band_hash)
     — corpus-linear, never all-pairs. Estimated Jaccard = fraction of agreeing
     signature positions.
+
+    ``max_bucket``: drop band buckets with more than this many members before
+    the self-join. At web scale a few degenerate buckets (boilerplate-heavy
+    shingles hashing alike, empty-ish docs) can hold 10^6+ docs and the
+    within-bucket join goes quadratic; capping bounds the worst bucket's
+    cost at max_bucket². Recall loss is confined to pairs whose ONLY
+    colliding band is a mega-bucket — docs that similar almost always share
+    a rarer band too. None (default) keeps exact banding semantics.
     """
     rows_per_band = num_hashes // bands
     # materialize signatures before the self-join: otherwise the whole
@@ -185,6 +194,13 @@ def minhash_lsh_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
+    if max_bucket is not None:
+        # one extra count-per-key agg (map-side combined) prunes mega-buckets
+        w_sizes = banded.groupBy("band_idx", "band_hash").agg(F.count(F.lit(1)).alias("_bn"))
+        banded = banded.join(
+            w_sizes.filter(F.col("_bn") <= max_bucket).drop("_bn"),
+            ["band_idx", "band_hash"],
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     cand_ids = (

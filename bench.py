@@ -44,6 +44,10 @@ BENCH_QUERIES = [
     "matching_pipeline",
     "winnow_fingerprints",
     "media_probe",
+    "dedup_resolve",
+    "ann_ivf_topk",
+    "embedding_dup_pairs_lsh",
+    "publish_gate",
 ]
 
 

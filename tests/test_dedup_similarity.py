@@ -217,3 +217,18 @@ def test_ivf_topk_recall_vs_exact(vectors):
     assert recall >= 0.5, f"IVF recall {recall}"
     # the planted duplicates are each query's top neighbor in both
     assert (0, 100) in ivf and (1, 101) in ivf
+
+
+def test_minhash_max_bucket_caps_megabuckets(spark, corpus):
+    """max_bucket=None is exact banding; a generous cap keeps all true pairs
+    (near-dups share rare bands); a cap of 1 kills every bucket."""
+    full = {(r["id_a"], r["id_b"]) for r in
+            dedup.minhash_lsh_pairs(corpus, "doc_id", "text").collect()}
+    capped = {(r["id_a"], r["id_b"]) for r in
+              dedup.minhash_lsh_pairs(corpus, "doc_id", "text", max_bucket=10).collect()}
+    assert capped <= full
+    # the planted near/exact dup pairs collide in low-population bands too
+    planted = {(j, 100 + j) for j in range(10)} | {(j, 200 + j) for j in range(5)}
+    assert planted & full == planted & capped
+    none_left = dedup.minhash_lsh_pairs(corpus, "doc_id", "text", max_bucket=1).count()
+    assert none_left == 0

@@ -1,0 +1,68 @@
+"""Physical-plan hygiene regressions: the properties that decide whether a
+query survives a 100× scale-up — pushdown reaching the parquet scan, column
+pruning, broadcast (not nested-loop / sort-merge) joins for small dims, and
+no accidental extra shuffles. Catching a regression here is cheaper than
+finding it in a 100 TB run."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    qs = entrymod.queries()
+
+    def plan_of(name: str) -> str:
+        df = qs[name](spark, sf_dir)
+        return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+    return plan_of
+
+
+def test_q1_pushdown_and_pruning(plans):
+    p = plans("q1_pricing_summary")
+    # the shipdate filter must reach the parquet scan, not run post-scan
+    assert re.search(r"PushedFilters: \[[^\]]*l_shipdate[^\]]*LessThanOrEqual", p), p[:2000]
+    # column pruning: the scan must not read all 16 lineitem columns
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m and len(m.group(1).split(",")) <= 6, m.group(1) if m else "no ReadSchema"
+
+
+def test_small_dim_joins_broadcast(plans):
+    for q in ("revenue_by_order", "region_rollup", "supplier_customer_match"):
+        p = plans(q)
+        assert "BroadcastHashJoin" in p, q
+        assert "SortMergeJoin" not in p, q
+        assert "BroadcastNestedLoopJoin" not in p, q
+
+
+def test_extraction_path_is_shuffle_lean(plans):
+    # salted repartition = exactly one exchange; extraction itself is map-side.
+    # formatted explain lists every node twice (tree + detail) — count node
+    # headers "(k) Exchange", not raw word occurrences.
+    p = plans("extract_main_content")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p[:1500]
+    assert "ArrowEvalPython" in p  # extraction is Arrow-batched, not row Python
+    assert "BatchEvalPython" not in p  # never a row-at-a-time Python UDF
+
+
+def test_minhash_band_join_not_nested_loop(plans):
+    p = plans("minhash_lsh_pairs")
+    # the band self-join must be a hash join on the band key, never BNLJ
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p or "ShuffledHashJoin" in p
+
+
+def test_textstats_stay_jvm_side(plans):
+    # lang_id/doc_quality/fingerprint are pure column expressions: no Python
+    # eval nodes anywhere in the plan
+    for q in ("lang_id", "doc_quality", "fingerprint", "token_counts"):
+        p = plans(q)
+        assert "EvalPython" not in p and "MapInPandas" not in p, q
+        # single parquet scan, no shuffle: per-row expressions only
+        assert len(re.findall(r"\(\d+\) Exchange", p)) == 0, q
