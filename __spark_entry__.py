@@ -83,6 +83,17 @@ def _sf_of(sf_dir: str) -> float:
         return 0.001
 
 
+def _davg(col, digits: int = 6, sum_digits: int = 6):
+    """Order-independent average: exact decimal sum / count → double, round.
+
+    Native double AVG is summation-order-dependent; at table scale the 6th
+    decimal flips at ULP boundaries between Spark and DuckDB (seen at sf0.1).
+    """
+    return F.round(
+        F.sum(col.cast(f"decimal(28,{sum_digits})")).cast("double") / F.count(F.lit(1)), digits
+    )
+
+
 def _dsum(col, digits: int = 2):
     """Order-independent double sum: exact decimal accumulation → double."""
     return F.sum(col.cast(f"decimal(18,{digits})")).cast("double")
@@ -164,9 +175,9 @@ def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dsum(F.col("l_quantity")).alias("sum_qty"),
         _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
         _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("sum_disc_price"),
-        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        _davg(F.col("l_quantity")).alias("avg_qty"),
+        _davg(F.col("l_extendedprice")).alias("avg_price"),
+        _davg(F.col("l_discount")).alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
     )
 
@@ -193,7 +204,7 @@ def _q_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"),
+            _davg(F.col("c_acctbal")).alias("avg_acctbal"),
         )
     )
 
@@ -256,7 +267,10 @@ def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n"),
         _dsum(F.col("value")).alias("sum_value"),
-        F.round(F.avg("value"), 6).alias("avg_value"),
+        # avg via exact decimal sum / count: a native double avg is summation-
+        # order-dependent and flips the 6th decimal at ULP boundaries (seen at
+        # sf0.1), breaking cross-engine hash parity
+        F.round(_dsum(F.col("value"), 6) / F.count(F.lit(1)), 6).alias("avg_value"),
     )
 
 
@@ -739,7 +753,7 @@ def _q_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     return orders.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("o_totalprice"), 6).alias("mean_price"),
+        _davg(F.col("o_totalprice")).alias("mean_price"),
         F.round(F.median("o_totalprice"), 6).alias("median_price"),
         F.round(F.stddev("o_totalprice"), 6).alias("stddev_price"),
     )
@@ -1185,9 +1199,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
                    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
                    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-                   ROUND(AVG(l_quantity), 6) AS avg_qty,
-                   ROUND(AVG(l_extendedprice), 6) AS avg_price,
-                   ROUND(AVG(l_discount), 6) AS avg_disc,
+                   ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+                   ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+                   ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
                    COUNT(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -1203,7 +1217,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_orderkey, o_orderdate
         """,
         "region_rollup": """
-            SELECT r_name, COUNT(*) AS n_customers, ROUND(AVG(c_acctbal), 6) AS avg_acctbal
+            SELECT r_name, COUNT(*) AS n_customers, ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS avg_acctbal
             FROM customer
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
@@ -1254,7 +1268,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    COUNT(*) AS n,
                    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
-                   ROUND(AVG(value), 6) AS avg_value
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_value
             FROM events GROUP BY 1, 2
         """,
         "calibration_bins": """
@@ -1620,7 +1634,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "summary_stats": """
             SELECT o_orderpriority, COUNT(*) AS n,
-                   ROUND(AVG(o_totalprice), 6) AS mean_price,
+                   ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS mean_price,
                    ROUND(MEDIAN(o_totalprice), 6) AS median_price,
                    ROUND(STDDEV_SAMP(o_totalprice), 6) AS stddev_price
             FROM orders GROUP BY o_orderpriority
