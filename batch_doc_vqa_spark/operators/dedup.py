@@ -237,41 +237,41 @@ def minhash_lsh_pairs(
 _SIMHASH_BITS = 64
 
 
-def simhash_udf():
-    """Arrow-batched UDF: text series → int64 SimHash.
+def simhash_batch_kernel(texts: pd.Series) -> pd.Series:
+    """Pure batch kernel: text series → int64 SimHash series.
 
     Vectorized across the WHOLE batch, not per doc: one tokenize pass, one
     hash_array over every token, one groupby((doc, hash)) for weights, one
     scatter-add into the (n_docs, 64) bit-score matrix. Identical output to
     the per-doc formulation (contributions are additive per hash), ~10×
-    less per-doc Python overhead.
+    less per-doc Python overhead. Property-tested against the per-doc form.
     """
+    n = len(texts)
+    out = np.zeros(n, dtype=np.uint64)
+    toks = texts.fillna("").astype(str).str.lower().str.split()
+    lens = toks.map(len).to_numpy(dtype=np.int64)
+    flat = [t for lst in toks for t in lst]
+    if flat:
+        doc_idx = np.repeat(np.arange(n), lens)
+        # deterministic 64-bit token hashes via pandas (xxhash-free, stable)
+        hashes = pd.util.hash_array(np.asarray(flat, dtype=object)).astype(np.uint64)
+        grp = pd.DataFrame({"d": doc_idx, "h": hashes}).groupby(["d", "h"], sort=False).size()
+        d = grp.index.get_level_values(0).to_numpy(dtype=np.int64)
+        h = grp.index.get_level_values(1).to_numpy().astype(np.uint64)
+        w = grp.to_numpy(dtype=np.int64)
+        bits = ((h[:, None] >> np.arange(_SIMHASH_BITS, dtype=np.uint64)) & 1).astype(np.int64)
+        score = np.zeros((n, _SIMHASH_BITS), dtype=np.int64)
+        np.add.at(score, d, (bits * 2 - 1) * w[:, None])
+        packed = np.packbits(score > 0, axis=1, bitorder="little").view(np.uint64).ravel()
+        # docs with zero tokens keep signature 0 (score row stays all-zero
+        # → packed 0 anyway, but be explicit about the empty-doc contract)
+        out = np.where(lens > 0, packed, np.uint64(0))
+    return pd.Series(out.view(np.int64))
 
-    @F.pandas_udf("long")
-    def _simhash(texts: pd.Series) -> pd.Series:
-        n = len(texts)
-        out = np.zeros(n, dtype=np.uint64)
-        toks = texts.fillna("").astype(str).str.lower().str.split()
-        lens = toks.map(len).to_numpy(dtype=np.int64)
-        flat = [t for lst in toks for t in lst]
-        if flat:
-            doc_idx = np.repeat(np.arange(n), lens)
-            # deterministic 64-bit token hashes via pandas (xxhash-free, stable)
-            hashes = pd.util.hash_array(np.asarray(flat, dtype=object)).astype(np.uint64)
-            grp = pd.DataFrame({"d": doc_idx, "h": hashes}).groupby(["d", "h"], sort=False).size()
-            d = grp.index.get_level_values(0).to_numpy(dtype=np.int64)
-            h = grp.index.get_level_values(1).to_numpy().astype(np.uint64)
-            w = grp.to_numpy(dtype=np.int64)
-            bits = ((h[:, None] >> np.arange(_SIMHASH_BITS, dtype=np.uint64)) & 1).astype(np.int64)
-            score = np.zeros((n, _SIMHASH_BITS), dtype=np.int64)
-            np.add.at(score, d, (bits * 2 - 1) * w[:, None])
-            packed = np.packbits(score > 0, axis=1, bitorder="little").view(np.uint64).ravel()
-            # docs with zero tokens keep signature 0 (score row stays all-zero
-            # → packed 0 anyway, but be explicit about the empty-doc contract)
-            out = np.where(lens > 0, packed, np.uint64(0))
-        return pd.Series(out.view(np.int64))
 
-    return _simhash
+def simhash_udf():
+    """Arrow-batched UDF wrapper around ``simhash_batch_kernel``."""
+    return F.pandas_udf(simhash_batch_kernel, "long")
 
 
 def _simhash_band_keys(scheme: str):

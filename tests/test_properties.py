@@ -62,3 +62,58 @@ def test_plain_text_roundtrip(text):
     # a document with no markup: output is whitespace-normalized input (or empty)
     r = extract_html(f"<p>{text}</p>")
     assert "\n\n" not in r.text or len(r.spans) > 1
+
+
+# ---- vectorized-simhash == per-doc reference formulation ------------------
+
+
+def _simhash_ref_one(t: str):
+    """Per-doc reference formulation (the pre-vectorization kernel)."""
+    import numpy as np
+    import pandas as pd
+
+    if not t:
+        return 0
+    toks = pd.Series(str(t).lower().split())
+    if toks.empty:
+        return 0
+    counts = toks.value_counts()
+    hashes = pd.util.hash_array(counts.index.to_numpy(dtype=object)).astype(np.uint64)
+    w = counts.to_numpy(dtype=np.int64)
+    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+    score = ((bits * 2 - 1) * w[:, None]).sum(axis=0)
+    return int(np.packbits(score > 0, bitorder="little").view(np.uint64)[0].view(np.int64))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.text(alphabet="ab cD\t", max_size=40), min_size=0, max_size=12))
+def test_simhash_batch_matches_per_doc(texts):
+    import numpy as np
+    import pandas as pd
+
+    from batch_doc_vqa_spark.operators.dedup import simhash_batch_kernel
+
+    got = simhash_batch_kernel(pd.Series(texts)).to_numpy()
+    exp = np.array([_simhash_ref_one(t) for t in texts], dtype=np.int64)
+    assert np.array_equal(got, exp)
+
+
+# ---- winnow kernel invariants ---------------------------------------------
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.text(max_size=120))
+def test_winnow_fingerprints_are_substring_stable(text):
+    """Winnow guarantees: every fingerprint is the hash of SOME k-gram of the
+    text, count is bounded by number of windows, and the kernel is a pure
+    function (same input → same output)."""
+    from batch_doc_vqa_spark.operators.textstats import winnow_fingerprint_kernel
+
+    a = winnow_fingerprint_kernel(text, 5, 4)
+    b = winnow_fingerprint_kernel(text, 5, 4)
+    assert a == b
+    n = len(text) - 5 + 1
+    if n <= 0:
+        assert a == []
+    else:
+        assert 1 <= len(a) <= max(1, n)
