@@ -90,3 +90,32 @@ def salted_host_stats(df: DataFrame, url_col: str = "url", n_salts: int = 16) ->
         F.sum("_rows").alias("n_rows"),
         F.sum("_b").alias("n_bytes"),
     )
+
+
+def salted_equi_join(
+    big: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    salt_src: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof big × dim equi-join: salt the big side, replicate the dim.
+
+    The classic hand-salting pattern for when one join key owns a huge share
+    of the big side (AQE skew-join splits oversized *partitions*, but a single
+    mega-key still lands every row in the same task): the big side gets a
+    deterministic salt in [0, n_salts) — xxhash64 of ``salt_src``, which
+    should be a high-cardinality data column (url, event_id) so the mega-key's
+    rows actually spread; salting on the key itself would put them all in one
+    slot. Salts are pure functions of the data, never of task/partition ids
+    (the repo invariant). The dim side is exploded n_salts× (dims are small;
+    replication is cheap) and the join key becomes (key, salt).
+    """
+    if salt_src is None:
+        salt_src = key
+    salted_big = big.withColumn("_salt", F.pmod(F.xxhash64(F.col(salt_src)), F.lit(n_salts)).cast("int"))
+    salted_dim = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>"))
+    )
+    return salted_big.join(salted_dim, [key, "_salt"], how).drop("_salt")

@@ -187,3 +187,25 @@ def test_param_sweep_grid_and_runner(spark):
     agg = {(r["temperature"], r["top_k"]): r["m"] for r in
            runs.groupBy("temperature", "top_k").agg(F.avg("metric").alias("m")).collect()}
     assert agg[(0.0, 10)] == 10.5 and agg[(0.5, 20)] == 20.5
+
+
+def test_salted_equi_join_matches_plain_join(spark):
+    """Salting must not change join semantics — only the key distribution."""
+    from batch_doc_vqa_spark.plans.skew import salted_equi_join
+
+    # 90% of the big side shares one key (the mega-key scenario)
+    big = spark.createDataFrame(
+        [(i, 1 if i % 10 else 2, f"u{i}") for i in range(1000)], "row_id long, k long, src string"
+    )
+    dim = spark.createDataFrame([(1, "hot"), (2, "cold"), (3, "unused")], "k long, label string")
+    plain = {(r["row_id"], r["label"]) for r in big.join(dim, "k").collect()}
+    salted = salted_equi_join(big, dim, "k", n_salts=8, salt_src="src")
+    got = {(r["row_id"], r["label"]) for r in salted.collect()}
+    assert got == plain and len(got) == 1000
+    # the mega-key actually spreads: >1 distinct salt among its rows
+    spread = (
+        big.filter(F.col("k") == 1)
+        .withColumn("_salt", F.pmod(F.xxhash64("src"), F.lit(8)))
+        .select("_salt").distinct().count()
+    )
+    assert spread > 1
