@@ -310,13 +310,103 @@ def _q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # base_hash="md5" (portable_hash64) so DuckDB reproduces the ENTIRE
+    # pipeline — shingle hash, 64-permutation signature, band hashes,
+    # candidate join, est_jaccard — value-for-value. Production default
+    # stays xxhash64 (faster); every other line of the plan is shared.
     docs = _t(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_hashes=64, bands=16)
+    return dedup.minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_hashes=64, bands=16, base_hash="md5")
+
+
+def _minhash_oracle() -> str:
+    """Full SQL reimplementation of the MinHash+LSH pipeline (portable hash)."""
+    from batch_doc_vqa_spark.operators.dedup import _MERSENNE, _hash_family
+
+    a, b = _hash_family(64, seed=7)
+    par_cte = _values_cte("par", ["i", "a", "b"], [(i, a[i], b[i]) for i in range(64)])
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+'), x -> x != '') AS t
+            FROM documents
+        ), shd AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(1, greatest(len(t) - 2, 0) + 1),
+                       i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS s
+            FROM toks
+        ), sh AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % {_MERSENNE} AS h
+            FROM shd
+        ), {par_cte},
+        sig AS (
+            SELECT doc_id, i, MIN((a * h + b) % {_MERSENNE}) AS m
+            FROM sh CROSS JOIN par GROUP BY doc_id, i
+        ), band AS (
+            SELECT doc_id, CAST(i // 4 AS INT) AS band_idx,
+                   CAST(concat('0x', substr(md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)), 1, 15)) AS BIGINT) AS band_hash
+            FROM sig GROUP BY doc_id, CAST(i // 4 AS INT)
+        ), cand AS (
+            SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+            FROM band x JOIN band y
+              ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+        )
+        SELECT c.id_a, c.id_b,
+               ROUND(SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / 64.0, 6) AS est_jaccard
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.id_a
+        JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+        GROUP BY c.id_a, c.id_b
+    """
 
 
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # impl="sql" + portable hash: the signature is 64 JVM sum-aggregates and
+    # DuckDB reproduces the whole pipeline (see _simhash_oracle)
     docs = _t(spark, sf_dir, "documents")
-    return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+    return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3, impl="sql", base_hash="md5")
+
+
+def _simhash_oracle() -> str:
+    """Full SQL reimplementation of SimHash banding + Hamming verify.
+
+    Bits are reconstructed per (doc, j) from weighted token-hash bit sums;
+    16-bit chunks for banding and the Hamming distance are both derived from
+    the same bit table (no 64-bit signed shift pitfalls)."""
+    return """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x != '') AS t
+            FROM documents
+        ), tok AS (
+            SELECT doc_id, unnest(t) AS t FROM toks
+        ), wt AS (
+            SELECT doc_id, t, COUNT(*) AS w FROM tok GROUP BY doc_id, t
+        ), h AS (
+            SELECT doc_id, w, CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h FROM wt
+        ), bits AS (
+            SELECT doc_id, j,
+                   CASE WHEN SUM(w * (2 * ((h >> CAST(j AS INT)) & 1) - 1)) > 0 THEN 1 ELSE 0 END AS bit
+            FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS j) js
+            GROUP BY doc_id, j
+        ), chunkv AS (
+            SELECT doc_id, CAST(j // 16 AS INT) AS chunk_idx,
+                   SUM(bit * (CAST(1 AS BIGINT) << CAST(j % 16 AS INT))) AS chunk
+            FROM bits GROUP BY doc_id, CAST(j // 16 AS INT)
+        ), cand AS (
+            SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+            FROM chunkv x JOIN chunkv y
+              ON x.chunk_idx = y.chunk_idx AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+        ), ham AS (
+            SELECT c.id_a, c.id_b,
+                   CAST(SUM(CASE WHEN ba.bit != bb.bit THEN 1 ELSE 0 END) AS INT) AS hamming
+            FROM cand c
+            JOIN bits ba ON ba.doc_id = c.id_a
+            JOIN bits bb ON bb.doc_id = c.id_b AND bb.j = ba.j
+            GROUP BY c.id_a, c.id_b
+        )
+        SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+    """
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1194,6 +1284,8 @@ def oracle_sql() -> dict[str, str]:
         "region_match_prf": _region_match_oracle(),
         "extract_main_content": _extract_oracle(),
         "bootstrap_median_ci": _bootstrap_ci_oracle(),
+        "minhash_lsh_pairs": _minhash_oracle(),
+        "simhash_pairs": _simhash_oracle(),
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -117,8 +117,33 @@ def _hash_family(num_hashes: int, seed: int = 7) -> tuple[list[int], list[int]]:
     return a, b
 
 
+def portable_hash64(col):
+    """Engine-portable 60-bit hash: first 15 hex chars of md5 as a long.
+
+    Identical in Spark (conv(substr(md5, 1, 15), 16, 10)) and DuckDB
+    (CAST('0x' || substr(md5, 1, 15) AS BIGINT)) — lets the full MinHash
+    pipeline be value-checked against a SQL oracle. xxhash64 is ~10× faster
+    but Spark-only; pick per call site (default stays xxhash64).
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _base_hash(col, base_hash: str):
+    if base_hash == "xxhash64":
+        return F.xxhash64(col)
+    if base_hash == "md5":
+        return portable_hash64(col)
+    raise ValueError(f"unknown base_hash: {base_hash}")
+
+
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 64, seed: int = 7
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    seed: int = 7,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """Per-doc MinHash signature, all JVM-side.
 
@@ -135,7 +160,7 @@ def minhash_signatures(
     a, b = _hash_family(num_hashes, seed)
     p = F.lit(_MERSENNE)
     sh = exploded_shingles(df, id_col, text_col, n).select(
-        "_id", F.pmod(F.xxhash64("sh"), p).alias("_h")
+        "_id", F.pmod(_base_hash(F.col("sh"), base_hash), p).alias("_h")
     )
     agg = sh.groupBy("_id").agg(
         *[
@@ -157,6 +182,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     seed: int = 7,
     max_bucket: int | None = None,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH over MinHash signatures.
 
@@ -179,7 +205,9 @@ def minhash_lsh_pairs(
     # localCheckpoint (not persist): blocks are released when the RDD is GC'd,
     # so a long-lived session doesn't leak cache across calls — persist() would
     # pin a CacheManager entry until an unpersist() no caller can reach.
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed).localCheckpoint(eager=True)
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed, base_hash).localCheckpoint(
+        eager=True
+    )
     # the exploded self-join carries only (id, band_idx, band_hash) — the
     # 64-long signature arrays rejoin *after* candidate dedup, so the shuffle
     # payload stays 3 longs per banded row
@@ -188,7 +216,10 @@ def minhash_lsh_pairs(
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(F.array_join(F.slice(F.col("signature"), i * rows_per_band + 1, rows_per_band), ","))
+                    _base_hash(
+                        F.array_join(F.slice(F.col("signature"), i * rows_per_band + 1, rows_per_band), ","),
+                        base_hash,
+                    )
                     for i in range(bands)
                 ]
             )
@@ -274,6 +305,45 @@ def simhash_udf():
     return F.pandas_udf(simhash_batch_kernel, "long")
 
 
+def simhash_signatures_sql(
+    df: DataFrame, id_col: str, text_col: str, base_hash: str = "xxhash64"
+) -> DataFrame:
+    """Pure-JVM SimHash: (id, sim) with zero Python on the path.
+
+    SimHash is sign(Σ_tokens weight · (2·bit_j − 1)) per bit j — exactly 64
+    sum-aggregates over (doc, token-hash, weight) rows, the same
+    map-side-combined shape as ``minhash_signatures``. Compared to the Arrow
+    UDF variant this stays inside codegen, and with ``base_hash='md5'``
+    (portable_hash64) the whole pipeline is value-checkable against a DuckDB
+    oracle. Note: tokens here are whitespace splits of lower(text) (same rule
+    as the UDF kernel), but the token *hash* differs from pandas' hash_array,
+    so signatures are not bit-identical across impls — Hamming semantics are.
+    Docs with zero tokens produce no row (the UDF impl emits signature 0).
+    """
+    from functools import reduce
+    from operator import add
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.filter(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != F.lit("")).alias("_t"),
+    )
+    wt = toks.select("_id", F.explode("_t").alias("t")).groupBy("_id", "t").agg(
+        F.count(F.lit(1)).alias("w")
+    )
+    h = wt.select("_id", "w", _base_hash(F.col("t"), base_hash).alias("h"))
+    bit = lambda j: F.shiftrightunsigned(F.col("h"), j).bitwiseAND(F.lit(1))  # noqa: E731
+    bits = h.groupBy("_id").agg(
+        *[F.sum(F.col("w") * (bit(j) * 2 - 1)).alias(f"_b{j}") for j in range(_SIMHASH_BITS)]
+    )
+    # assemble the signed 64-bit value: bit 63 contributes -2^63 (two's complement)
+    term = lambda j: F.when(  # noqa: E731
+        F.col(f"_b{j}") > 0, F.lit(-(1 << 63) if j == 63 else (1 << j))
+    ).otherwise(F.lit(0))
+    return bits.select(
+        "_id", reduce(add, [term(j) for j in range(_SIMHASH_BITS)]).alias("sim")
+    )
+
+
 def _simhash_band_keys(scheme: str):
     """Band-key column array for a 64-bit ``sim`` column.
 
@@ -306,17 +376,30 @@ def _simhash_band_keys(scheme: str):
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, scheme: str = "chunk16"
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    scheme: str = "chunk16",
+    impl: str = "udf",
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band (see ``_simhash_band_keys``), then
     verify candidates with bit_count(xor). Both schemes are exact for
     Hamming ≤3 — they find the same pair set; ``pair13`` trades 10 bands for
-    ~2^10-smaller buckets and is the right choice past ~10^9 docs."""
+    ~2^10-smaller buckets and is the right choice past ~10^9 docs.
+
+    ``impl='udf'`` hashes tokens with pandas' hash_array inside an Arrow
+    batch; ``impl='sql'`` computes the signature as pure JVM aggregates
+    (``simhash_signatures_sql``) — same Hamming semantics, different token
+    hash, and with ``base_hash='md5'`` fully reproducible in SQL."""
     # localCheckpoint: computed once for both self-join sides, auto-released
     # on GC (see minhash_lsh_pairs).
-    sh = df.select(F.col(id_col).alias("_id"), simhash_udf()(F.col(text_col)).alias("sim")).localCheckpoint(
-        eager=True
-    )
+    if impl == "sql":
+        sigs = simhash_signatures_sql(df, id_col, text_col, base_hash)
+    else:
+        sigs = df.select(F.col(id_col).alias("_id"), simhash_udf()(F.col(text_col)).alias("sim"))
+    sh = sigs.localCheckpoint(eager=True)
     chunks = sh.select(
         "_id",
         "sim",
