@@ -164,9 +164,35 @@ def _extract_oracle() -> str:
     """
 
 
+_N_HOST_STATS = 2000  # fixed so the VALUES oracle matches at every sf
+
+
 def _q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n = min(2000, rows_for_sf(_sf_of(sf_dir)))
-    return salted_host_stats(pages_df(spark, n, seed=42))
+    return salted_host_stats(pages_df(spark, _N_HOST_STATS, seed=42))
+
+
+def _host_stats_oracle() -> str:
+    """Per-host totals from the pure fixture: the salt is internal to phase 1
+    of the two-phase aggregation and cancels in phase 2, so the oracle only
+    needs the (host, rows, bytes) ground truth."""
+    from collections import defaultdict
+
+    from batch_doc_vqa_spark.sources.pages import page_row
+
+    rows_by: dict[str, int] = defaultdict(int)
+    bytes_by: dict[str, int] = defaultdict(int)
+    for i in range(_N_HOST_STATS):
+        r = page_row(42, i)
+        host = r["url"].split("://", 1)[1].split("/", 1)[0]
+        rows_by[host] += 1
+        bytes_by[host] += len(r["html"])
+    rows = [(h, rows_by[h], bytes_by[h]) for h in sorted(rows_by)]
+    cte = _values_cte("hs", ["host", "n_rows", "n_bytes"], rows)
+    return f"""
+        WITH {cte}
+        SELECT host, CAST(n_rows AS BIGINT) AS n_rows, CAST(n_bytes AS BIGINT) AS n_bytes
+        FROM hs
+    """
 
 
 def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -439,6 +465,72 @@ def _q_embedding_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_embedding_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_dup_pairs_lsh(_emb(spark, sf_dir), dim=64, threshold=0.4)
+
+
+def _hyperplane_sig_sql(vec: str, n_planes: int, dim: int, seed: int) -> str:
+    """SQL expression mirroring similarity.hyperplane_signature bit-for-bit.
+
+    Dot products fold left-to-right over doubles exactly like Spark's
+    ``aggregate`` (list_reduce is the same IEEE fold, verified bit-identical),
+    so the sign bits — and therefore the LSH buckets — match across engines.
+    """
+    import numpy as np
+
+    planes = np.random.RandomState(seed).standard_normal((n_planes, dim))
+    sig = None
+    for p in range(n_planes):
+        lit = "[" + ", ".join(repr(float(x)) for x in planes[p]) + "]"
+        dot = (
+            f"list_reduce(list_transform(list_zip({vec}, CAST({lit} AS DOUBLE[])),"
+            f" pr -> pr[1] * pr[2]), (acc, v) -> acc + v)"
+        )
+        bit = f"(CASE WHEN {dot} >= 0 THEN 1 ELSE 0 END)"
+        sig = bit if sig is None else f"({sig} * 2 + {bit})"
+    return sig
+
+
+def _ann_lsh_oracle() -> str:
+    """Full SQL mirror of multi-table hyperplane LSH top-k (8 tables × 6 planes)."""
+    tables = "\nUNION ALL\n".join(
+        f"SELECT vec_id, v, {t} AS t, {_hyperplane_sig_sql('v', 6, 64, 11 + t)} AS sig FROM emb"
+        for t in range(8)
+    )
+    return f"""
+        WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        sigs AS ({tables}),
+        cand AS (
+            SELECT DISTINCT e.vec_id AS neighbor_id, q.vec_id AS q_id
+            FROM sigs e JOIN sigs q ON e.t = q.t AND e.sig = q.sig
+            WHERE q.vec_id % 50 = 0 AND e.vec_id != q.vec_id),
+        scored AS (
+            SELECT c.q_id, c.neighbor_id,
+                   ROUND(list_cosine_similarity(e.v, q.v), 6) AS cosine
+            FROM cand c
+            JOIN emb e ON e.vec_id = c.neighbor_id
+            JOIN emb q ON q.vec_id = c.q_id)
+        SELECT q_id, neighbor_id, cosine, rank FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    """
+
+
+def _embedding_dup_lsh_oracle() -> str:
+    """Full SQL mirror of the LSH-bucketed embedding near-dup tier."""
+    tables = "\nUNION ALL\n".join(
+        f"SELECT vec_id, v, {t} AS t, {_hyperplane_sig_sql('v', 8, 64, 11 + t)} AS sig FROM emb"
+        for t in range(6)
+    )
+    return f"""
+        WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        sigs AS ({tables}),
+        cand AS (
+            SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+            FROM sigs x JOIN sigs y ON x.t = y.t AND x.sig = y.sig AND x.vec_id < y.vec_id)
+        SELECT c.id_a, c.id_b, ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        FROM cand c JOIN emb a ON a.vec_id = c.id_a JOIN emb b ON b.vec_id = c.id_b
+        WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+    """
 
 
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1286,6 +1378,9 @@ def oracle_sql() -> dict[str, str]:
         "bootstrap_median_ci": _bootstrap_ci_oracle(),
         "minhash_lsh_pairs": _minhash_oracle(),
         "simhash_pairs": _simhash_oracle(),
+        "host_stats_salted": _host_stats_oracle(),
+        "ann_lsh_topk": _ann_lsh_oracle(),
+        "embedding_dup_pairs_lsh": _embedding_dup_lsh_oracle(),
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
