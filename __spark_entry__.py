@@ -852,6 +852,39 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.session_stats(_t(spark, sf_dir, "events"))
 
 
+def _docs_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+
+
+def _media_features_oracle() -> str:
+    """f_i = byte i of sha256 / 255, rounded 6 — bytes via hex-pair instr."""
+    byte = (
+        lambda i: f"((instr('0123456789abcdef', substr(sha, {2 * i + 1}, 1)) - 1) * 16"
+        f" + (instr('0123456789abcdef', substr(sha, {2 * i + 2}, 1)) - 1))"
+    )
+    cols = ",\n                   ".join(
+        f"ROUND({byte(i)} / 255.0, 6) AS f{i}" for i in range(8)
+    )
+    return f"""
+        WITH m AS (
+          SELECT CAST(doc_id AS VARCHAR) AS media_id, sha256(text) AS sha FROM documents)
+        SELECT media_id,
+                   {cols}
+        FROM m
+    """
+
+
+def _q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.resize_media(_docs_as_media(spark, sf_dir), "media_id", "payload", 256, 256)
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.extract_features(_docs_as_media(spark, sf_dir), "media_id", "payload")
+
+
 def _q_sweep_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X11: condition grid × seeded trials → A17 mean-per-condition. The
     trial metric is a pure function of (condition, trial) so DuckDB mirrors
@@ -1002,6 +1035,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "summary_stats": _q_summary_stats,
         "sessionize_events": _q_sessionize,
         "media_base64": _q_media_base64,
+        "media_resize": _q_media_resize,
+        "media_features": _q_media_features,
         "legacy_alias_rewrite": _q_legacy_alias,
         "sweep_grid": _q_sweep_grid,
         "best_supplier_flags": _q_best_supplier_flags,
@@ -1799,6 +1834,24 @@ def oracle_sql() -> dict[str, str]:
             FROM sess GROUP BY user_id, session_idx
         """,
         "lang_id_trigram": _lang_trigram_oracle(),
+        # hex-pair byte extraction as in media_probe; resize math mirrors the
+        # kernel expression shape exactly (same IEEE ops -> same floor)
+        "media_resize": """
+            WITH m AS (
+              SELECT CAST(doc_id AS VARCHAR) AS media_id, sha256(text) AS sha FROM documents),
+            d AS (SELECT media_id,
+                   320 + (instr('0123456789abcdef', substr(sha, 1, 1)) - 1) * 16
+                       + (instr('0123456789abcdef', substr(sha, 2, 1)) - 1) AS w,
+                   240 + (instr('0123456789abcdef', substr(sha, 3, 1)) - 1) * 16
+                       + (instr('0123456789abcdef', substr(sha, 4, 1)) - 1) AS h
+              FROM m),
+            s AS (SELECT *, least(1.0, 256.0 / w, 256.0 / h) AS sc FROM d)
+            SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                   CAST(FLOOR(w * sc) AS INT) AS out_w,
+                   CAST(FLOOR(h * sc) AS INT) AS out_h
+            FROM s
+        """,
+        "media_features": _media_features_oracle(),
         "media_probe": """
             WITH m AS (
               SELECT CAST(doc_id AS VARCHAR) AS media_id, 'blob' AS kind,

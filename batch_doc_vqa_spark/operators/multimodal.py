@@ -116,3 +116,62 @@ def base64_payloads(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
         b64.alias("payload_b64"),
         F.concat(F.lit("data:application/octet-stream;base64,"), b64).alias("data_url"),
     )
+
+
+RESIZE_SCHEMA = "media_id string, width int, height int, out_w int, out_h int"
+
+
+def resize_media(df: DataFrame, id_col: str, bin_col: str, max_w: int = 256, max_h: int = 256) -> DataFrame:
+    """Aspect-preserving resize plumbing (decode stubbed, math real).
+
+    Source dims come from the stub decode; the clamp is the real production
+    formula: scale = min(1, max_w/w, max_h/h), out = floor(dim·scale). When a
+    codec lands, only ``_stub_decode`` changes.
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out: dict[str, list] = {"media_id": [], "width": [], "height": [], "out_w": [], "out_h": []}
+            for mid, payload in zip(b[id_col].astype(str), b[bin_col]):
+                if not payload:
+                    continue
+                w, h, _ = _stub_decode(payload)
+                s = min(1.0, max_w / w, max_h / h)
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["out_w"].append(int(w * s))
+                out["out_h"].append(int(h * s))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(resize, schema=RESIZE_SCHEMA)
+
+
+FEATURE_DIM = 8
+FEATURES_SCHEMA = "media_id string, " + ", ".join(f"f{i} double" for i in range(FEATURE_DIM))
+
+
+def extract_features(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+    """Feature-extraction plumbing: payload → fixed-dim float features.
+
+    The embedding model is stubbed deterministically (sha256 bytes / 255,
+    rounded to 6); the Arrow batch shape, fixed-dim schema, and per-column
+    layout (f0..f7 — arrays crash hash canonicalizers and lose pushdown) are
+    the production pattern a real encoder drops into.
+    """
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out: dict[str, list] = {"media_id": []}
+            for i in range(FEATURE_DIM):
+                out[f"f{i}"] = []
+            for mid, payload in zip(b[id_col].astype(str), b[bin_col]):
+                if payload is None:
+                    continue
+                digest = hashlib.sha256(payload).digest()
+                out["media_id"].append(mid)
+                for i in range(FEATURE_DIM):
+                    out[f"f{i}"].append(round(digest[i] / 255.0, 6))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(feats, schema=FEATURES_SCHEMA)
