@@ -453,8 +453,15 @@ def resolve_clusters(ids: DataFrame, pairs: DataFrame, id_col: str = "doc_id", m
         msgs = edges.join(
             labels.select(F.col("id").alias("src"), F.col("label").alias("_ml")), "src"
         ).select(F.col("dst").alias("id"), F.col("_ml").alias("label"))
+        prop = labels.unionByName(msgs).groupBy("id").agg(F.min("label").alias("label"))
+        # pointer jumping: label <- min(label, label-of-label). Plain neighbor
+        # propagation converges in O(cluster diameter) rounds — a pathological
+        # chain would exceed max_iter; the shortcut halves the distance to the
+        # cluster minimum every round, giving O(log diameter).
+        lut = prop.select(F.col("id").alias("label"), F.col("label").alias("_ll"))
         new_labels = (
-            labels.unionByName(msgs).groupBy("id").agg(F.min("label").alias("label"))
+            prop.join(lut, "label", "left")
+            .select("id", F.least(F.col("label"), F.coalesce(F.col("_ll"), F.col("label"))).alias("label"))
         ).localCheckpoint(eager=True)
         changed = (
             new_labels.select("id", F.col("label").alias("_new"))

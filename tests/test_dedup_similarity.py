@@ -232,3 +232,13 @@ def test_minhash_max_bucket_caps_megabuckets(spark, corpus):
     assert planted & full == planted & capped
     none_left = dedup.minhash_lsh_pairs(corpus, "doc_id", "text", max_bucket=1).count()
     assert none_left == 0
+
+
+def test_resolve_clusters_long_chain_converges(spark):
+    """A 200-node path graph has diameter 199: plain min-label propagation
+    would need 199 rounds; pointer jumping converges within max_iter=30."""
+    n = 200
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+    got = {r["id"]: r["cluster_id"] for r in dedup.resolve_clusters(ids, pairs).collect()}
+    assert got == {i: 0 for i in range(n)}
