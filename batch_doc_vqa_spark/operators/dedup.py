@@ -443,8 +443,12 @@ def resolve_clusters(ids: DataFrame, pairs: DataFrame, id_col: str = "doc_id", m
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # iterate only over edge-endpoint nodes: singletons can never change label,
+    # and dup candidates are a small fraction of the corpus — at 10^11 docs
+    # this shrinks every round's join from corpus-size to candidate-size.
+    # Singletons rejoin as their own cluster at the end.
     labels = (
-        ids.select(F.col(id_col).alias("id"))
+        edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
@@ -473,7 +477,13 @@ def resolve_clusters(ids: DataFrame, pairs: DataFrame, id_col: str = "doc_id", m
         labels = new_labels
         if changed == 0:
             break
-    return labels.select("id", F.col("label").alias("cluster_id"))
+    resolved = labels.select("id", F.col("label").alias("cluster_id"))
+    return (
+        ids.select(F.col(id_col).alias("id"))
+        .distinct()
+        .join(resolved, "id", "left")
+        .select("id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id"))
+    )
 
 
 def dedup_resolve(
