@@ -51,7 +51,7 @@ BENCH_QUERIES = [
 ]
 
 
-REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
 
 def best_of(fn, reps: int = REPS) -> float:
