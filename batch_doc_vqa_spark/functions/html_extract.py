@@ -161,6 +161,13 @@ def _tokenize(doc: str) -> list[tuple[str, str, str, int, int]]:
 
 
 def _normalize(raw: str) -> str:
+    # early strip: whitespace-only fragments (the text between adjacent tags)
+    # skip unescape + regex entirely. Equivalent to collapsing first: edge
+    # whitespace dies either way, and entities can't span the strip boundary;
+    # the final strip catches entity-introduced edge whitespace (&nbsp; → \xa0).
+    raw = raw.strip()
+    if not raw:
+        return ""
     if "&" in raw:  # unescape only when an entity can exist (hot-path save)
         raw = _html.unescape(raw)
     return _WS_RE.sub(" ", raw).strip()
