@@ -209,3 +209,21 @@ def test_salted_equi_join_matches_plain_join(spark):
         .select("_salt").distinct().count()
     )
     assert spread > 1
+
+
+def test_jsonl_pages_roundtrip_and_extract(spark, tmp_path):
+    """JSONL interchange: write pages as JSONL+base64, read back with explicit
+    schema, payload bytes identical, extraction output identical."""
+    from batch_doc_vqa_spark.sources import read_pages_jsonl, write_pages_jsonl
+
+    pages = pages_df(spark, 80, seed=SEED)
+    path = str(tmp_path / "pages_jsonl")
+    write_pages_jsonl(pages, path)
+    back = read_pages_jsonl(spark, path)
+    assert back.schema.simpleString() == pages.schema.simpleString()
+    a = {r["url"]: bytes(r["html"]) for r in pages.collect()}
+    b = {r["url"]: bytes(r["html"]) for r in back.collect()}
+    assert a == b
+    out = str(tmp_path / "jsonl_out")
+    s = run_extraction(spark, back, out, run_id="jsonl", num_buckets=4)
+    assert s["n_docs"] == 80 and s["n_failed"] == 0
