@@ -565,6 +565,10 @@ def _q_lang_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.lang_id_trigram(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def _q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.corpus_profile(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Arrays crash the driver's canonicalizer (unhashable in pandas sort), so
     # serialize the fingerprint list to a CSV string; the DuckDB oracle
@@ -1043,6 +1047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "publish_gate": _q_publish_gate,
         "lang_id_trigram": _q_lang_id_trigram,
         "winnow_fingerprints": _q_winnow,
+        "corpus_profile": _q_corpus_profile,
         "media_probe": _q_media_probe,
         "split_pages": _q_split_pages,
     }
@@ -1676,6 +1681,14 @@ def oracle_sql() -> dict[str, str]:
                         WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 'fr'
                         ELSE 'es' END AS lang_guess
             FROM s
+        """,
+        "corpus_profile": f"""
+            SELECT COUNT(*) AS n_docs,
+                   COUNT(DISTINCT md5(text)) AS n_distinct,
+                   ROUND(CAST(SUM(CAST(length(text) AS DECIMAL(28,0))) AS DOUBLE) / COUNT(*), 6) AS mean_chars,
+                   CAST(MEDIAN(length(text)) AS DOUBLE) AS median_chars,
+                   CAST(SUM(len({_TOKS})) AS BIGINT) AS total_ws_tokens
+            FROM documents
         """,
         "token_counts": f"""
             SELECT doc_id,

@@ -182,3 +182,30 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.md5(norm).alias("fp_md5"),
         F.sha2(norm, 256).alias("fp_sha256"),
     )
+
+
+def corpus_profile(df: DataFrame, id_col: str, text_col: str, approximate: bool = False) -> DataFrame:
+    """One-row corpus profile: doc count, distinct-content count, length stats.
+
+    ``approximate=True`` is the 100 TB tier: HyperLogLog distinct
+    (approx_count_distinct) and sketch quantiles (percentile_approx) — fixed
+    memory per partial, no giant exact-distinct shuffle. The exact tier is the
+    small-scale oracle; tests bound the approx tier's relative error.
+    """
+    fp = F.md5(F.col(text_col))
+    n_chars = F.length(F.col(text_col))
+    if approximate:
+        distinct = F.approx_count_distinct(fp).alias("n_distinct")
+        median = F.percentile_approx(n_chars, 0.5).alias("median_chars")
+    else:
+        distinct = F.countDistinct(fp).alias("n_distinct")
+        median = F.median(n_chars).cast("double").alias("median_chars")
+    return df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        distinct,
+        F.round(F.sum(n_chars.cast("decimal(28,0)")).cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_chars"
+        ),
+        median,
+        F.sum(F.size(_tokens(F.col(text_col))).cast("long")).alias("total_ws_tokens"),
+    )

@@ -92,3 +92,17 @@ def test_multimodal_probe_and_frames(spark):
     # deterministic: same input → same frame hashes
     again = multimodal.sample_frames(df, "media_id", "payload", every_ms=1000)
     assert sorted(map(tuple, frames.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_corpus_profile_approx_tier_bounds(spark, sf_dir):
+    """The HLL/sketch tier must land within 5% of the exact tier on distinct
+    count and median — the scale path's accuracy contract."""
+    from batch_doc_vqa_spark.operators import textstats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = textstats.corpus_profile(docs, "doc_id", "text").collect()[0]
+    approx = textstats.corpus_profile(docs, "doc_id", "text", approximate=True).collect()[0]
+    assert approx["n_docs"] == exact["n_docs"]
+    assert abs(approx["n_distinct"] - exact["n_distinct"]) <= 0.05 * exact["n_distinct"]
+    assert abs(approx["median_chars"] - exact["median_chars"]) <= 0.05 * exact["median_chars"]
+    assert approx["total_ws_tokens"] == exact["total_ws_tokens"]
