@@ -32,6 +32,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
+from . import pdf_real
 from .pdf_extract import SPDF_MAGIC, extract_spdf
 
 # ---------------------------------------------------------------- tokenizer
@@ -77,7 +78,7 @@ MIN_YIELD_CHARS = 150
 class ExtractResult:
     text: str
     spans: list[tuple[int, int, str]]  # (start, end, label) into ``text``
-    status: str  # 'ok' | 'ok_recall' | 'empty' | 'pdf' | 'error'
+    status: str  # 'ok' | 'ok_recall' | 'empty' | 'pdf' | 'pdf_text' | 'unsupported_format' | 'error'
     error: str = ""
 
 
@@ -260,13 +261,26 @@ def extract_html(payload: bytes | str) -> ExtractResult:
 
 
 def extract_payload(payload: bytes) -> ExtractResult:
-    """Dispatch on payload type: SPDF binary layout vs HTML bytes."""
+    """Dispatch on payload type: SPDF layout, real %PDF-, or HTML bytes.
+
+    Real PDFs (what the reference rasterizes via ``pdf_to_imgs``,
+    /root/reference/src/batch_doc_vqa/utils/image_processing.py:8-53) go to
+    the text-layer parser; outside its supported subset they fail LOUDLY as
+    ``status='unsupported_format'`` lineage rows — binary payloads are never
+    fed to the HTML tokenizer (which would "extract" garbage with status ok).
+    """
     try:
         if payload is None:
             return ExtractResult("", [], "empty")
         if payload[: len(SPDF_MAGIC)] == SPDF_MAGIC:
             text, spans = extract_spdf(payload)
             return ExtractResult(text, spans, "pdf")
+        if pdf_real.looks_like_pdf(payload):
+            try:
+                text, spans = pdf_real.extract_pdf_text(payload)
+                return ExtractResult(text, spans, "pdf_text")
+            except pdf_real.UnsupportedPdf as exc:
+                return ExtractResult("", [], "unsupported_format", str(exc))
         return extract_html(payload)
     except Exception as exc:  # record-and-continue: failures become lineage rows
         return ExtractResult("", [], "error", f"{type(exc).__name__}: {exc}")

@@ -20,6 +20,8 @@ are reproducible across runs and partitionings.
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -268,14 +270,36 @@ def minhash_lsh_pairs(
 _SIMHASH_BITS = 64
 
 
+def stable_token_hash64(tokens: list[str]) -> np.ndarray:
+    """Pinned 64-bit token hash: first 8 bytes (little-endian) of md5(utf-8).
+
+    md5 is contractually frozen forever, so signatures persisted to a dedup
+    index survive any pandas/numpy upgrade — unlike ``pd.util.hash_array``,
+    which is stable only within a pandas release. Hashing runs once per
+    UNIQUE token in the batch (np.unique + inverse scatter), so the Python
+    md5 loop is O(batch vocabulary), not O(token count).
+    """
+    uniq, inv = np.unique(np.asarray(tokens, dtype=object), return_inverse=True)
+    h = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "little")
+            for t in uniq
+        ),
+        dtype=np.uint64,
+        count=len(uniq),
+    )
+    return h[inv]
+
+
 def simhash_batch_kernel(texts: pd.Series) -> pd.Series:
     """Pure batch kernel: text series → int64 SimHash series.
 
     Vectorized across the WHOLE batch, not per doc: one tokenize pass, one
-    hash_array over every token, one groupby((doc, hash)) for weights, one
-    scatter-add into the (n_docs, 64) bit-score matrix. Identical output to
-    the per-doc formulation (contributions are additive per hash), ~10×
-    less per-doc Python overhead. Property-tested against the per-doc form.
+    stable hash over every unique token, one groupby((doc, hash)) for
+    weights, one scatter-add into the (n_docs, 64) bit-score matrix.
+    Identical output to the per-doc formulation (contributions are additive
+    per hash), ~10× less per-doc Python overhead. Property-tested against
+    the per-doc form.
     """
     n = len(texts)
     out = np.zeros(n, dtype=np.uint64)
@@ -284,8 +308,8 @@ def simhash_batch_kernel(texts: pd.Series) -> pd.Series:
     flat = [t for lst in toks for t in lst]
     if flat:
         doc_idx = np.repeat(np.arange(n), lens)
-        # deterministic 64-bit token hashes via pandas (xxhash-free, stable)
-        hashes = pd.util.hash_array(np.asarray(flat, dtype=object)).astype(np.uint64)
+        # pinned (environment-upgrade-proof) 64-bit token hashes
+        hashes = stable_token_hash64(flat)
         grp = pd.DataFrame({"d": doc_idx, "h": hashes}).groupby(["d", "h"], sort=False).size()
         d = grp.index.get_level_values(0).to_numpy(dtype=np.int64)
         h = grp.index.get_level_values(1).to_numpy().astype(np.uint64)
@@ -381,7 +405,7 @@ def simhash_pairs(
     text_col: str,
     max_hamming: int = 3,
     scheme: str = "chunk16",
-    impl: str = "udf",
+    impl: str = "sql",
     base_hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band (see ``_simhash_band_keys``), then
@@ -389,10 +413,13 @@ def simhash_pairs(
     Hamming ≤3 — they find the same pair set; ``pair13`` trades 10 bands for
     ~2^10-smaller buckets and is the right choice past ~10^9 docs.
 
-    ``impl='udf'`` hashes tokens with pandas' hash_array inside an Arrow
-    batch; ``impl='sql'`` computes the signature as pure JVM aggregates
-    (``simhash_signatures_sql``) — same Hamming semantics, different token
-    hash, and with ``base_hash='md5'`` fully reproducible in SQL."""
+    ``impl='sql'`` (default — the persisted-signature path) computes the
+    signature as pure JVM aggregates (``simhash_signatures_sql``): zero
+    Python, and the token hash (xxhash64 or portable md5) is frozen by the
+    engine contract. ``impl='udf'`` hashes tokens inside an Arrow batch with
+    the pinned md5-based ``stable_token_hash64`` — same Hamming semantics,
+    different token hash, so signatures are not interchangeable across impls
+    (equivalence is on the PAIR SET, tested)."""
     # localCheckpoint: computed once for both self-join sides, auto-released
     # on GC (see minhash_lsh_pairs).
     if impl == "sql":
@@ -486,6 +513,18 @@ def resolve_clusters(ids: DataFrame, pairs: DataFrame, id_col: str = "doc_id", m
     )
 
 
+def _keep_one(ids: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """pairs → clusters → (id, cluster_id, keep, cluster_size) keep-one frame."""
+    clusters = resolve_clusters(ids.select(id_col), pairs, id_col=id_col)
+    sizes = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return clusters.join(sizes, "cluster_id").select(
+        "id",
+        "cluster_id",
+        (F.col("id") == F.col("cluster_id")).alias("keep"),
+        "cluster_size",
+    )
+
+
 def dedup_resolve(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
 ) -> DataFrame:
@@ -493,18 +532,36 @@ def dedup_resolve(
 
     Returns (id, cluster_id, keep, cluster_size): ``keep`` marks the canonical
     (minimum-id) member of each near-dup cluster. Built on the exact-pair tier
-    so it is SQL-oracle-checkable; at 100 TB swap ``jaccard_pairs`` for
-    ``minhash_lsh_pairs`` — the resolution plan is identical.
+    so it is SQL-oracle-checkable; ``dedup_resolve_lsh`` is the same resolution
+    plan on MinHash+LSH candidates — the composition a 100 TB dedup ships.
     """
     pairs = jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold)
-    clusters = resolve_clusters(df.select(id_col), pairs, id_col=id_col)
-    sizes = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return (
-        clusters.join(sizes, "cluster_id")
-        .select(
-            "id",
-            "cluster_id",
-            (F.col("id") == F.col("cluster_id")).alias("keep"),
-            "cluster_size",
-        )
-    )
+    return _keep_one(df, pairs, id_col)
+
+
+def dedup_resolve_lsh(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 7,
+    max_bucket: int | None = None,
+    base_hash: str = "xxhash64",
+) -> DataFrame:
+    """The scale dedup composition end-to-end: MinHash+LSH candidate pairs
+    (est_jaccard ≥ threshold) → connected components → keep-one.
+
+    This is the plan a 10^12-document dedup actually runs — every stage is
+    corpus-linear (banded LSH candidates, min-label-propagation components) —
+    exercised as one pipeline rather than swapping tiers on paper. With
+    ``base_hash='md5'`` the whole thing is value-checkable against a DuckDB
+    oracle (portable hash, see ``portable_hash64``).
+    """
+    pairs = minhash_lsh_pairs(
+        df, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands,
+        seed=seed, max_bucket=max_bucket, base_hash=base_hash,
+    ).filter(F.col("est_jaccard") >= threshold)
+    return _keep_one(df, pairs, id_col)

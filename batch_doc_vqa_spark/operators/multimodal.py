@@ -82,7 +82,7 @@ def sample_frames(df: DataFrame, id_col: str, bin_col: str, every_ms: int = 5000
         for b in batches:
             out: dict[str, list] = {"media_id": [], "frame_idx": [], "ts_ms": [], "frame_sha": []}
             for mid, payload in zip(b[id_col].astype(str), b[bin_col]):
-                if not payload:
+                if payload is None:
                     continue
                 _, _, dur = _stub_decode(payload)
                 for idx, ts in enumerate(range(0, dur, every_ms)):
@@ -133,7 +133,10 @@ def resize_media(df: DataFrame, id_col: str, bin_col: str, max_w: int = 256, max
         for b in batches:
             out: dict[str, list] = {"media_id": [], "width": [], "height": [], "out_w": [], "out_h": []}
             for mid, payload in zip(b[id_col].astype(str), b[bin_col]):
-                if not payload:
+                # only NULL payloads skip (same contract as extract_features);
+                # zero-byte payloads still decode — silently dropping them
+                # would lose rows with no status/quarantine trace
+                if payload is None:
                     continue
                 w, h, _ = _stub_decode(payload)
                 s = min(1.0, max_w / w, max_h / h)

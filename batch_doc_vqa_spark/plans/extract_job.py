@@ -102,7 +102,11 @@ def run_extraction(
         todo = pages.join(done, "url", "left_anti")
 
     bucketed = with_salted_partition(todo, num_buckets, target_rows_per_task=target_rows_per_task)
-    failure_statuses = ("error", "empty") if strict else ("error",)
+    # unsupported_format (e.g. encrypted / non-Flate real PDFs) is always a
+    # recorded failure — a binary payload must never pass as extracted text
+    failure_statuses = (
+        ("error", "unsupported_format", "empty") if strict else ("error", "unsupported_format")
+    )
     is_failed = F.col("_ex.status").isin(*failure_statuses)
     extracted = (
         bucketed.withColumn("_ex", extract_udf(F.col("html")))

@@ -23,11 +23,17 @@ def publish_reject_reason(
     text_col: str | None = None,
     numeric_cols: tuple[str, ...] = (),
     json_cols: tuple[str, ...] = (),
+    decode_status_col: str | None = None,
+    allowed_decode: tuple[str, ...] = ("ok",),
 ):
     """Column expr: first failed validation rule, or NULL if publishable.
 
     Rule order (first match wins, mirroring the reference's short-circuit
-    validation): empty text → PII → non-finite numerics → unparseable JSON.
+    validation): empty text → PII → non-finite numerics → unparseable JSON →
+    un-decoded media. ``decode_status_col`` is the strict-mode contract for
+    multimodal rows: stub-decoded metadata (``decode_status='stub'``, see
+    operators/multimodal.py) must never reach the published archive — it
+    quarantines as ``stub_decode`` until a real codec sets status 'ok'.
     """
     checks = []
     if text_col is not None:
@@ -40,6 +46,8 @@ def publish_reject_reason(
     for c in json_cols:
         col = F.col(c)
         checks.append((col.isNotNull() & F.get_json_object(col, "$").isNull(), "bad_json"))
+    if decode_status_col is not None:
+        checks.append((~F.col(decode_status_col).isin(*allowed_decode), "stub_decode"))
     reason = F.lit(None).cast("string")
     for cond, label in reversed(checks):
         reason = F.when(cond, F.lit(label)).otherwise(reason)
@@ -53,11 +61,26 @@ def publish_run(
     text_col: str | None = "text",
     numeric_cols: tuple[str, ...] = (),
     json_cols: tuple[str, ...] = (),
+    decode_status_col: str | None = None,
 ) -> dict:
-    """Gate → split → append. Returns {'published': n, 'quarantined': n}."""
+    """Gate → split → append. Returns THIS RUN's {'published': n, 'quarantined': n}.
+
+    Counts come from one tiny aggregate over the tagged frame *before* the
+    writes — not a read-back of the cumulative tables (which would cost two
+    extra full scans per publish at scale and report prior runs' rows as this
+    run's). The tagged frame is localCheckpointed so the gate classifier runs
+    once, and count + both writes reuse the same materialization.
+    """
     tagged = results.withColumn(
-        "_reject", publish_reject_reason(text_col, numeric_cols, json_cols)
-    )
+        "_reject",
+        publish_reject_reason(text_col, numeric_cols, json_cols, decode_status_col),
+    ).localCheckpoint(eager=True)
+    counts = {
+        r["_k"]: r["n"]
+        for r in tagged.groupBy(F.col("_reject").isNull().alias("_k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
     tagged.filter(F.col("_reject").isNull()).drop("_reject").write.mode("append").parquet(
         f"{out_dir}/published"
     )
@@ -65,6 +88,4 @@ def publish_run(
         "_reject", "reject_reason"
     )
     quarantined.write.mode("append").parquet(f"{out_dir}/quarantine")
-    pub = spark.read.parquet(f"{out_dir}/published").count()
-    quar = spark.read.parquet(f"{out_dir}/quarantine").count()
-    return {"published": pub, "quarantined": quar}
+    return {"published": counts.get(True, 0), "quarantined": counts.get(False, 0)}

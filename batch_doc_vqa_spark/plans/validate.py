@@ -1,0 +1,112 @@
+"""Field-schema validation ladder (X6 completion + P6 corrections log).
+
+The reference validates structured extraction payloads against Draft 2020-12
+JSON Schemas with a strict→retry→coerce ladder: validation errors are
+collected per field path (/root/reference/src/batch_doc_vqa/openrouter/
+extraction_adapter.py:52-67), failed payloads are either rejected outright or
+coerced with a ``_schema_corrections`` list recorded on the row
+(openrouter/inference.py:2028-2034). The ta-benchmark preset pins the subset
+that actually appears in its schemas: field type, regex pattern, required
+(ta_benchmark/schema.py).
+
+Engine form: a rule = (field, type, pattern, required). All checks are pure
+column predicates (zero Python on the path):
+
+- ``strict=True``  ⇒ any violating field fails the whole row: ``valid=false``
+  with ``first_violation`` naming the field+rule, raw values preserved for
+  the quarantine/lineage sink (X6 fail-row branch).
+- ``strict=False`` ⇒ violating fields are nulled (or type-coerced via
+  try_cast when only the declared type was violated) and every correction is
+  appended to a ``corrections`` array column — the engine's
+  ``_schema_corrections`` log; the row stays ``valid=true``.
+
+Violation precedence per field mirrors jsonschema's error ordering for flat
+object schemas: required (missing) → type → pattern; first match wins.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class FieldRule:
+    """One flat-object schema property: the Draft 2020-12 subset the
+    reference's presets use (type / pattern / required)."""
+
+    field: str
+    dtype: str = "string"  # Spark cast target: 'string' | 'bigint' | 'double' | ...
+    pattern: str | None = None  # anchored Java regex, checked on the raw string
+    required: bool = False
+
+
+def _violation(rule: FieldRule) -> Column:
+    """First violated sub-rule for this field, or NULL when conformant."""
+    raw = F.col(rule.field)
+    blank = raw.isNull() | (F.trim(raw.cast("string")) == "")
+    checks: list[tuple[Column, str]] = []
+    if rule.required:
+        checks.append((blank, "required"))
+    if rule.dtype != "string":
+        checks.append((~blank & raw.try_cast(rule.dtype).isNull(), "type"))
+    if rule.pattern is not None:
+        checks.append((~blank & ~raw.cast("string").rlike(rule.pattern), "pattern"))
+    out = F.lit(None).cast("string")
+    for cond, label in reversed(checks):
+        out = F.when(cond, F.lit(label)).otherwise(out)
+    return out
+
+
+def validate_coerce(df: DataFrame, rules: list[FieldRule], strict: bool = False) -> DataFrame:
+    """Apply the schema ladder. Adds ``valid``, ``first_violation`` and (in
+    lenient mode) a ``corrections`` array; field columns are replaced by their
+    validated (strict) or coerced (lenient) values.
+
+    Lenient coercion per field: 'type' violations try_cast to the declared
+    type (→ NULL when uncastable — the cast itself is the coercion);
+    'required'/'pattern' violations null the field. Every correction is
+    logged as ``'<field>:<rule>'`` in rule order — the reference's
+    ``_schema_corrections`` analogue (openrouter/inference.py:2028-2034).
+    """
+    tagged = df.select(
+        "*", *[_violation(r).alias(f"_v_{r.field}") for r in rules]
+    )
+    viol = lambda r: F.col(f"_v_{r.field}")  # noqa: E731
+
+    first = F.lit(None).cast("string")
+    for r in reversed(rules):
+        first = F.when(
+            viol(r).isNotNull(), F.format_string(f"{r.field}:%s", viol(r))
+        ).otherwise(first)
+
+    if strict:
+        out = tagged.withColumn("first_violation", first).withColumn(
+            "valid", F.col("first_violation").isNull()
+        )
+        return out.drop(*[f"_v_{r.field}" for r in rules])
+
+    corrections = F.array_compact(
+        F.array(
+            *[
+                F.when(viol(r).isNotNull(), F.format_string(f"{r.field}:%s", viol(r)))
+                for r in rules
+            ]
+        )
+    )
+    out = tagged
+    for r in rules:
+        # try_cast even on the conformant path: a blank optional numeric field
+        # has no violation but would blow up an ANSI cast — it coerces to NULL
+        coerced = F.when(
+            viol(r).isNull() | (viol(r) == "type"), F.col(r.field).try_cast(r.dtype)
+        ).otherwise(F.lit(None).cast(r.dtype))
+        out = out.withColumn(r.field, coerced)
+    return (
+        out.withColumn("corrections", corrections)
+        .withColumn("first_violation", first)
+        .withColumn("valid", F.lit(True))
+        .drop(*[f"_v_{r.field}" for r in rules])
+    )

@@ -48,6 +48,12 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "embedding_dup_pairs_lsh",
     "publish_gate",
+    # round 3: the scale dedup composition, schema ladder, cohort pipeline,
+    # and real-PDF extraction
+    "dedup_resolve_lsh",
+    "validate_coerce",
+    "cohort_stats",
+    "pdf_text_extract",
 ]
 
 

@@ -31,6 +31,10 @@ INTERESTING = [
     "ann_cosine_topk",
     "pareto_parts",
     "events_hourly",
+    "dedup_resolve_lsh",
+    "validate_coerce",
+    "cohort_stats",
+    "pdf_text_extract",
 ]
 
 

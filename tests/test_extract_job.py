@@ -162,6 +162,91 @@ def test_publish_gate_quarantines_invalid_rows(spark, tmp_path):
     assert "reject_reason" not in pub.columns
 
 
+def test_publish_counts_are_per_run_not_cumulative(spark, tmp_path):
+    """Two publishes into one dir each report THEIR OWN rows (no read-back
+    of the cumulative tables)."""
+    from batch_doc_vqa_spark.plans import publish_run
+
+    out = str(tmp_path / "pub2")
+    first = spark.createDataFrame(
+        [(1, "clean row one"), (2, "")], "id long, text string"
+    )
+    second = spark.createDataFrame(
+        [(3, "clean row two"), (4, "clean row three"), (5, "")], "id long, text string"
+    )
+    c1 = publish_run(spark, first, out, text_col="text")
+    c2 = publish_run(spark, second, out, text_col="text")
+    assert c1 == {"published": 1, "quarantined": 1}
+    assert c2 == {"published": 2, "quarantined": 1}  # NOT 3/2 cumulative
+    # the tables themselves are cumulative appends
+    assert spark.read.parquet(f"{out}/published").count() == 3
+    assert spark.read.parquet(f"{out}/quarantine").count() == 2
+
+
+def test_backfill_merge_rewrites_only_candidate_partitions(spark, tmp_path):
+    """MERGE-shaped enrichment: untouched bucket directories stay
+    byte-identical; only buckets with cost-receiving rows are rewritten;
+    rerun is a no-op (openrouter/api.py:501-560 analogue at scale)."""
+    import hashlib
+    import os
+
+    from batch_doc_vqa_spark.plans.enrich import backfill_costs_merge
+
+    tdir = str(tmp_path / "results")
+    rows = [
+        # bucket 0: one pending-cost row that WILL receive a cost
+        (0, "u0", "gen-0", None), (0, "u1", "gen-1", 0.5),
+        # bucket 1: pending row whose gid has NO incoming cost → untouched
+        (1, "u2", "gen-9", None), (1, "u3", None, None),
+        # bucket 2: nothing pending → untouched
+        (2, "u4", "gen-4", 0.25),
+    ]
+    spark.createDataFrame(
+        rows, "bucket int, url string, generation_id string, actual_cost double"
+    ).write.partitionBy("bucket").parquet(tdir)
+
+    def fingerprint(bucket: int) -> dict[str, str]:
+        d = f"{tdir}/bucket={bucket}"
+        return {
+            f: hashlib.md5(open(os.path.join(d, f), "rb").read()).hexdigest()
+            for f in sorted(os.listdir(d))
+            if f.endswith(".parquet")
+        }
+
+    before = {b: fingerprint(b) for b in (1, 2)}
+    costs = spark.createDataFrame([("gen-0", 0.125)], "generation_id string, actual_cost double")
+    out = backfill_costs_merge(spark, tdir, costs, "bucket")
+    assert out["rewritten_partitions"] == 1 and out["merged_rows"] == 2
+    # untouched buckets: identical file names AND identical bytes
+    assert {b: fingerprint(b) for b in (1, 2)} == before
+    got = {r["url"]: r["actual_cost"] for r in spark.read.parquet(tdir).collect()}
+    assert got == {"u0": 0.125, "u1": 0.5, "u2": None, "u3": None, "u4": 0.25}
+    # idempotent: second run finds no candidate×cost matches → zero rewrites
+    assert backfill_costs_merge(spark, tdir, costs, "bucket") == {
+        "rewritten_partitions": 0, "merged_rows": 0,
+    }
+
+
+def test_publish_gate_quarantines_stub_decoded_media(spark, tmp_path):
+    """Strict multimodal contract: stub-decoded rows never publish."""
+    from batch_doc_vqa_spark.operators.multimodal import probe_media
+    from batch_doc_vqa_spark.plans import publish_run
+
+    media = spark.createDataFrame(
+        [("m1", b"payload-bytes", "image"), ("m2", None, "image")],
+        "media_id string, payload binary, kind string",
+    )
+    meta = probe_media(media, "media_id", "payload", "kind")
+    out = str(tmp_path / "mediapub")
+    counts = publish_run(spark, meta, out, text_col=None, decode_status_col="decode_status")
+    assert counts == {"published": 0, "quarantined": 2}
+    reasons = {
+        r["media_id"]: r["reject_reason"]
+        for r in spark.read.parquet(f"{out}/quarantine").collect()
+    }
+    assert reasons == {"m1": "stub_decode", "m2": "stub_decode"}
+
+
 def test_param_sweep_grid_and_runner(spark):
     """X11: axis parse rules (normalize, dedup, reject dupes), Cartesian grid
     in axis order, and the run_sweep driver loop feeding A17 aggregation."""

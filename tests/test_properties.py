@@ -77,8 +77,10 @@ def _simhash_ref_one(t: str):
     toks = pd.Series(str(t).lower().split())
     if toks.empty:
         return 0
+    from batch_doc_vqa_spark.operators.dedup import stable_token_hash64
+
     counts = toks.value_counts()
-    hashes = pd.util.hash_array(counts.index.to_numpy(dtype=object)).astype(np.uint64)
+    hashes = stable_token_hash64(list(counts.index))
     w = counts.to_numpy(dtype=np.int64)
     bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
     score = ((bits * 2 - 1) * w[:, None]).sum(axis=0)
