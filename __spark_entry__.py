@@ -618,6 +618,14 @@ def _q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.corpus_profile(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # min_tokens=40 (reference default is 80) so the fixture's ~60-token docs
+    # actually exercise the scoring branch; the kernel default stays 80
+    return textstats.repetition_scores(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", min_tokens=40
+    )
+
+
 def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Arrays crash the driver's canonicalizer (unhashable in pandas sort), so
     # serialize the fingerprint list to a CSV string; the DuckDB oracle
@@ -1017,6 +1025,47 @@ def _q_publish_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_MEDIA = 200  # fixed so the VALUES oracle matches at every sf
+
+
+def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode (no codec libs): genuine PNG/WAV payloads decode to
+    real dimensions/duration + content features (pixel stats, RMS/zero-cross);
+    unrecognized blobs fall back to the stub with decode_status='stub'."""
+    from batch_doc_vqa_spark.sources import media_fixture
+
+    media = media_fixture.media_df(spark, _N_MEDIA, seed=42)
+    return multimodal.decode_media(media, "media_id", "payload", "kind")
+
+
+def _media_decode_oracle() -> str:
+    """Embed the pure-kernel decode of the same seeded media as VALUES."""
+    from batch_doc_vqa_spark.operators.multimodal import decode_media_kernel
+    from batch_doc_vqa_spark.sources.media_fixture import media_row
+
+    rows = []
+    for i in range(_N_MEDIA):
+        r = media_row(42, i)
+        k = decode_media_kernel(r["payload"], r["kind"])
+        rows.append(
+            (r["media_id"], k["kind"], k["width"], k["height"], k["duration_ms"],
+             k["decode_status"], *[k[f"f{j}"] for j in range(8)])
+        )
+    cols = ["media_id", "kind", "width", "height", "duration_ms", "decode_status"] + [
+        f"f{j}" for j in range(8)
+    ]
+    cte = _values_cte("mdec", cols, rows)
+    fcols = ", ".join(f"CAST(f{j} AS DOUBLE) AS f{j}" for j in range(8))
+    return f"""
+        WITH {cte}
+        SELECT CAST(media_id AS VARCHAR) AS media_id, kind,
+               CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+               CAST(duration_ms AS BIGINT) AS duration_ms, decode_status,
+               {fcols}
+        FROM mdec
+    """
+
+
 _N_PDF = 160  # fixed so the VALUES oracle matches at every sf
 
 
@@ -1110,7 +1159,8 @@ def _q_cohort_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup = runs_analytics.cost_rollup(results)
     cost = (
         cohort.select("run_name", "model_key")
-        .join(rollup, "run_name", "left")
+        # rollup is one row per run — broadcast-size by construction
+        .join(F.broadcast(rollup), "run_name", "left")
         .groupBy("model_key")
         .agg(
             F.count(F.col("n_rows")).alias("n_result_runs"),
@@ -1122,7 +1172,8 @@ def _q_cohort_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cohort_cost"),
         )
     )
-    return ci.join(cost, "model_key").select(
+    # one row per model on both sides — broadcast beats SMJ on the 4-row dim
+    return ci.join(F.broadcast(cost), "model_key").select(
         "model_key", "n", "median", "ci_low", "ci_high",
         "n_result_runs", "prompt_tokens", "completion_tokens", "cohort_cost",
     )
@@ -1254,6 +1305,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_coerce": _q_validate_coerce,
         "cohort_stats": _q_cohort_stats,
         "pdf_text_extract": _q_pdf_text,
+        "repetition_scores": _q_repetition,
+        "media_decode": _q_media_decode,
         # -- driver-green in r2 --
         "extract_main_content": _q_extract,
         "host_stats_salted": _q_host_stats,
@@ -1670,6 +1723,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_resolve_lsh": _dedup_resolve_lsh_oracle(),
         "pdf_text_extract": _pdf_text_oracle(),
         "cohort_stats": _cohort_stats_oracle(),
+        "media_decode": _media_decode_oracle(),
         # lenient-ladder mirror: violations are pure functions of c_custkey,
         # so the oracle recomputes the coerced values + corrections directly
         "validate_coerce": """
@@ -2128,6 +2182,43 @@ def oracle_sql() -> dict[str, str]:
             FROM sess GROUP BY user_id, session_idx
         """,
         "lang_id_trigram": _lang_trigram_oracle(),
+        # reference-exact assess_repetition (inference.py:69-96): \w is
+        # ASCII-only in BOTH Java and RE2 regex engines, ratios are exact
+        # integer-over-integer double divisions, so values match bit-for-bit
+        "repetition_scores": r"""
+            WITH t AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '\w+|[^\s\w]') AS tk FROM documents
+            ), b AS (
+              SELECT doc_id, tk, len(tk) AS n FROM t
+            ), cons AS (
+              SELECT doc_id, n,
+                CASE WHEN n > 1
+                     THEN CAST(len(list_filter(range(1, n), i -> tk[i] = tk[i+1])) AS DOUBLE) / (n - 1)
+                     ELSE CAST(0 AS DOUBLE) END AS consec
+              FROM b
+            ), ex AS (
+              SELECT doc_id, unnest(tk) AS tok FROM b
+            ), cnt AS (
+              SELECT doc_id, tok, COUNT(*) AS c FROM ex GROUP BY 1, 2
+            ), agg AS (
+              SELECT doc_id, MAX(c) AS mc, COUNT(*) AS uniq FROM cnt GROUP BY 1
+            ), s AS (
+              SELECT co.doc_id, co.n, co.consec,
+                     CAST(a.mc AS DOUBLE) / co.n AS rep,
+                     CAST(a.uniq AS DOUBLE) / co.n AS div,
+                     (co.n >= 40 AND a.mc IS NOT NULL) AS elig
+              FROM cons co LEFT JOIN agg a USING (doc_id)
+            )
+            SELECT doc_id, CAST(n AS INT) AS n_tokens,
+                   CASE WHEN elig THEN ROUND(rep, 6) ELSE 0.0 END AS repetition_ratio,
+                   CASE WHEN elig THEN ROUND(div, 6) ELSE 0.0 END AS diversity_ratio,
+                   CASE WHEN elig THEN ROUND(consec, 6) ELSE 0.0 END AS consecutive_repeats,
+                   CASE WHEN elig THEN ROUND(greatest(rep, 1.0 - div, consec), 6) ELSE 0.0 END AS repetition_score,
+                   CASE WHEN elig THEN (greatest(rep, 1.0 - div, consec) >= 0.22
+                                        OR (div <= 0.35 AND rep >= 0.18))
+                        ELSE FALSE END AS is_repetitive
+            FROM s
+        """,
         # hex-pair byte extraction as in media_probe; resize math mirrors the
         # kernel expression shape exactly (same IEEE ops -> same floor)
         "media_resize": """

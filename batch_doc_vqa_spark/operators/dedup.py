@@ -514,14 +514,20 @@ def resolve_clusters(ids: DataFrame, pairs: DataFrame, id_col: str = "doc_id", m
 
 
 def _keep_one(ids: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
-    """pairs → clusters → (id, cluster_id, keep, cluster_size) keep-one frame."""
+    """pairs → clusters → (id, cluster_id, keep, cluster_size) keep-one frame.
+
+    cluster_size via a window over cluster_id: ONE shuffle of the frame,
+    vs groupBy-then-join's shuffle of both the aggregate and the probe side.
+    """
+    from pyspark.sql import Window
+
     clusters = resolve_clusters(ids.select(id_col), pairs, id_col=id_col)
-    sizes = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return clusters.join(sizes, "cluster_id").select(
+    w = Window.partitionBy("cluster_id")
+    return clusters.select(
         "id",
         "cluster_id",
         (F.col("id") == F.col("cluster_id")).alias("keep"),
-        "cluster_size",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
     )
 
 

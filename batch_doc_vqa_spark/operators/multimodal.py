@@ -6,12 +6,15 @@ into per-page images (utils/image_processing.py:8-53). At 100 TB the same
 pattern is: binary column + typed metadata struct, processed by Arrow-batched
 ``mapInPandas`` so each Python worker sees whole record batches.
 
-The actual codecs (PIL/ffmpeg) are NOT in this container, so the decode step
-is a clearly-marked deterministic stub (`_STUB_DECODE`): it derives fake
-dimensions/duration from a stable content hash. Everything around it — the
-schemas, the batch iteration, the partition-size discipline (media rows are
-big: repartition by size before mapInPandas), the UDF signatures — is the
-real production plumbing and is tested.
+PIL/ffmpeg are NOT in this container, but several public container formats
+decode with stdlib+numpy alone (``functions/media_decode.py``): PNG pixels
+(full scanline-filter reconstruction), BMP pixels, GIF/JPEG dimensions, WAV
+audio frames. Recognized payloads get REAL metadata/pixels/features and
+``decode_status='ok'``; everything else falls back to the clearly-marked
+deterministic stub (`_stub_decode`, content-hash dims) with
+``decode_status='stub'`` — which the publish gate quarantines. The schemas,
+batch iteration, partition-size discipline and UDF signatures are the same
+production plumbing either way.
 """
 
 from __future__ import annotations
@@ -23,6 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import media_decode
+
 MEDIA_META_SCHEMA = (
     "media_id string, kind string, n_bytes long, sha256 string, "
     "width int, height int, duration_ms long, decode_status string"
@@ -30,9 +35,9 @@ MEDIA_META_SCHEMA = (
 
 FRAME_SCHEMA = "media_id string, frame_idx int, ts_ms long, frame_sha string"
 
-# Set True if a real codec library is wired in; the stub keeps the pipeline
-# shape testable without one.
-REAL_DECODE_AVAILABLE = False
+# Real decode exists for the media_decode.py format set (PNG/BMP/GIF/JPEG/WAV);
+# anything else goes through the stub and is labeled decode_status='stub'.
+REAL_DECODE_AVAILABLE = True
 
 
 def _stub_decode(payload: bytes) -> tuple[int, int, int]:
@@ -45,27 +50,41 @@ def _stub_decode(payload: bytes) -> tuple[int, int, int]:
     return 320 + h[0], 240 + h[1], 1000 * (1 + h[2] % 30)
 
 
+def _probe_one(payload: bytes | None, fallback_kind: str) -> tuple:
+    """(kind, width, height, duration_ms, decode_status) for one payload.
+
+    Recognized container formats (media_decode.probe_bytes) decode for real;
+    unrecognized payloads keep the caller's kind and the stub dims."""
+    if not payload:
+        return fallback_kind, 0, 0, 0, "empty"
+    real = media_decode.probe_bytes(payload)
+    if real is not None:
+        return real["kind"], real["width"], real["height"], real["duration_ms"], "ok"
+    w, h, dur = _stub_decode(payload)
+    return fallback_kind, w, h, dur, "stub"
+
+
 def probe_media(df: DataFrame, id_col: str, bin_col: str, kind_col: str) -> DataFrame:
     """binary column → typed metadata rows via Arrow-batched mapInPandas."""
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             payloads = b[bin_col]
+            probes = [
+                _probe_one(p, k) for p, k in zip(payloads, b[kind_col])
+            ]
             meta = {
                 "media_id": b[id_col].astype(str),
-                "kind": b[kind_col],
+                "kind": [pr[0] for pr in probes],
                 "n_bytes": payloads.map(lambda p: len(p) if p is not None else 0),
                 "sha256": payloads.map(
                     lambda p: hashlib.sha256(p).hexdigest() if p is not None else ""
                 ),
+                "width": [pr[1] for pr in probes],
+                "height": [pr[2] for pr in probes],
+                "duration_ms": [pr[3] for pr in probes],
+                "decode_status": [pr[4] for pr in probes],
             }
-            dims = payloads.map(lambda p: _stub_decode(p) if p else (0, 0, 0))
-            meta["width"] = dims.map(lambda d: d[0])
-            meta["height"] = dims.map(lambda d: d[1])
-            meta["duration_ms"] = dims.map(lambda d: d[2])
-            meta["decode_status"] = payloads.map(
-                lambda p: ("stub" if not REAL_DECODE_AVAILABLE else "ok") if p else "empty"
-            )
             yield pd.DataFrame(meta)
 
     return df.mapInPandas(probe, schema=MEDIA_META_SCHEMA)
@@ -148,6 +167,54 @@ def resize_media(df: DataFrame, id_col: str, bin_col: str, max_w: int = 256, max
             yield pd.DataFrame(out)
 
     return df.mapInPandas(resize, schema=RESIZE_SCHEMA)
+
+
+DECODE_SCHEMA = (
+    "media_id string, kind string, width int, height int, duration_ms long, "
+    "decode_status string, " + ", ".join(f"f{i} double" for i in range(8))
+)
+
+
+def decode_media_kernel(payload: bytes | None, fallback_kind: str) -> dict:
+    """Pure kernel: payload → real metadata + 8 real features (or stub).
+
+    Images (PNG/BMP full pixels): per-channel means, std, aspect, gradient
+    energies, min — ``media_decode.image_features``. Audio (WAV): rms, peak,
+    zero-cross, duration + 4 zeros. Unrecognized: stub dims + sha-digest
+    features (the old stub contract). This function IS the oracle — the
+    Spark op maps it over Arrow batches.
+    """
+    kind, w, h, dur, status = _probe_one(payload, fallback_kind)
+    feats = [0.0] * 8
+    if status == "ok":
+        try:
+            if kind == "image/png":
+                feats = media_decode.image_features(media_decode.decode_png(payload))
+            elif kind == "audio/wav":
+                feats = media_decode.audio_features(payload) + [0.0] * 4
+            # BMP/GIF/JPEG: header-only probe here; features stay zero
+        except ValueError as exc:  # recognized container, undecodable body
+            status, feats = "decode_error:" + str(exc)[:40], [0.0] * 8
+    elif status == "stub":
+        digest = hashlib.sha256(payload).digest()
+        feats = [round(digest[i] / 255.0, 6) for i in range(8)]
+    return dict(
+        kind=kind, width=w, height=h, duration_ms=dur, decode_status=status,
+        **{f"f{i}": feats[i] for i in range(8)},
+    )
+
+
+def decode_media(df: DataFrame, id_col: str, bin_col: str, kind_col: str) -> DataFrame:
+    """REAL media decode over Arrow batches: metadata + content features."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for mid, payload, k in zip(b[id_col].astype(str), b[bin_col], b[kind_col]):
+                rows.append({"media_id": mid, **decode_media_kernel(payload, k)})
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=DECODE_SCHEMA)
 
 
 FEATURE_DIM = 8

@@ -209,3 +209,66 @@ def corpus_profile(df: DataFrame, id_col: str, text_col: str, approximate: bool 
         median,
         F.sum(F.size(_tokens(F.col(text_col))).cast("long")).alias("total_ws_tokens"),
     )
+
+
+def repetition_scores(
+    df: DataFrame, id_col: str, text_col: str, min_tokens: int = 80
+) -> DataFrame:
+    """Reference-exact repetition heuristic (P13), fully distributed.
+
+    Mirrors ``assess_repetition`` (/root/reference/src/batch_doc_vqa/
+    openrouter/inference.py:69-96) value-for-value: tokens are
+    ``\\w+|[^\\s\\w]`` pieces of lower(text);
+      repetition_ratio   = most-common-token count / total
+      diversity_ratio    = unique tokens / total
+      consecutive_repeats = adjacent-equal pairs / (total - 1)
+      score = max(of the three); 0 below ``min_tokens`` (reference default 80)
+      is_repetitive = score ≥ 0.22 or (diversity ≤ 0.35 and repetition ≥ 0.18)
+
+    Shape: consecutive repeats stay in-array (zip_with over two slices, zero
+    shuffle); token counts take ONE explode → groupBy(doc, token) with
+    map-side combine → groupBy(doc) — the same two-level aggregation as
+    word-count, corpus-linear. Ratios are exact double divisions of integers
+    (bit-identical cross-engine); only the emitted columns are rounded.
+    """
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\w+|[^\s\w]"), 0)
+    base = df.select(F.col(id_col).alias("_id"), toks.alias("_t")).select(
+        "_id", "_t", F.size("_t").alias("_n")
+    )
+    consec = F.when(
+        F.col("_n") > 1,
+        F.aggregate(
+            F.zip_with(
+                F.slice("_t", 1, F.col("_n") - 1),
+                F.slice("_t", 2, F.col("_n") - 1),
+                lambda a, b: (a == b).cast("int"),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        / (F.col("_n") - 1),
+    ).otherwise(F.lit(0.0))
+    per_doc = base.select("_id", "_n", consec.alias("_consec"))
+    counts = (
+        base.select("_id", F.explode("_t").alias("tok"))
+        .groupBy("_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("_id")
+        .agg(F.max("c").alias("_mc"), F.count(F.lit(1)).alias("_uniq"))
+    )
+    j = per_doc.join(counts, "_id", "left")
+    rep = F.col("_mc") / F.col("_n")
+    div = F.col("_uniq") / F.col("_n")
+    eligible = (F.col("_n") >= min_tokens) & F.col("_mc").isNotNull()
+    score = F.greatest(rep, F.lit(1.0) - div, F.col("_consec"))
+    return j.select(
+        F.col("_id").alias(id_col),
+        F.col("_n").alias("n_tokens"),
+        F.when(eligible, F.round(rep, 6)).otherwise(F.lit(0.0)).alias("repetition_ratio"),
+        F.when(eligible, F.round(div, 6)).otherwise(F.lit(0.0)).alias("diversity_ratio"),
+        F.when(eligible, F.round(F.col("_consec"), 6)).otherwise(F.lit(0.0)).alias("consecutive_repeats"),
+        F.when(eligible, F.round(score, 6)).otherwise(F.lit(0.0)).alias("repetition_score"),
+        F.when(
+            eligible, (score >= 0.22) | ((div <= 0.35) & (rep >= 0.18))
+        ).otherwise(F.lit(False)).alias("is_repetitive"),
+    )

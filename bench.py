@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "validate_coerce",
     "cohort_stats",
     "pdf_text_extract",
+    "repetition_scores",
+    "media_decode",
 ]
 
 

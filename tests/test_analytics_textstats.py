@@ -106,3 +106,45 @@ def test_corpus_profile_approx_tier_bounds(spark, sf_dir):
     assert abs(approx["n_distinct"] - exact["n_distinct"]) <= 0.05 * exact["n_distinct"]
     assert abs(approx["median_chars"] - exact["median_chars"]) <= 0.05 * exact["median_chars"]
     assert approx["total_ws_tokens"] == exact["total_ws_tokens"]
+
+
+def test_repetition_scores_reference_semantics(spark):
+    """Mirror of assess_repetition (reference inference.py:69-96): the Spark
+    operator must reproduce the kernel's ratios/decision exactly."""
+    import re
+    from collections import Counter
+
+    from batch_doc_vqa_spark.operators import textstats
+
+    def ref(text: str, min_tokens: int):
+        tokens = re.findall(r"\w+|[^\s\w]", text.lower())
+        total = len(tokens)
+        if total < min_tokens or not tokens:
+            return 0.0, False
+        counts = Counter(tokens)
+        rep = counts.most_common(1)[0][1] / total
+        div = len(counts) / total
+        consec = (
+            sum(1 for i in range(total - 1) if tokens[i] == tokens[i + 1]) / (total - 1)
+            if total > 1 else 0.0
+        )
+        score = max(rep, 1 - div, consec)
+        return round(score, 6), score >= 0.22 or (div <= 0.35 and rep >= 0.18)
+
+    texts = [
+        (1, "the same word word word " * 20),                      # repetitive
+        (2, " ".join(f"uniq{i} tok{i}" for i in range(60))),  # diverse
+        (3, "spam! spam! spam! spam! spam! spam! spam! spam! spam! spam! "
+            "spam! spam! spam! spam! spam! spam! spam! spam! spam! spam!"),
+        (4, "short text"),                                          # below min
+        (5, ""),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           textstats.repetition_scores(df, "doc_id", "text", min_tokens=20).collect()}
+    for doc_id, text in texts:
+        exp_score, exp_flag = ref(text, 20)
+        assert got[doc_id]["repetition_score"] == exp_score, doc_id
+        assert got[doc_id]["is_repetitive"] == exp_flag, doc_id
+    assert got[1]["is_repetitive"] and got[3]["is_repetitive"]
+    assert not got[2]["is_repetitive"] and not got[4]["is_repetitive"]
