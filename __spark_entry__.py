@@ -1025,6 +1025,44 @@ def _q_publish_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup over deterministically dirtied URLs: tracking
+    params, fragments, case, double slashes and trailing slashes collapse so
+    the messy and clean variants of a page group together."""
+    from batch_doc_vqa_spark.operators import webclean
+
+    cust = _t(spark, sf_dir, "customer")
+    p = F.floor(F.col("c_custkey") / 2).cast("long")
+    ps, ms = p.cast("string"), (p % 7).cast("string")
+    dirty = F.concat(
+        F.lit("https://Site"), ms, F.lit(".Example.org/a//b/page-"), ps,
+        F.lit("/?utm_source=news&x="), ps, F.lit("#top"),
+    )
+    clean = F.concat(
+        F.lit("https://site"), ms, F.lit(".example.org/a/b/page-"), ps, F.lit("?x="), ps
+    )
+    urls = cust.select(F.when(F.col("c_custkey") % 2 == 0, dirty).otherwise(clean).alias("url"))
+    return webclean.url_dedup(urls, "url")
+
+
+def _q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb-style per-host repeated-line detection: injected
+    cookie-banner + footer lines (and any naturally duplicated doc bodies)
+    surface as boilerplate; unique body lines stay below min_pages."""
+    from batch_doc_vqa_spark.operators import webclean
+
+    docs = _t(spark, sf_dir, "documents")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 5).cast("string"))
+    text = F.concat(
+        F.lit("cookie notice for "), host, F.lit("\n"),
+        F.col("text"), F.lit("\nall rights reserved"),
+    )
+    pages = docs.select(host.alias("host"), text.alias("text"))
+    return webclean.boilerplate_lines(pages, "host", "text", min_pages=3).select(
+        "host", "line", "n_pages"
+    )
+
+
 _N_MEDIA = 200  # fixed so the VALUES oracle matches at every sf
 
 
@@ -1307,6 +1345,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_text_extract": _q_pdf_text,
         "repetition_scores": _q_repetition,
         "media_decode": _q_media_decode,
+        "url_dedup": _q_url_dedup,
+        "boilerplate_lines": _q_boilerplate_lines,
         # -- driver-green in r2 --
         "extract_main_content": _q_extract,
         "host_stats_salted": _q_host_stats,
@@ -1724,6 +1764,41 @@ def oracle_sql() -> dict[str, str]:
         "pdf_text_extract": _pdf_text_oracle(),
         "cohort_stats": _cohort_stats_oracle(),
         "media_decode": _media_decode_oracle(),
+        # the canonical form is a pure function of c_custkey, so the oracle
+        # reconstructs it arithmetically and groups — value-checking the whole
+        # canonicalization (case, port, fragment, tracking params, slashes)
+        "url_dedup": """
+            WITH c AS (
+              SELECT c_custkey AS k, CAST(c_custkey // 2 AS BIGINT) AS p FROM customer
+            ), urls AS (
+              SELECT p,
+                CASE WHEN k % 2 = 0
+                     THEN 'https://Site' || (p % 7) || '.Example.org/a//b/page-' || p || '/?utm_source=news&x=' || p || '#top'
+                     ELSE 'https://site' || (p % 7) || '.example.org/a/b/page-' || p || '?x=' || p
+                END AS url
+              FROM c
+            ), canon AS (
+              SELECT 'https://site' || (p % 7) || '.example.org/a/b/page-' || p || '?x=' || p AS canonical_url,
+                     url
+              FROM urls
+            )
+            SELECT canonical_url, MIN(url) AS canonical_id, COUNT(*) AS n_dups
+            FROM canon GROUP BY canonical_url
+        """,
+        "boilerplate_lines": """
+            WITH d AS (
+              SELECT 'h' || (doc_id % 5) AS host,
+                     'cookie notice for h' || (doc_id % 5) || chr(10) || text
+                       || chr(10) || 'all rights reserved' AS text
+              FROM documents
+            ), lines AS (
+              SELECT host,
+                     unnest(list_distinct(list_filter(string_split(text, chr(10)), x -> trim(x) != ''))) AS line
+              FROM d
+            )
+            SELECT host, line, COUNT(*) AS n_pages
+            FROM lines GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        """,
         # lenient-ladder mirror: violations are pure functions of c_custkey,
         # so the oracle recomputes the coerced values + corrections directly
         "validate_coerce": """

@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "pdf_text_extract",
     "repetition_scores",
     "media_decode",
+    "url_dedup",
+    "boilerplate_lines",
 ]
 
 

@@ -66,6 +66,7 @@ try:
         F.concat(F.lit("dup:"), F.col("doc_id")).alias("doc_id"), F.col("text")
     )
     docs = base.unionByName(dups).localCheckpoint(eager=True)
+    n_planted = dups.count()
     t0 = time.perf_counter()
     pairs = dedup.minhash_lsh_pairs(
         docs, "doc_id", "text", n=3, num_hashes=64, bands=16, max_bucket=2000
@@ -82,6 +83,7 @@ try:
         "n_failed": summary["n_failed"], "lineage": dist,
         "lsh_pairs_sec": round(t_pairs, 1), "n_candidate_pairs": n_pairs,
         "resolve_sec": round(t_resolve, 1), "n_non_canonical": n_dupes,
+        "n_planted": n_planted,
     }))
 finally:
     shutil.rmtree(out, ignore_errors=True)
@@ -121,7 +123,8 @@ def main() -> None:
         f"| failed rows | {stats['n_failed']} |\n"
         f"| docs/bucket min / p50 / max (256 buckets) | {d['min_docs']} / {d['p50_docs']:.0f} / {d['max_docs']} |\n"
         f"| bytes/bucket min / p50 / max | {d['min_bytes']} / {d['p50_bytes']:.0f} / {d['max_bytes']} |\n"
-        f"| MinHash+LSH candidates (max_bucket=2000) | {stats['n_candidate_pairs']} pairs in {stats['lsh_pairs_sec']}s |\n"
+        f"| planted duplicates (re-keyed 1-pct sample) | {stats['n_planted']} |\n"
+        f"| MinHash+LSH candidates (max_bucket=2000) | {stats['n_candidate_pairs']} pairs in {stats['lsh_pairs_sec']}s — recall {round(stats['n_candidate_pairs']/max(stats['n_planted'],1), 4)} |\n"
         f"| cluster resolution (pointer jumping) | {stats['n_non_canonical']} non-canonical ids in {stats['resolve_sec']}s |\n"
         f"| docs/sec @ local[1] (best) | {report['local1_docs_per_sec']} |\n"
         f"| docs/sec @ local[4] (best) | {report['local4_docs_per_sec']} |\n"
