@@ -93,7 +93,8 @@ def probe_media(df: DataFrame, id_col: str, bin_col: str, kind_col: str) -> Data
 def sample_frames(df: DataFrame, id_col: str, bin_col: str, every_ms: int = 5000) -> DataFrame:
     """Frame-sampling plumbing: one output row per sampled frame timestamp.
 
-    The frame extraction itself is stubbed (frame_sha = hash(payload, ts));
+    Durations are REAL for recognized containers (WAV via media_decode);
+    the frame content hash is stubbed (frame_sha = hash(payload, ts)) —
     the fan-out shape (1 media row → N frame rows) is the real pattern.
     """
 
@@ -103,7 +104,9 @@ def sample_frames(df: DataFrame, id_col: str, bin_col: str, every_ms: int = 5000
             for mid, payload in zip(b[id_col].astype(str), b[bin_col]):
                 if payload is None:
                     continue
-                _, _, dur = _stub_decode(payload)
+                _, _, _, dur, status = _probe_one(payload, "")
+                if status != "ok" or dur == 0:
+                    _, _, dur = _stub_decode(payload) if payload else (0, 0, 0)
                 for idx, ts in enumerate(range(0, dur, every_ms)):
                     out["media_id"].append(mid)
                     out["frame_idx"].append(idx)
@@ -157,7 +160,9 @@ def resize_media(df: DataFrame, id_col: str, bin_col: str, max_w: int = 256, max
                 # would lose rows with no status/quarantine trace
                 if payload is None:
                     continue
-                w, h, _ = _stub_decode(payload)
+                kind, w, h, _, status = _probe_one(payload, "")
+                if status != "ok" or not kind.startswith("image/"):
+                    w, h, _ = _stub_decode(payload)
                 s = min(1.0, max_w / w, max_h / h)
                 out["media_id"].append(mid)
                 out["width"].append(w)

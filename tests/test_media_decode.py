@@ -116,3 +116,18 @@ def test_gate_passes_real_decodes_quarantines_stubs(spark, tmp_path):
     counts = publish_run(spark, meta, str(tmp_path / "p"), text_col=None,
                          decode_status_col="decode_status")
     assert counts == {"published": 16, "quarantined": 4}  # 4 blobs per 20
+
+
+def test_resize_and_frames_use_real_metadata(spark):
+    import numpy as np
+
+    from batch_doc_vqa_spark.operators.multimodal import resize_media, sample_frames
+
+    png = md.encode_png(np.zeros((512, 1024, 3), dtype=np.uint8))
+    wav = md.encode_wav(np.zeros(8000 * 12, dtype=np.int16), rate=8000)  # 12s
+    df = spark.createDataFrame([("img", png), ("aud", wav)], "media_id string, payload binary")
+    rs = {r["media_id"]: r for r in resize_media(df, "media_id", "payload", 256, 256).collect()}
+    assert (rs["img"]["width"], rs["img"]["height"]) == (1024, 512)  # real dims
+    assert (rs["img"]["out_w"], rs["img"]["out_h"]) == (256, 128)    # aspect kept
+    frames = sample_frames(df.filter("media_id = 'aud'"), "media_id", "payload", every_ms=5000)
+    assert [r["ts_ms"] for r in frames.collect()] == [0, 5000, 10000]  # real 12s duration
