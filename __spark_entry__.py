@@ -1025,6 +1025,23 @@ def _q_publish_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document → training-chunk fan-out: 64-token windows, 16-token overlap,
+    in-plan sequence+slice (no Python, no shuffle)."""
+    from batch_doc_vqa_spark.operators import chunking
+
+    return chunking.chunk_documents(_t(spark, sf_dir, "documents"), "doc_id", "text", 64, 16)
+
+
+def _q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-keyed Bernoulli sample (partition/rerun-stable, never rand());
+    md5 base hash so DuckDB reproduces membership exactly."""
+    from batch_doc_vqa_spark.operators import chunking
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return chunking.deterministic_sample(docs, "doc_id", 0.25, seed=3, base_hash="md5")
+
+
 def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-URL dedup over deterministically dirtied URLs: tracking
     params, fragments, case, double slashes and trailing slashes collapse so
@@ -1347,6 +1364,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": _q_media_decode,
         "url_dedup": _q_url_dedup,
         "boilerplate_lines": _q_boilerplate_lines,
+        "chunk_documents": _q_chunk_documents,
+        "deterministic_sample": _q_deterministic_sample,
         # -- driver-green in r2 --
         "extract_main_content": _q_extract,
         "host_stats_salted": _q_host_stats,
@@ -1784,6 +1803,35 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT canonical_url, MIN(url) AS canonical_id, COUNT(*) AS n_dups
             FROM canon GROUP BY canonical_url
+        """,
+        # window starts are 1+k*stride (k = 0..ceil((n-chunk)/stride)); the
+        # chunk index is recovered arithmetically as (start-1)/stride and
+        # n_tokens as least(chunk, n-start+1) — no re-tokenization needed
+        "chunk_documents": r"""
+            WITH t AS (
+              SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS tk
+              FROM documents
+            ), b AS (
+              SELECT doc_id, tk, len(tk) AS n FROM t
+            ), st AS (
+              SELECT doc_id, tk, n,
+                CASE WHEN n > 0
+                     THEN range(1, 2 + greatest(CAST(ceil((n - 64.0) / 48) AS INT), 0) * 48, 48)
+                     ELSE CAST([] AS BIGINT[]) END AS starts
+              FROM b
+            ), ex AS (
+              SELECT doc_id, n, tk, unnest(starts) AS s FROM st
+            )
+            SELECT doc_id,
+                   CAST((s - 1) // 48 AS INT) AS chunk_idx,
+                   CAST(least(64, n - s + 1) AS INT) AS n_tokens,
+                   array_to_string(list_slice(tk, CAST(s AS INT), CAST(s + 63 AS INT)), ' ') AS chunk_text
+            FROM ex
+        """,
+        "deterministic_sample": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#3'), 1, 15)) AS BIGINT)
+                  % 1048576 < 262144
         """,
         "boilerplate_lines": """
             WITH d AS (

@@ -1,0 +1,109 @@
+"""Training-sample construction: token-window chunking + deterministic
+corpus sampling/mixing — the document→sample stage of an LLM data pipeline
+(the step after cleaning/dedup, before packing into sequences).
+
+Both are pure column expressions: chunking is sequence+slice over the token
+array (an in-plan UDTF-style fan-out, no Python), sampling keys off a
+content hash so it is partition- and rerun-stable (never rand()).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import portable_hash64
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+) -> DataFrame:
+    """Split documents into whitespace-token windows with overlap.
+
+    Output: (id, chunk_idx, n_tokens, chunk_text); stride =
+    chunk_tokens - overlap. The final window is emitted iff it starts inside
+    the document and contains at least one token beyond the previous window
+    (standard training-chunker semantics: every token appears in ≥1 chunk,
+    no empty or fully-duplicated tail chunk).
+
+    Shape: tokens projected once, windows generated in-array via
+    ``sequence`` + ``transform``+``slice``, then ONE posexplode — the
+    document→sample fan-out stays inside codegen with zero Python and no
+    shuffle (the explode is pipelined into the scan stage).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit(""))
+    base = df.select(F.col(id_col), toks.alias("_t")).withColumn("_n", F.size("_t"))
+    # window start offsets: 1, 1+stride, ... while start <= n (1-based);
+    # empty docs produce no chunks
+    starts = F.when(
+        F.col("_n") > 0,
+        F.sequence(
+            F.lit(1),
+            # last start: the largest 1+k*stride that still begins a window
+            # with a NEW token: ceil((n - chunk)/stride) capped below at 0
+            F.lit(1)
+            + F.greatest(
+                F.ceil((F.col("_n") - F.lit(chunk_tokens)) / F.lit(stride)).cast("int"),
+                F.lit(0),
+            )
+            * F.lit(stride),
+            F.lit(stride),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(starts, lambda s: F.array_join(F.slice("_t", s, chunk_tokens), " "))
+    return (
+        base.select(id_col, F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
+        .withColumn(
+            "n_tokens",
+            F.size(F.filter(F.split("chunk_text", r"\s+"), lambda t: t != F.lit(""))),
+        )
+        .select(id_col, "chunk_idx", "n_tokens", "chunk_text")
+    )
+
+
+def deterministic_sample(
+    df: DataFrame,
+    id_col: str,
+    fraction: float,
+    seed: int = 0,
+    base_hash: str = "xxhash64",
+) -> DataFrame:
+    """Content-keyed Bernoulli sample: keep iff h(id, seed) < fraction·2^20.
+
+    Unlike ``df.sample`` (task-order dependent), membership is a pure
+    function of the row id — identical under any partitioning, resumable,
+    and reproducible in SQL with ``base_hash='md5'`` (portable_hash64).
+    """
+    bucket = F.lit(1 << 20)
+    key = F.concat(F.col(id_col).cast("string"), F.lit(f"#{seed}"))
+    h = F.xxhash64(key) if base_hash == "xxhash64" else portable_hash64(key)
+    return df.filter(F.pmod(h, bucket) < int(fraction * (1 << 20)))
+
+
+def weighted_mixture(
+    sources: list[tuple[DataFrame, float]],
+    id_col: str,
+    seed: int = 0,
+    base_hash: str = "xxhash64",
+) -> DataFrame:
+    """Mix corpora by per-source sampling weights (0..1 keep-fractions).
+
+    Each source is deterministically subsampled then unioned with a
+    ``source_idx`` lineage column — the dataset-mixing step of a training
+    recipe, rerun-stable by construction.
+    """
+    parts = []
+    for idx, (df, w) in enumerate(sources):
+        kept = deterministic_sample(df, id_col, w, seed=seed + idx, base_hash=base_hash)
+        parts.append(kept.withColumn("source_idx", F.lit(idx)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "media_decode",
     "url_dedup",
     "boilerplate_lines",
+    "chunk_documents",
+    "deterministic_sample",
 ]
 
 

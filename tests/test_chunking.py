@@ -1,0 +1,59 @@
+"""Token-window chunking + deterministic sampling/mixing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from batch_doc_vqa_spark.operators import chunking
+
+
+def test_chunk_windows_cover_all_tokens_with_overlap(spark):
+    text = " ".join(f"t{i}" for i in range(100))
+    df = spark.createDataFrame([(1, text), (2, "only three tokens"), (3, "")],
+                               "doc_id long, text string")
+    out = chunking.chunk_documents(df, "doc_id", "text", chunk_tokens=40, overlap=10)
+    rows = sorted(out.collect(), key=lambda r: (r["doc_id"], r["chunk_idx"]))
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: starts 1, 31, 61 (stride 30); last window [61..100] ends exactly at n
+    c1 = by_doc[1]
+    assert [r["chunk_idx"] for r in c1] == [0, 1, 2]
+    assert [r["n_tokens"] for r in c1] == [40, 40, 40]
+    assert c1[0]["chunk_text"].split()[:2] == ["t0", "t1"]
+    assert c1[2]["chunk_text"].split()[-1] == "t99"   # full coverage
+    assert c1[1]["chunk_text"].split()[0] == "t30"    # overlap of 10
+    # short doc: single chunk, actual token count
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_tokens"] == 3
+    # empty doc: no chunks
+    assert 3 not in by_doc
+
+
+def test_chunk_no_duplicate_tail(spark):
+    # n=45, chunk=40, stride=30 -> starts 1, 31 (31+39=70 >= 45, covers tail);
+    # a start at 61 would be past n and must NOT be emitted
+    df = spark.createDataFrame([(1, " ".join(f"x{i}" for i in range(45)))],
+                               "doc_id long, text string")
+    out = chunking.chunk_documents(df, "doc_id", "text", 40, 10).collect()
+    assert [r["chunk_idx"] for r in sorted(out, key=lambda r: r["chunk_idx"])] == [0, 1]
+    assert sorted(out, key=lambda r: r["chunk_idx"])[1]["n_tokens"] == 15
+
+
+def test_deterministic_sample_stable_under_partitioning(spark):
+    df = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"] for r in chunking.deterministic_sample(df.repartition(1), "doc_id", 0.3, seed=1).collect()}
+    b = {r["doc_id"] for r in chunking.deterministic_sample(df.repartition(16), "doc_id", 0.3, seed=1).collect()}
+    assert a == b                      # membership independent of layout
+    assert 0.25 < len(a) / 2000 < 0.35  # close to the nominal fraction
+    c = {r["doc_id"] for r in chunking.deterministic_sample(df, "doc_id", 0.3, seed=2).collect()}
+    assert a != c                      # seed changes the sample
+
+
+def test_weighted_mixture_sources_and_weights(spark):
+    a = spark.range(0, 1000).select(F.col("id").alias("doc_id"))
+    b = spark.range(1000, 2000).select(F.col("id").alias("doc_id"))
+    mix = chunking.weighted_mixture([(a, 1.0), (b, 0.2)], "doc_id", seed=5)
+    rows = mix.groupBy("source_idx").count().collect()
+    got = {r["source_idx"]: r["count"] for r in rows}
+    assert got[0] == 1000              # weight 1.0 keeps everything
+    assert 130 < got[1] < 270          # weight 0.2 keeps ~200
