@@ -66,3 +66,47 @@ def test_textstats_stay_jvm_side(plans):
         assert "EvalPython" not in p and "MapInPandas" not in p, q
         # single parquet scan, no shuffle: per-row expressions only
         assert len(re.findall(r"\(\d+\) Exchange", p)) == 0, q
+
+
+def test_round3_projection_ops_are_shuffle_free_and_jvm(plans):
+    # the schema ladder, chunk fan-out and deterministic sample are pure
+    # per-row plans: zero exchanges, zero Python
+    for q in ("validate_coerce", "chunk_documents", "deterministic_sample"):
+        p = plans(q)
+        assert "EvalPython" not in p and "MapInPandas" not in p, q
+        assert len(re.findall(r"\(\d+\) Exchange", p)) == 0, q
+
+
+def test_deterministic_sample_filter_before_scan_output(plans):
+    # the hash-membership filter must run inside the scan stage (no
+    # materialize-then-filter): plan shows Filter directly over the scan
+    p = plans("deterministic_sample")
+    assert re.search(r"Filter.*\n.*Scan parquet|\(\d+\) Filter", p), p[:1200]
+
+
+def test_cohort_stats_small_dims_broadcast(plans):
+    p = plans("cohort_stats")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_pdf_and_media_paths_arrow_batched_no_shuffle(plans):
+    for q in ("pdf_text_extract", "media_decode"):
+        p = plans(q)
+        assert "BatchEvalPython" not in p, q  # never row-at-a-time Python
+        assert "MapInPandas" in p or "ArrowEvalPython" in p, q
+        assert len(re.findall(r"\(\d+\) Exchange", p)) == 0, q  # map-only
+
+
+def test_boilerplate_lines_single_aggregation_shuffle(plans):
+    # explode → partial agg → ONE exchange on (host, line) → final agg
+    p = plans("boilerplate_lines")
+    assert "EvalPython" not in p and "MapInPandas" not in p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p[:1500]
+
+
+def test_url_dedup_single_shuffle_on_canonical_key(plans):
+    p = plans("url_dedup")
+    assert "EvalPython" not in p and "MapInPandas" not in p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p[:1500]
