@@ -175,6 +175,34 @@ def minhash_signatures(
     )
 
 
+def banded_rows(
+    sigs: DataFrame, num_hashes: int = 64, bands: int = 16, base_hash: str = "xxhash64"
+) -> DataFrame:
+    """(_id, band_idx, band_hash) rows from a (_id, signature) frame.
+
+    The LSH banding step factored out so the one-shot pair emitter and the
+    persisted incremental index (``dedup_index.py``) can never drift: both
+    cut the same signatures into the same band hashes.
+    """
+    rows_per_band = num_hashes // bands
+    return sigs.select(
+        "_id",
+        F.posexplode(
+            F.array(
+                *[
+                    _base_hash(
+                        F.array_join(
+                            F.slice(F.col("signature"), i * rows_per_band + 1, rows_per_band), ","
+                        ),
+                        base_hash,
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -201,7 +229,6 @@ def minhash_lsh_pairs(
     colliding band is a mega-bucket — docs that similar almost always share
     a rarer band too. None (default) keeps exact banding semantics.
     """
-    rows_per_band = num_hashes // bands
     # materialize signatures before the self-join: otherwise the whole
     # explode+aggregate signature pipeline is recomputed for BOTH join sides.
     # localCheckpoint (not persist): blocks are released when the RDD is GC'd,
@@ -213,20 +240,7 @@ def minhash_lsh_pairs(
     # the exploded self-join carries only (id, band_idx, band_hash) — the
     # 64-long signature arrays rejoin *after* candidate dedup, so the shuffle
     # payload stays 3 longs per banded row
-    banded = sigs.select(
-        "_id",
-        F.posexplode(
-            F.array(
-                *[
-                    _base_hash(
-                        F.array_join(F.slice(F.col("signature"), i * rows_per_band + 1, rows_per_band), ","),
-                        base_hash,
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("band_idx", "band_hash"),
-    )
+    banded = banded_rows(sigs, num_hashes=num_hashes, bands=bands, base_hash=base_hash)
     if max_bucket is not None:
         # one extra count-per-key agg (map-side combined) prunes mega-buckets
         w_sizes = banded.groupBy("band_idx", "band_hash").agg(F.count(F.lit(1)).alias("_bn"))

@@ -1,0 +1,117 @@
+"""Incremental near-dup index: dedup a NEW snapshot against an existing
+corpus without re-signaturing the corpus.
+
+At 10^12 documents, dedup is not a batch job — each crawl snapshot arrives
+against an already-deduped corpus. The index persists exactly what the
+banded-LSH pair emitter computes (MinHash signatures + band rows,
+``dedup.banded_rows`` shared so they cannot drift), and an incremental pass
+costs O(|new|) signature work plus band-key joins:
+
+- new-vs-old candidates: new band rows ⋈ index band rows on (band_idx,
+  band_hash) — the index side can be bucketed on the band key so this join
+  is exchange-free on the big side;
+- new-vs-new candidates: self-join of the new band rows (tiny);
+- verification joins fetch signatures from the index for the old ids only.
+
+Signature comparability across runs is exactly why the hash family is
+seeded and the token hash pinned (``_hash_family`` seed, md5-based
+``portable_hash64`` / ``stable_token_hash64``): an index written last month
+meets this month's snapshot bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import banded_rows, minhash_signatures
+
+INDEX_PARAMS = dict(n=3, num_hashes=64, bands=16, seed=7, base_hash="xxhash64")
+
+
+def build_dedup_index(
+    df: DataFrame, id_col: str, text_col: str, path: str, mode: str = "overwrite", **params
+) -> None:
+    """Signature + band tables for a corpus → ``{path}/sigs``, ``{path}/bands``."""
+    p = {**INDEX_PARAMS, **params}
+    sigs = minhash_signatures(
+        df, id_col, text_col, p["n"], p["num_hashes"], p["seed"], p["base_hash"]
+    ).localCheckpoint(eager=True)
+    sigs.write.mode(mode).parquet(f"{path}/sigs")
+    banded_rows(sigs, p["num_hashes"], p["bands"], p["base_hash"]).write.mode(mode).parquet(
+        f"{path}/bands"
+    )
+
+
+def incremental_dedup_pairs(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    threshold: float = 0.5,
+    update_index: bool = True,
+    **params,
+) -> DataFrame:
+    """Near-dup pairs of a new snapshot vs (index ∪ itself); appends the new
+    rows to the index afterwards so the next snapshot sees them.
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b lexicographically —
+    identical to what a full-batch ``minhash_lsh_pairs`` over (old ∪ new)
+    would emit for pairs touching at least one new document.
+    """
+    p = {**INDEX_PARAMS, **params}
+    new_sigs = minhash_signatures(
+        new_docs, id_col, text_col, p["n"], p["num_hashes"], p["seed"], p["base_hash"]
+    ).localCheckpoint(eager=True)
+    new_bands = banded_rows(new_sigs, p["num_hashes"], p["bands"], p["base_hash"]).localCheckpoint(
+        eager=True
+    )
+    old_bands = spark.read.parquet(f"{path}/bands")
+    old_sigs = spark.read.parquet(f"{path}/sigs")
+
+    nb, ob = new_bands.alias("n"), old_bands.alias("o")
+    vs_old = nb.join(
+        ob,
+        (F.col("n.band_idx") == F.col("o.band_idx"))
+        & (F.col("n.band_hash") == F.col("o.band_hash"))
+        & (F.col("n._id") != F.col("o._id")),
+    ).select(
+        F.least(F.col("n._id"), F.col("o._id")).alias("id_a"),
+        F.greatest(F.col("n._id"), F.col("o._id")).alias("id_b"),
+    )
+    na, nb2 = new_bands.alias("a"), new_bands.alias("b")
+    vs_new = na.join(
+        nb2,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col("a._id") < F.col("b._id")),
+    ).select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+    cand = vs_old.unionByName(vs_new).dropDuplicates(["id_a", "id_b"])
+
+    all_sigs = old_sigs.unionByName(new_sigs)
+    sig_a = all_sigs.select(F.col("_id").alias("id_a"), F.col("signature").alias("_sa"))
+    sig_b = all_sigs.select(F.col("_id").alias("id_b"), F.col("signature").alias("_sb"))
+    pairs = (
+        cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.aggregate(
+                    F.zip_with(F.col("_sa"), F.col("_sb"), lambda x, y: (x == y).cast("int")),
+                    F.lit(0),
+                    lambda acc, v: acc + v,
+                )
+                / F.lit(p["num_hashes"]),
+                6,
+            ).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .localCheckpoint(eager=True)  # materialize BEFORE the index append below
+    )
+    if update_index:
+        new_sigs.write.mode("append").parquet(f"{path}/sigs")
+        new_bands.write.mode("append").parquet(f"{path}/bands")
+    return pairs
