@@ -1042,6 +1042,12 @@ def _q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunking.deterministic_sample(docs, "doc_id", 0.25, seed=3, base_hash="md5")
 
 
+def _q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rules-style corpus gate composed from lang-ID + quality +
+    repetition — first failed rule wins, nothing silently dropped."""
+    return textstats.corpus_filter(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-URL dedup over deterministically dirtied URLs: tracking
     params, fragments, case, double slashes and trailing slashes collapse so
@@ -1366,6 +1372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_lines": _q_boilerplate_lines,
         "chunk_documents": _q_chunk_documents,
         "deterministic_sample": _q_deterministic_sample,
+        "corpus_filter": _q_corpus_filter,
         # -- driver-green in r2 --
         "extract_main_content": _q_extract,
         "host_stats_salted": _q_host_stats,
@@ -1777,7 +1784,7 @@ def _lang_trigram_oracle() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    oracles = {
         **_fixture_oracles(),
         "dedup_resolve_lsh": _dedup_resolve_lsh_oracle(),
         "pdf_text_extract": _pdf_text_oracle(),
@@ -2388,3 +2395,23 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY o_orderpriority
         """,
     }
+    # the corpus gate composes three already-oracled operators — build its
+    # oracle FROM their SQL so the composition can never drift from the parts
+    oracles["corpus_filter"] = f"""
+        WITH q AS (SELECT * FROM ({oracles["doc_quality"]}) qq),
+             lg AS (SELECT * FROM ({oracles["lang_id"]}) ll),
+             rep AS (SELECT * FROM ({oracles["repetition_scores"]}) rr),
+             j AS (
+               SELECT q.doc_id, lg.lang_guess, q.n_tokens, q.quality_score,
+                      rep.repetition_score,
+                      CASE WHEN lg.lang_guess != 'en' THEN 'lang'
+                           WHEN q.n_tokens < 20 THEN 'too_short'
+                           WHEN q.quality_score < 0.5 THEN 'low_quality'
+                           WHEN rep.is_repetitive THEN 'repetitive'
+                           ELSE 'ok' END AS reason
+               FROM q JOIN lg USING (doc_id) JOIN rep USING (doc_id))
+        SELECT doc_id, lang_guess, n_tokens, quality_score, repetition_score,
+               reason, reason = 'ok' AS keep
+        FROM j
+    """
+    return oracles

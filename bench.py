@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "boilerplate_lines",
     "chunk_documents",
     "deterministic_sample",
+    "corpus_filter",
 ]
 
 

@@ -148,3 +148,23 @@ def test_repetition_scores_reference_semantics(spark):
         assert got[doc_id]["is_repetitive"] == exp_flag, doc_id
     assert got[1]["is_repetitive"] and got[3]["is_repetitive"]
     assert not got[2]["is_repetitive"] and not got[4]["is_repetitive"]
+
+
+def test_corpus_filter_reason_precedence(spark):
+    from batch_doc_vqa_spark.operators import textstats
+
+    texts = [
+        (1, "und der nicht mit aber " * 12),                       # German → lang
+        (2, "the and with that"),                                   # en but 4 tokens → too_short
+        (3, "the same word word word " * 20),                       # repetitive
+        (4, " ".join(f"word{i} the" if i % 6 == 0 else f"word{i}"
+                      for i in range(60))),                         # clean keep
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           textstats.corpus_filter(df, "doc_id", "text", min_quality=0.3,
+                                   rep_min_tokens=20).collect()}
+    assert out[1]["reason"] == "lang" and not out[1]["keep"]
+    assert out[2]["reason"] == "too_short"
+    assert out[3]["reason"] == "repetitive"
+    assert out[4]["reason"] == "ok" and out[4]["keep"]
