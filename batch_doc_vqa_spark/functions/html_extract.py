@@ -174,10 +174,23 @@ def _normalize(raw: str) -> str:
     return _WS_RE.sub(" ", raw).strip()
 
 
+def _decode_markup(payload: bytes) -> str:
+    """bytes → str honoring BOMs (a real crawl-corpus edge): UTF-8 BOM is
+    stripped, UTF-16/32 BOMs select their codec; everything else decodes as
+    UTF-8 with replacement (deterministic — same bytes, same string)."""
+    if payload[:4] in (b"\xff\xfe\x00\x00", b"\x00\x00\xfe\xff"):
+        return payload.decode("utf-32", errors="replace")
+    if payload[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return payload.decode("utf-16", errors="replace")
+    if payload[:3] == b"\xef\xbb\xbf":
+        payload = payload[3:]
+    return payload.decode("utf-8", errors="replace")
+
+
 def extract_html(payload: bytes | str) -> ExtractResult:
     """Extract main content from one HTML document. Pure and deterministic."""
     if isinstance(payload, bytes):
-        doc = payload.decode("utf-8", errors="replace")
+        doc = _decode_markup(payload)
     else:
         doc = payload
     raw_blocks = _tokenize(doc)
@@ -272,6 +285,13 @@ def extract_payload(payload: bytes) -> ExtractResult:
     try:
         if payload is None:
             return ExtractResult("", [], "empty")
+        if payload[:2] == b"\x1f\x8b":  # gzip member (crawl payloads often are)
+            import gzip as _gzip
+
+            try:
+                payload = _gzip.decompress(payload)
+            except OSError as exc:
+                return ExtractResult("", [], "unsupported_format", f"gzip: {exc}")
         if payload[: len(SPDF_MAGIC)] == SPDF_MAGIC:
             text, spans = extract_spdf(payload)
             return ExtractResult(text, spans, "pdf")

@@ -96,3 +96,37 @@ def test_kernel_determinism_on_noisy():
         row = page_row(4301, i)
         r1, r2 = extract_payload(row["html"]), extract_payload(row["html"])
         assert r1.text == r2.text and r1.spans == r2.spans and r1.status == r2.status
+
+
+def test_gzip_payloads_transparently_decompress():
+    """Crawl payloads are often gzip members: magic 1f 8b → decompress, then
+    dispatch as usual (HTML, SPDF or PDF inside); corrupt gzip fails loud."""
+    import gzip
+
+    from batch_doc_vqa_spark.functions.html_extract import extract_payload
+
+    html = b"<html><body><p>" + b"many plain words here " * 10 + b"</p></body></html>"
+    plain = extract_payload(html)
+    zipped = extract_payload(gzip.compress(html))
+    assert zipped.status == plain.status and zipped.text == plain.text
+    bad = extract_payload(b"\x1f\x8b" + b"\x00" * 20)
+    assert bad.status == "unsupported_format" and "gzip" in bad.error
+    # gzipped real PDF also routes correctly after decompression
+    from batch_doc_vqa_spark.functions.pdf_real import encode_minimal_pdf
+
+    inner = extract_payload(gzip.compress(encode_minimal_pdf([["gz pdf line"]])))
+    assert inner.status == "pdf_text" and inner.text == "gz pdf line"
+
+
+def test_bom_and_utf16_payloads_decode():
+    from batch_doc_vqa_spark.functions.html_extract import extract_payload
+
+    html = "<html><body><p>" + "unicode wörds here " * 10 + "</p></body></html>"
+    base = extract_payload(html.encode("utf-8"))
+    bom8 = extract_payload(b"\xef\xbb\xbf" + html.encode("utf-8"))
+    u16 = extract_payload(html.encode("utf-16"))       # LE with BOM
+    u16be = extract_payload("﻿".encode("utf-16-be") + html.encode("utf-16-be"))
+    assert base.status in ("ok", "ok_recall")
+    assert bom8.text == base.text
+    assert u16.text == base.text
+    assert u16be.text == base.text
