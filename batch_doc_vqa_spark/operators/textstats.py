@@ -30,12 +30,13 @@ def _tokens(text_col):
     return F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != F.lit(""))
 
 
-def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Per-doc quality features + composite score, all column arithmetic."""
-    toks = _tokens(F.col(text_col))
+def quality_exprs(text_col) -> list:
+    """Aliased quality-feature columns; shared by ``quality_features`` and
+    the fused ``corpus_filter`` projection (kernel = oracle, one definition)."""
+    toks = _tokens(text_col)
     n_chars = F.length(text_col)
     n_tokens = F.size(toks)
-    punct = F.length(F.regexp_replace(F.col(text_col), r"[^.!?,;:]", ""))
+    punct = F.length(F.regexp_replace(text_col, r"[^.!?,;:]", ""))
     stop = F.size(F.filter(toks, lambda t: t.isin(EN_STOPWORDS)))
     mean_tok_len = F.when(n_tokens > 0, F.round(n_chars / n_tokens, 6)).otherwise(F.lit(0.0))
     punct_ratio = F.when(n_chars > 0, F.round(punct / n_chars, 6)).otherwise(F.lit(0.0))
@@ -46,20 +47,28 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         + F.when(stop_ratio > 0.05, 0.3).otherwise(0.0),
         6,
     )
-    return df.select(
-        F.col(id_col),
+    return [
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
         punct_ratio.alias("punct_ratio"),
         stop_ratio.alias("stopword_ratio"),
         mean_tok_len.alias("mean_token_len"),
         score.alias("quality_score"),
-    )
+    ]
 
 
-def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Marker-word language guess: argmax over per-language stopword hits."""
-    toks = _tokens(F.col(text_col))
+def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc quality features + composite score, all column arithmetic."""
+    return df.select(F.col(id_col), *quality_exprs(F.col(text_col)))
+
+
+def lang_guess_expr(text_col):
+    """Column expr: marker-word language guess (argmax over stopword hits).
+
+    Exposed as a bare expression so composed gates (``corpus_filter``) can
+    evaluate it inside an existing projection — one scan, no self-join.
+    """
+    toks = _tokens(text_col)
 
     def _marker_hits(markers: list[str]):
         # NB: the filter lambda must take exactly one arg — pyspark treats a
@@ -71,12 +80,17 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     guess = F.when(best == 0, F.lit("und"))
     for lang in _MARKERS:  # deterministic tie-break: dict order en,de,fr,es
         guess = guess.when(scores[lang] == best, F.lit(lang))
-    out = df.select(
+    return scores, guess
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Marker-word language guess: argmax over per-language stopword hits."""
+    scores, guess = lang_guess_expr(F.col(text_col))
+    return df.select(
         F.col(id_col),
         *[scores[lang].alias(f"score_{lang}") for lang in _MARKERS],
         guess.alias("lang_guess"),
     )
-    return out
 
 
 def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -292,12 +306,16 @@ def corpus_filter(
     repetition detector adds its (doc, token) aggregation, joined back on the
     id. The filter itself never shuffles beyond that.
     """
-    feats = quality_features(df, id_col, text_col)
-    lang = lang_id(df, id_col, text_col).select(F.col(id_col), "lang_guess")
+    _, guess = lang_guess_expr(F.col(text_col))
+    # quality features + language guess evaluated in ONE projection over the
+    # scan — no self-join for the per-row rules
+    feats = df.select(
+        F.col(id_col), guess.alias("lang_guess"), *quality_exprs(F.col(text_col))
+    )
     rep = repetition_scores(df, id_col, text_col, min_tokens=rep_min_tokens).select(
         F.col(id_col), "repetition_score", "is_repetitive"
     )
-    j = feats.join(lang, id_col).join(rep, id_col)
+    j = feats.join(rep, id_col)
     reason = (
         F.when(~F.col("lang_guess").isin(*allowed_langs), F.lit("lang"))
         .when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
