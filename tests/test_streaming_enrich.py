@@ -113,3 +113,31 @@ def test_streaming_dedup_within_watermark(spark, tmp_path, sf_dir):
     expected = spark.read.parquet(src).select("event_id").distinct().count()
     assert got.count() == expected
     assert got.select("event_id").distinct().count() == expected
+
+
+def test_gated_publish_stream_incremental(spark, tmp_path):
+    """Streaming S11: each availableNow run publishes only NEW files, with
+    the same gate semantics as the batch publish (shared reject expression)."""
+    from batch_doc_vqa_spark.streaming.publish_stream import gated_publish_stream
+
+    src = tmp_path / "results_in"
+    out = str(tmp_path / "pub_out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id long, text string"
+    spark.createDataFrame(
+        [(1, "clean row"), (2, ""), (3, "mail me bob@x.org")], schema
+    ).write.mode("append").parquet(str(src))
+    q = gated_publish_stream(spark, str(src), schema, out, ckpt)
+    q.awaitTermination(120)
+    pub = spark.read.parquet(f"{out}/published")
+    quar = spark.read.parquet(f"{out}/quarantine")
+    assert {r["id"] for r in pub.collect()} == {1}
+    assert {r["id"]: r["reject_reason"] for r in quar.collect()} == {2: "empty", 3: "pii_email"}
+    # second batch of files: only the new rows flow through (checkpointed)
+    spark.createDataFrame([(4, "another clean"), (5, "")], schema).write.mode(
+        "append"
+    ).parquet(str(src))
+    q2 = gated_publish_stream(spark, str(src), schema, out, ckpt)
+    q2.awaitTermination(120)
+    assert {r["id"] for r in spark.read.parquet(f"{out}/published").collect()} == {1, 4}
+    assert spark.read.parquet(f"{out}/quarantine").count() == 3
