@@ -35,6 +35,12 @@ INTERESTING = [
     "validate_coerce",
     "cohort_stats",
     "pdf_text_extract",
+    "corpus_filter",
+    "chunk_documents",
+    "url_dedup",
+    "boilerplate_lines",
+    "media_decode",
+    "repetition_scores",
 ]
 
 
