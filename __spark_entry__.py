@@ -1074,16 +1074,30 @@ def _q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface as boilerplate; unique body lines stay below min_pages."""
     from batch_doc_vqa_spark.operators import webclean
 
+    return webclean.boilerplate_lines(
+        _dirty_pages(spark, sf_dir), "host", "text", min_pages=3
+    ).select("host", "line", "n_pages")
+
+
+def _dirty_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + injected per-host cookie/footer boilerplate (shared by the
+    boilerplate detection and removal queries)."""
     docs = _t(spark, sf_dir, "documents")
     host = F.concat(F.lit("h"), (F.col("doc_id") % 5).cast("string"))
     text = F.concat(
         F.lit("cookie notice for "), host, F.lit("\n"),
         F.col("text"), F.lit("\nall rights reserved"),
     )
-    pages = docs.select(host.alias("host"), text.alias("text"))
-    return webclean.boilerplate_lines(pages, "host", "text", min_pages=3).select(
-        "host", "line", "n_pages"
-    )
+    return docs.select("doc_id", host.alias("host"), text.alias("text"))
+
+
+def _q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal op a pipeline actually ships: per-host denylist joined
+    back, line arrays filtered in place — md5 proves byte-exact cleaning."""
+    from batch_doc_vqa_spark.operators import webclean
+
+    out = webclean.strip_boilerplate_lines(_dirty_pages(spark, sf_dir), "host", "text", 3)
+    return out.select("doc_id", "host", F.md5(F.encode("text", "utf-8")).alias("text_md5"))
 
 
 _N_MEDIA = 200  # fixed so the VALUES oracle matches at every sf
@@ -1373,6 +1387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "deterministic_sample": _q_deterministic_sample,
         "corpus_filter": _q_corpus_filter,
+        "strip_boilerplate": _q_strip_boilerplate,
         # -- driver-green in r2 --
         "extract_main_content": _q_extract,
         "host_stats_salted": _q_host_stats,
@@ -1853,6 +1868,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT host, line, COUNT(*) AS n_pages
             FROM lines GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        """,
+        # removal mirror: same denylist CTE, lines filtered in place, md5 of
+        # the cleaned text proves byte-exact equality with the Spark op
+        "strip_boilerplate": """
+            WITH d AS (
+              SELECT doc_id, 'h' || (doc_id % 5) AS host,
+                     'cookie notice for h' || (doc_id % 5) || chr(10) || text
+                       || chr(10) || 'all rights reserved' AS text
+              FROM documents
+            ), lines AS (
+              SELECT host,
+                     unnest(list_distinct(list_filter(string_split(text, chr(10)), x -> trim(x) != ''))) AS line
+              FROM d
+            ), deny AS (
+              SELECT host, line FROM lines GROUP BY 1, 2 HAVING COUNT(*) >= 3
+            ), dl AS (
+              SELECT host, list(line) AS arr FROM deny GROUP BY host
+            )
+            SELECT d.doc_id, d.host,
+                   md5(array_to_string(list_filter(string_split(d.text, chr(10)),
+                       ln -> dl.arr IS NULL OR NOT list_contains(dl.arr, ln)), chr(10))) AS text_md5
+            FROM d LEFT JOIN dl USING (host)
         """,
         # lenient-ladder mirror: violations are pure functions of c_custkey,
         # so the oracle recomputes the coerced values + corrections directly

@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "chunk_documents",
     "deterministic_sample",
     "corpus_filter",
+    "strip_boilerplate",
 ]
 
 
