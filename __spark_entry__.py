@@ -1048,6 +1048,31 @@ def _q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.corpus_filter(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def _q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data flow as ONE plan: quality/lang/repetition
+    gate → exact-dedup keep-one → token-window chunking → deterministic
+    sampling. Every stage is individually oracled; this query proves the
+    composition a corpus pipeline actually ships."""
+    from batch_doc_vqa_spark.operators import chunking
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = textstats.corpus_filter(docs, "doc_id", "text").filter("keep").select("doc_id")
+    canon = (
+        dedup.exact_dedup(docs, "doc_id", "text")
+        .select(F.col("canonical_id").alias("doc_id"))
+        .distinct()
+    )
+    base = docs.join(kept, "doc_id").join(canon, "doc_id").select("doc_id", "text")
+    chunks = chunking.chunk_documents(base, "doc_id", "text", 64, 16).withColumn(
+        "_sk", F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("chunk_idx").cast("string"))
+    )
+    sampled = chunking.deterministic_sample(chunks, "_sk", 0.5, seed=9, base_hash="md5")
+    return sampled.select(
+        "doc_id", "chunk_idx", "n_tokens",
+        F.md5(F.encode("chunk_text", "utf-8")).alias("chunk_md5"),
+    )
+
+
 def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-URL dedup over deterministically dirtied URLs: tracking
     params, fragments, case, double slashes and trailing slashes collapse so
@@ -1388,6 +1413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_sample": _q_deterministic_sample,
         "corpus_filter": _q_corpus_filter,
         "strip_boilerplate": _q_strip_boilerplate,
+        "training_pipeline": _q_training_pipeline,
         # -- driver-green in r2 --
         "extract_main_content": _q_extract,
         "host_stats_salted": _q_host_stats,
@@ -2450,5 +2476,39 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, lang_guess, n_tokens, quality_score, repetition_score,
                reason, reason = 'ok' AS keep
         FROM j
+    """
+    # end-to-end pipeline oracle: corpus gate (reused verbatim) → exact-dedup
+    # keep-one → 64/16 token windows → md5-keyed 50% sample
+    oracles["training_pipeline"] = rf"""
+        WITH flt AS (
+          SELECT doc_id FROM ({oracles["corpus_filter"]}) cf WHERE keep
+        ), canon AS (
+          SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        ), base AS (
+          SELECT d.doc_id, d.text FROM documents d
+          JOIN flt USING (doc_id) JOIN canon USING (doc_id)
+        ), t AS (
+          SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS tk
+          FROM base
+        ), b AS (
+          SELECT doc_id, tk, len(tk) AS n FROM t
+        ), st AS (
+          SELECT doc_id, tk, n,
+            CASE WHEN n > 0
+                 THEN range(1, 2 + greatest(CAST(ceil((n - 64.0) / 48) AS INT), 0) * 48, 48)
+                 ELSE CAST([] AS BIGINT[]) END AS starts
+          FROM b
+        ), ex AS (
+          SELECT doc_id, n, tk, unnest(starts) AS s FROM st
+        ), ch AS (
+          SELECT doc_id, CAST((s - 1) // 48 AS INT) AS chunk_idx,
+                 CAST(least(64, n - s + 1) AS INT) AS n_tokens,
+                 array_to_string(list_slice(tk, CAST(s AS INT), CAST(s + 63 AS INT)), ' ') AS chunk_text
+          FROM ex
+        )
+        SELECT doc_id, chunk_idx, n_tokens, md5(chunk_text) AS chunk_md5
+        FROM ch
+        WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_idx AS VARCHAR) || '#9'), 1, 15)) AS BIGINT)
+              % 1048576 < 524288
     """
     return oracles

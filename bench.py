@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "deterministic_sample",
     "corpus_filter",
     "strip_boilerplate",
+    "training_pipeline",
 ]
 
 
