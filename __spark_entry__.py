@@ -1048,6 +1048,27 @@ def _q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.corpus_filter(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+_INTROS = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi",
+    "one two three four five six seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen",
+    "north south east west up down left right red green blue yellow black white gray pink",
+)
+
+
+def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup (Lee et al. 2022): shared 16-token intros
+    planted on every doc surface as maximal duplicated spans with positions;
+    unique body windows stay below min_docs."""
+    docs = _t(spark, sf_dir, "documents")
+    intro = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(_INTROS[0]))
+        .when(F.col("doc_id") % 3 == 1, F.lit(_INTROS[1]))
+        .otherwise(F.lit(_INTROS[2]))
+    )
+    pages = docs.select("doc_id", F.concat(intro, F.lit(" "), F.col("text")).alias("text"))
+    return dedup.duplicate_spans(pages, "doc_id", "text", k=8, min_docs=10, base_hash="md5")
+
+
 def _q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end training-data flow as ONE plan: quality/lang/repetition
     gate → exact-dedup keep-one → token-window chunking → deterministic
@@ -1414,6 +1435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter": _q_corpus_filter,
         "strip_boilerplate": _q_strip_boilerplate,
         "training_pipeline": _q_training_pipeline,
+        "duplicate_spans": _q_duplicate_spans,
         # -- driver-green in r2 --
         "extract_main_content": _q_extract,
         "host_stats_salted": _q_host_stats,
@@ -1894,6 +1916,45 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT host, line, COUNT(*) AS n_pages
             FROM lines GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        """,
+        # windowed-hash mirror of the suffix-array substring dedup: k=8-token
+        # window hashes (portable md5), shared-by-≥10-docs filter, interval
+        # merge via lag + running sum — positions are 1-based inclusive
+        "duplicate_spans": rf"""
+            WITH d AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 3 = 0 THEN '{_INTROS[0]}'
+                     WHEN doc_id % 3 = 1 THEN '{_INTROS[1]}'
+                     ELSE '{_INTROS[2]}' END || ' ' || text AS text
+              FROM documents
+            ), t AS (
+              SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS tk
+              FROM d
+            ), b AS (
+              SELECT doc_id, tk, len(tk) AS n FROM t
+            ), w AS (
+              SELECT doc_id, u.i AS pos,
+                CAST(concat('0x', substr(md5(array_to_string(list_slice(tk, CAST(u.i AS INT), CAST(u.i + 7 AS INT)), ' ')), 1, 15)) AS BIGINT) AS h
+              FROM b, unnest(range(1, greatest(n - 7, 0) + 1)) u(i)
+            ), shared AS (
+              SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM w GROUP BY h)
+              WHERE nd >= 10
+            ), dup AS (
+              SELECT doc_id, pos FROM w JOIN shared USING (h)
+            ), runs AS (
+              SELECT doc_id, pos,
+                CASE WHEN COALESCE(pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), 9) > 8
+                     THEN 1 ELSE 0 END AS nw
+              FROM dup
+            ), spans AS (
+              SELECT doc_id, pos,
+                SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS sp
+              FROM runs
+            )
+            SELECT doc_id, CAST(MIN(pos) AS INT) AS span_start,
+                   CAST(MAX(pos) + 7 AS INT) AS span_end,
+                   COUNT(*) AS n_windows
+            FROM spans GROUP BY doc_id, sp
         """,
         # removal mirror: same denylist CTE, lines filtered in place, md5 of
         # the cleaned text proves byte-exact equality with the Spark op

@@ -585,3 +585,65 @@ def dedup_resolve_lsh(
         seed=seed, max_bucket=max_bucket, base_hash=base_hash,
     ).filter(F.col("est_jaccard") >= threshold)
     return _keep_one(df, pairs, id_col)
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 20,
+    min_docs: int = 2,
+    base_hash: str = "xxhash64",
+) -> DataFrame:
+    """Cross-document duplicated k-token spans with positions — exact
+    substring dedup in the sense of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better"), the suffix-array step re-expressed
+    as windowed hashing + interval merge.
+
+    Output: (id, span_start, span_end, n_windows) — token positions
+    (1-based, inclusive) of each maximal run of k-token windows whose hash
+    occurs in ≥ ``min_docs`` distinct documents. Downstream removal is a
+    per-doc slice-out of these spans.
+
+    Shape: window hashes are generated in-array (transform over sequence —
+    no Python), exploded once; "shared by ≥N docs" is a two-level
+    combine-aggregated groupBy on the 8-byte hash; the interval merge is the
+    sessionization pattern (lag + conditional cumsum) per document. Every
+    shuffle key is a long — corpus-linear at 10^12 docs.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")).alias("_t"),
+    ).withColumn("_n", F.size("_t"))
+    idx = F.when(
+        F.col("_n") >= k, F.sequence(F.lit(1), F.col("_n") - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    win = toks.select(
+        "_id",
+        F.posexplode(
+            F.transform(idx, lambda i: _base_hash(F.array_join(F.slice("_t", i, k), " "), base_hash))
+        ).alias("_pos0", "_h"),
+    ).select("_id", (F.col("_pos0") + 1).alias("pos"), "_h")
+    shared = (
+        win.select("_h", "_id").distinct()
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_h")
+    )
+    dup = win.join(shared, "_h").select("_id", "pos")
+    w = Window.partitionBy("_id").orderBy("pos")
+    runs = dup.withColumn(
+        "_new", (F.coalesce(F.col("pos") - F.lag("pos").over(w), F.lit(k + 1)) > k).cast("int")
+    ).withColumn("_span", F.sum("_new").over(w))
+    return (
+        runs.groupBy("_id", "_span")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (k - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(F.col("_id").alias(id_col), "span_start", "span_end", "n_windows")
+    )

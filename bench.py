@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "corpus_filter",
     "strip_boilerplate",
     "training_pipeline",
+    "duplicate_spans",
 ]
 
 

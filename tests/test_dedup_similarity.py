@@ -275,3 +275,27 @@ def test_resolve_clusters_long_chain_converges(spark):
     pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
     got = {r["id"]: r["cluster_id"] for r in dedup.resolve_clusters(ids, pairs).collect()}
     assert got == {i: 0 for i in range(n)}
+
+
+def test_duplicate_spans_positions_and_interval_merge(spark):
+    """Exact substring dedup: shared runs merge into maximal spans with
+    correct 1-based token positions; disjoint shared blocks stay separate."""
+    shared = " ".join(f"s{i}" for i in range(1, 11))  # 10 shared tokens
+    docs = [
+        (1, shared + " uniq1a uniq1b"),
+        (2, shared + " uniq2a uniq2b"),
+        (3, "pre3 " + shared),                         # span shifted right by 1
+        (4, "totally different words only here now"),  # no dup windows
+        (5, shared + " gap1 gap2 gap3 gap4 gap5 " + shared),  # two spans
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = dedup.duplicate_spans(df, "doc_id", "text", k=4, min_docs=2)
+    spans = {}
+    for r in out.collect():
+        spans.setdefault(r["doc_id"], []).append((r["span_start"], r["span_end"], r["n_windows"]))
+    for d in spans:
+        spans[d].sort()
+    assert spans[1] == [(1, 10, 7)]
+    assert spans[3] == [(2, 11, 7)]
+    assert 4 not in spans
+    assert spans[5] == [(1, 10, 7), (16, 25, 7)]
