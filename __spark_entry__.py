@@ -1069,6 +1069,22 @@ def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_spans(pages, "doc_id", "text", k=8, min_docs=10, base_hash="md5")
 
 
+def _q_dedup_spans_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-dedup REMOVAL: the planted shared intros are sliced out of
+    every document's token stream; md5 proves byte-exact cleaning (docs with
+    no spans pass through byte-identical)."""
+    docs = _t(spark, sf_dir, "documents")
+    intro = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(_INTROS[0]))
+        .when(F.col("doc_id") % 3 == 1, F.lit(_INTROS[1]))
+        .otherwise(F.lit(_INTROS[2]))
+    )
+    pages = docs.select("doc_id", F.concat(intro, F.lit(" "), F.col("text")).alias("text"))
+    spans = dedup.duplicate_spans(pages, "doc_id", "text", k=8, min_docs=10, base_hash="md5")
+    out = dedup.remove_duplicate_spans(pages, spans, "doc_id", "text")
+    return out.select("doc_id", F.md5(F.encode("text", "utf-8")).alias("text_md5"))
+
+
 def _q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end training-data flow as ONE plan: quality/lang/repetition
     gate → exact-dedup keep-one → token-window chunking → deterministic
@@ -1436,6 +1452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_boilerplate": _q_strip_boilerplate,
         "training_pipeline": _q_training_pipeline,
         "duplicate_spans": _q_duplicate_spans,
+        "dedup_spans_removed": _q_dedup_spans_removed,
         # -- driver-green in r2 --
         "extract_main_content": _q_extract,
         "host_stats_salted": _q_host_stats,
@@ -1955,6 +1972,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(pos) + 7 AS INT) AS span_end,
                    COUNT(*) AS n_windows
             FROM spans GROUP BY doc_id, sp
+        """,
+        # removal mirror: same span chain, then an index-aware list_filter
+        # (DuckDB (x,i) lambdas are 1-based like the span positions) drops
+        # every token inside a span; spanless docs pass through verbatim
+        "dedup_spans_removed": rf"""
+            WITH d AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 3 = 0 THEN '{_INTROS[0]}'
+                     WHEN doc_id % 3 = 1 THEN '{_INTROS[1]}'
+                     ELSE '{_INTROS[2]}' END || ' ' || text AS text
+              FROM documents
+            ), t AS (
+              SELECT doc_id, text, list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS tk
+              FROM d
+            ), b AS (
+              SELECT doc_id, text, tk, len(tk) AS n FROM t
+            ), w AS (
+              SELECT doc_id, u.i AS pos,
+                CAST(concat('0x', substr(md5(array_to_string(list_slice(tk, CAST(u.i AS INT), CAST(u.i + 7 AS INT)), ' ')), 1, 15)) AS BIGINT) AS h
+              FROM b, unnest(range(1, greatest(n - 7, 0) + 1)) u(i)
+            ), shared AS (
+              SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM w GROUP BY h)
+              WHERE nd >= 10
+            ), dup AS (
+              SELECT doc_id, pos FROM w JOIN shared USING (h)
+            ), runs AS (
+              SELECT doc_id, pos,
+                CASE WHEN COALESCE(pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), 9) > 8
+                     THEN 1 ELSE 0 END AS nw
+              FROM dup
+            ), spansq AS (
+              SELECT doc_id, pos,
+                SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS sp
+              FROM runs
+            ), agg AS (
+              SELECT doc_id, list([st, en]) AS arr FROM (
+                SELECT doc_id, sp, MIN(pos) AS st, MAX(pos) + 7 AS en
+                FROM spansq GROUP BY doc_id, sp) q
+              GROUP BY doc_id
+            )
+            SELECT b.doc_id,
+                   md5(CASE WHEN a.arr IS NULL THEN b.text
+                            ELSE array_to_string(list_filter(b.tk,
+                                (x, i) -> len(list_filter(a.arr, s -> i >= s[1] AND i <= s[2])) = 0), ' ')
+                       END) AS text_md5
+            FROM b LEFT JOIN agg a ON a.doc_id = b.doc_id
         """,
         # removal mirror: same denylist CTE, lines filtered in place, md5 of
         # the cleaned text proves byte-exact equality with the Spark op

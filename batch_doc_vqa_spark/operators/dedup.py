@@ -647,3 +647,35 @@ def duplicate_spans(
         )
         .select(F.col("_id").alias(id_col), "span_start", "span_end", "n_windows")
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame, spans: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Slice duplicated spans out of each document's token stream.
+
+    ``spans``: output of ``duplicate_spans`` (id, span_start, span_end —
+    1-based inclusive token positions). Spans aggregate to ONE array row per
+    doc, join back on the id, and tokens are dropped positionally with an
+    indexed ``filter`` + ``exists`` — all in-plan, one small join, no Python.
+    Docs without spans pass through byte-identical.
+    """
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    joined = df.join(sp, id_col, "left")
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit(""))
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.coalesce(
+            F.exists(
+                F.col("_spans"),
+                lambda s: (i + 1 >= s["span_start"]) & (i + 1 <= s["span_end"]),
+            ),
+            F.lit(False),
+        ),
+    )
+    cleaned = F.when(F.col("_spans").isNull(), F.col(text_col)).otherwise(
+        F.array_join(kept, " ")
+    )
+    return joined.withColumn(text_col, cleaned).drop("_spans")

@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "strip_boilerplate",
     "training_pipeline",
     "duplicate_spans",
+    "dedup_spans_removed",
 ]
 
 

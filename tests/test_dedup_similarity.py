@@ -299,3 +299,19 @@ def test_duplicate_spans_positions_and_interval_merge(spark):
     assert spans[3] == [(2, 11, 7)]
     assert 4 not in spans
     assert spans[5] == [(1, 10, 7), (16, 25, 7)]
+
+
+def test_remove_duplicate_spans_slices_tokens(spark):
+    shared = " ".join(f"s{i}" for i in range(1, 11))
+    docs = [
+        (1, shared + " keep1 keep2"),
+        (2, shared + " keep3 keep4"),
+        (3, "solo words that stay untouched"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    spans = dedup.duplicate_spans(df, "doc_id", "text", k=4, min_docs=2)
+    out = {r["doc_id"]: r["text"]
+           for r in dedup.remove_duplicate_spans(df, spans, "doc_id", "text").collect()}
+    assert out[1] == "keep1 keep2"
+    assert out[2] == "keep3 keep4"
+    assert out[3] == "solo words that stay untouched"  # byte-identical passthrough
