@@ -618,6 +618,11 @@ def _q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.corpus_profile(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def _q_trigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality signal: per-doc character-trigram entropy."""
+    return textstats.char_trigram_entropy(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # min_tokens=40 (reference default is 80) so the fixture's ~60-token docs
     # actually exercise the scoring branch; the kernel default stays 80
@@ -1453,6 +1458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_pipeline": _q_training_pipeline,
         "duplicate_spans": _q_duplicate_spans,
         "dedup_spans_removed": _q_dedup_spans_removed,
+        "trigram_entropy": _q_trigram_entropy,
         # -- driver-green in r2 --
         "extract_main_content": _q_extract,
         "host_stats_salted": _q_host_stats,
@@ -2499,6 +2505,27 @@ def oracle_sql() -> dict[str, str]:
             FROM sess GROUP BY user_id, session_idx
         """,
         "lang_id_trigram": _lang_trigram_oracle(),
+        # H = log2(n) − Σ c·log2(c) / n over the doc's own trigram counts —
+        # the one-pass algebraic form; round(6) absorbs double-sum ordering
+        "trigram_entropy": """
+            WITH lowered AS (SELECT doc_id, lower(text) AS t FROM documents),
+            tri AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, greatest(length(t) - 2, 0) + 1),
+                            i -> substr(t, CAST(i AS INT), 3))) AS g
+              FROM lowered
+            ), c AS (
+              SELECT doc_id, g, COUNT(*) AS c FROM tri GROUP BY 1, 2
+            ), e AS (
+              SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+                     SUM(c * log2(c)) AS clogc, COUNT(*) AS dt
+              FROM c GROUP BY 1
+            )
+            SELECT d.doc_id, COALESCE(e.n, 0) AS n_trigrams,
+                   COALESCE(e.dt, 0) AS distinct_trigrams,
+                   COALESCE(ROUND(log2(e.n) - e.clogc / e.n, 6), 0.0) AS trigram_entropy
+            FROM documents d LEFT JOIN e USING (doc_id)
+        """,
         # reference-exact assess_repetition (inference.py:69-96): \w is
         # ASCII-only in BOTH Java and RE2 regex engines, ratios are exact
         # integer-over-integer double divisions, so values match bit-for-bit

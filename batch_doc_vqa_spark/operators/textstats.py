@@ -332,3 +332,46 @@ def corpus_filter(
         reason.alias("reason"),
         (reason == "ok").alias("keep"),
     )
+
+
+def char_trigram_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc Shannon entropy of the character-trigram distribution — the
+    in-engine stand-in for CCNet's LM-perplexity quality signal: natural text
+    sits in a mid-entropy band, gibberish/binary junk scores high, degenerate
+    repetition scores low.
+
+    H = -Σ (c/n)·log2(c/n) over the doc's own trigram counts. Shape: trigrams
+    generated in-array (sequence+substring), ONE explode → two-level
+    combine-aggregated groupBy — same corpus-linear shape as repetition.
+    Rounded to 6 for cross-engine hash parity (log/· identically on both
+    engines after rounding).
+    """
+    lowered = df.select(F.col(id_col).alias("_id"), F.lower(F.col(text_col)).alias("_t"))
+    idx = F.when(
+        F.length("_t") >= 3, F.sequence(F.lit(1), F.length("_t") - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    tri = lowered.select(
+        "_id", F.explode(F.transform(idx, lambda i: F.col("_t").substr(i, F.lit(3)))).alias("g")
+    )
+    counts = tri.groupBy("_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    ent = (
+        counts.groupBy("_id")
+        .agg(
+            F.sum("c").alias("_n"),
+            F.sum(F.col("c") * F.log2("c")).alias("_clogc"),
+            F.count(F.lit(1)).alias("distinct_trigrams"),
+        )
+        # H = log2(n) - (Σ c·log2 c)/n  (algebraic form: one pass, no p column)
+        .select(
+            "_id",
+            F.col("_n").alias("n_trigrams"),
+            "distinct_trigrams",
+            F.round(F.log2("_n") - F.col("_clogc") / F.col("_n"), 6).alias("trigram_entropy"),
+        )
+    )
+    return df.select(F.col(id_col).alias("_id")).join(ent, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
+        F.coalesce("distinct_trigrams", F.lit(0)).alias("distinct_trigrams"),
+        F.coalesce("trigram_entropy", F.lit(0.0)).alias("trigram_entropy"),
+    )

@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "training_pipeline",
     "duplicate_spans",
     "dedup_spans_removed",
+    "trigram_entropy",
 ]
 
 

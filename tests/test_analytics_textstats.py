@@ -168,3 +168,35 @@ def test_corpus_filter_reason_precedence(spark):
     assert out[2]["reason"] == "too_short"
     assert out[3]["reason"] == "repetitive"
     assert out[4]["reason"] == "ok" and out[4]["keep"]
+
+
+def test_trigram_entropy_orders_text_quality(spark):
+    """Natural-ish text sits between degenerate repetition (low H) and
+    near-random noise (high H); empty/short docs handle gracefully."""
+    import math
+    import random
+
+    rng = random.Random(4)
+    noise = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz .,") for _ in range(600))
+    natural = ("the quick brown fox jumps over the lazy dog and keeps going through "
+               "fields of green grass while the sun sets slowly over distant hills ") * 4
+    degenerate = "ababab" * 100
+    df = spark.createDataFrame(
+        [(1, natural), (2, noise), (3, degenerate), (4, "ab"), (5, "")],
+        "doc_id long, text string",
+    )
+    from batch_doc_vqa_spark.operators import textstats
+
+    out = {r["doc_id"]: r for r in
+           textstats.char_trigram_entropy(df, "doc_id", "text").collect()}
+    assert out[3]["trigram_entropy"] < out[1]["trigram_entropy"] < out[2]["trigram_entropy"]
+    # degenerate 'ababab': trigrams cycle between 'aba' and 'bab' → H ≈ 1 bit
+    assert abs(out[3]["trigram_entropy"] - 1.0) < 0.01
+    assert out[4]["n_trigrams"] == 0 and out[4]["trigram_entropy"] == 0.0
+    assert out[5]["n_trigrams"] == 0
+    # exact check on a tiny case: 'aaaa' → trigrams aaa,aaa → H = 0
+    one = spark.createDataFrame([(9, "aaaa")], "doc_id long, text string")
+    r = textstats.char_trigram_entropy(one, "doc_id", "text").collect()[0]
+    assert r["n_trigrams"] == 2 and r["distinct_trigrams"] == 1
+    assert r["trigram_entropy"] == 0.0
+    assert math.isfinite(out[1]["trigram_entropy"])
