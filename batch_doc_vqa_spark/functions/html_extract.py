@@ -287,10 +287,15 @@ def extract_payload(payload: bytes) -> ExtractResult:
             return ExtractResult("", [], "empty")
         if payload[:2] == b"\x1f\x8b":  # gzip member (crawl payloads often are)
             import gzip as _gzip
+            import zlib as _zlib
 
             try:
                 payload = _gzip.decompress(payload)
-            except OSError as exc:
+            # the common real-world corruption modes raise three different
+            # types: BadGzipFile(OSError) for bad magic/header, zlib.error
+            # for a corrupt deflate body, EOFError for a truncated member —
+            # all are the same taxonomy bucket: unsupported_format
+            except (OSError, EOFError, _zlib.error) as exc:
                 return ExtractResult("", [], "unsupported_format", f"gzip: {exc}")
         if payload[: len(SPDF_MAGIC)] == SPDF_MAGIC:
             text, spans = extract_spdf(payload)

@@ -3,14 +3,20 @@
 The container ships no PIL/ffmpeg, but several formats are decodable with
 nothing beyond the standard library + numpy, from their public specs:
 
-- PNG  (RFC 2083 / ISO 15948): full pixel decode — zlib-inflate IDAT, undo
-  scanline filters 0-4 (None/Sub/Up/Average/Paeth), 8-bit gray/RGB/RGBA;
-- BMP  (Windows BITMAPINFOHEADER): header probe + uncompressed 24/32-bit
-  pixel decode;
-- GIF  (87a/89a): dimension probe from the logical screen descriptor;
-- JPEG (ISO 10918): dimension probe from the SOF0/1/2 frame header;
+Full pixel/frame decode (decode_status='ok' downstream):
+
+- PNG  (RFC 2083 / ISO 15948): zlib-inflate IDAT, undo scanline filters 0-4
+  (None/Sub/Up/Average/Paeth), 8-bit gray/RGB/RGBA — ``decode_png``;
+- BMP  (Windows BITMAPINFOHEADER): uncompressed 24/32-bit pixels, bottom-up
+  or top-down, BGR(A)→RGB(A) — ``decode_bmp``;
 - WAV  (RIFF): stdlib ``wave`` — channels, sample rate, duration, and PCM
   frames for feature extraction.
+
+Header-only probe (decode_status='probe' downstream — real dimensions, no
+pixel access, so the publish gate can distinguish them from full decodes):
+
+- GIF  (87a/89a): dimension probe from the logical screen descriptor;
+- JPEG (ISO 10918): dimension probe from the SOF0/1/2 frame header.
 
 Everything is a pure function of the payload bytes (kernel = oracle); the
 Spark side calls these inside Arrow ``mapInPandas`` batches. Formats outside
@@ -57,10 +63,13 @@ def probe_bytes(payload: bytes) -> dict | None:
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         try:
             with wave.open(BytesIO(payload)) as f:
+                # a malformed fmt chunk can carry framerate=0; stdlib wave
+                # accepts it, so guard the division (record-and-continue:
+                # the row must become a stub, not a task-killing exception)
                 ms = int(round(1000 * f.getnframes() / f.getframerate()))
                 return {"kind": "audio/wav", "width": f.getnchannels(),
                         "height": f.getsampwidth() * 8, "duration_ms": ms}
-        except (wave.Error, EOFError):
+        except (wave.Error, EOFError, ZeroDivisionError):
             return None
     return None
 
@@ -173,6 +182,56 @@ def encode_png(pixels: np.ndarray) -> bytes:
     )
 
 
+# -------------------------------------------------------------- BMP decode
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24/32-bit BMP pixel decode → (h, w, 3|4) uint8 RGB(A).
+
+    Public BITMAPFILEHEADER + BITMAPINFOHEADER layout: pixel-array offset at
+    byte 10, width/height (signed; negative height = top-down) at 18, bit
+    depth at 28, compression at 30 (must be 0 = BI_RGB). Rows are padded to
+    4-byte boundaries and stored bottom-up in BGR(A) order — both undone here
+    so features see the same orientation/channel order as PNG.
+    """
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    w, h_signed = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP variant (bpp={bpp}, compression={compression})")
+    h, top_down = abs(h_signed), h_signed < 0
+    c = bpp // 8
+    stride = (w * c + 3) & ~3
+    end = data_off + stride * h
+    if w <= 0 or h == 0 or len(payload) < end:
+        raise ValueError("BMP data length mismatch")
+    rows = np.frombuffer(payload[data_off:end], dtype=np.uint8).reshape(h, stride)
+    px = rows[:, : w * c].reshape(h, w, c)
+    if not top_down:
+        px = px[::-1]
+    # BGR(A) → RGB(A)
+    order = [2, 1, 0] + ([3] if c == 4 else [])
+    return np.ascontiguousarray(px[..., order])
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → 24-bit bottom-up BMP bytes (for fixtures)."""
+    h, w, c = pixels.shape
+    if c != 3:
+        raise ValueError("encode_bmp writes 24-bit RGB only")
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for y in range(h - 1, -1, -1):
+        row = pixels[y, :, ::-1].tobytes()  # RGB → BGR
+        body += row + b"\x00" * (stride - len(row))
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    file_hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
+    return file_hdr + info + bytes(body)
+
+
 def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
     """int16 mono samples → WAV bytes (stdlib wave writer)."""
     buf = BytesIO()
@@ -233,6 +292,8 @@ def audio_features(payload: bytes) -> list[float]:
     with wave.open(BytesIO(payload)) as f:
         frames = np.frombuffer(f.readframes(f.getnframes()), dtype="<i2").astype(np.float64)
         rate = f.getframerate()
+    if rate <= 0:  # malformed fmt chunk; same guard as probe_bytes
+        raise ValueError("zero WAV frame rate")
     if frames.size == 0:
         return [0.0, 0.0, 0.0, 0.0]
     norm = frames / 32768.0

@@ -59,16 +59,30 @@ def incremental_dedup_pairs(
     Returns (id_a, id_b, est_jaccard) with id_a < id_b lexicographically —
     identical to what a full-batch ``minhash_lsh_pairs`` over (old ∪ new)
     would emit for pairs touching at least one new document.
+
+    Re-ingestion safe: a doc_id present in BOTH the index and the snapshot
+    (re-crawl, or a retried snapshot after a partial failure) is treated as
+    already indexed — its index rows stay authoritative for this pass, and
+    the append anti-joins on indexed ids so retries never bloat the index or
+    produce conflicting duplicate signature rows. A re-crawl whose CONTENT
+    changed therefore keeps its original signature until the next index
+    rebuild/compaction — the append-only parquet emulation can't update in
+    place (an Iceberg MERGE would; see plans/enrich.py for the pattern).
     """
     p = {**INDEX_PARAMS, **params}
-    new_sigs = minhash_signatures(
+    all_new_sigs = minhash_signatures(
         new_docs, id_col, text_col, p["n"], p["num_hashes"], p["seed"], p["base_hash"]
+    ).localCheckpoint(eager=True)
+    old_bands = spark.read.parquet(f"{path}/bands")
+    old_sigs = spark.read.parquet(f"{path}/sigs")
+    # ids-only anti-join: drop snapshot rows already in the index (the id
+    # set is tiny next to the signatures — one broadcast-able column)
+    new_sigs = all_new_sigs.join(
+        old_sigs.select("_id"), "_id", "left_anti"
     ).localCheckpoint(eager=True)
     new_bands = banded_rows(new_sigs, p["num_hashes"], p["bands"], p["base_hash"]).localCheckpoint(
         eager=True
     )
-    old_bands = spark.read.parquet(f"{path}/bands")
-    old_sigs = spark.read.parquet(f"{path}/sigs")
 
     nb, ob = new_bands.alias("n"), old_bands.alias("o")
     vs_old = nb.join(

@@ -7,14 +7,16 @@ pattern is: binary column + typed metadata struct, processed by Arrow-batched
 ``mapInPandas`` so each Python worker sees whole record batches.
 
 PIL/ffmpeg are NOT in this container, but several public container formats
-decode with stdlib+numpy alone (``functions/media_decode.py``): PNG pixels
-(full scanline-filter reconstruction), BMP pixels, GIF/JPEG dimensions, WAV
-audio frames. Recognized payloads get REAL metadata/pixels/features and
-``decode_status='ok'``; everything else falls back to the clearly-marked
-deterministic stub (`_stub_decode`, content-hash dims) with
-``decode_status='stub'`` — which the publish gate quarantines. The schemas,
-batch iteration, partition-size discipline and UDF signatures are the same
-production plumbing either way.
+decode with stdlib+numpy alone (``functions/media_decode.py``): PNG and BMP
+pixels (full reconstruction), WAV audio frames — those rows get REAL
+metadata/pixels/features and ``decode_status='ok'``. GIF/JPEG are
+header-probe only (real dimensions, no pixel access): ``decode_status=
+'probe'`` so the publish gate can tell them from full decodes. Everything
+else falls back to the clearly-marked deterministic stub (`_stub_decode`,
+content-hash dims) with ``decode_status='stub'`` — the gate quarantines
+both 'probe' and 'stub' rows by default. The schemas, batch iteration,
+partition-size discipline and UDF signatures are the same production
+plumbing either way.
 """
 
 from __future__ import annotations
@@ -35,9 +37,10 @@ MEDIA_META_SCHEMA = (
 
 FRAME_SCHEMA = "media_id string, frame_idx int, ts_ms long, frame_sha string"
 
-# Real decode exists for the media_decode.py format set (PNG/BMP/GIF/JPEG/WAV);
-# anything else goes through the stub and is labeled decode_status='stub'.
+# Full pixel/frame decode exists for PNG/BMP/WAV; GIF/JPEG probe header
+# dimensions only ('probe'); anything else is labeled decode_status='stub'.
 REAL_DECODE_AVAILABLE = True
+_FULL_DECODE_KINDS = {"image/png", "image/bmp", "audio/wav"}
 
 
 def _stub_decode(payload: bytes) -> tuple[int, int, int]:
@@ -53,13 +56,16 @@ def _stub_decode(payload: bytes) -> tuple[int, int, int]:
 def _probe_one(payload: bytes | None, fallback_kind: str) -> tuple:
     """(kind, width, height, duration_ms, decode_status) for one payload.
 
-    Recognized container formats (media_decode.probe_bytes) decode for real;
-    unrecognized payloads keep the caller's kind and the stub dims."""
+    Recognized container formats (media_decode.probe_bytes) carry real
+    metadata — 'ok' when a full pixel/frame decoder exists (PNG/BMP/WAV),
+    'probe' when only the header is readable (GIF/JPEG). Unrecognized
+    payloads keep the caller's kind and the stub dims ('stub')."""
     if not payload:
         return fallback_kind, 0, 0, 0, "empty"
     real = media_decode.probe_bytes(payload)
     if real is not None:
-        return real["kind"], real["width"], real["height"], real["duration_ms"], "ok"
+        status = "ok" if real["kind"] in _FULL_DECODE_KINDS else "probe"
+        return real["kind"], real["width"], real["height"], real["duration_ms"], status
     w, h, dur = _stub_decode(payload)
     return fallback_kind, w, h, dur, "stub"
 
@@ -90,12 +96,22 @@ def probe_media(df: DataFrame, id_col: str, bin_col: str, kind_col: str) -> Data
     return df.mapInPandas(probe, schema=MEDIA_META_SCHEMA)
 
 
-def sample_frames(df: DataFrame, id_col: str, bin_col: str, every_ms: int = 5000) -> DataFrame:
+def sample_frames(
+    df: DataFrame,
+    id_col: str,
+    bin_col: str,
+    every_ms: int = 5000,
+    repartition_to: int | None = None,
+) -> DataFrame:
     """Frame-sampling plumbing: one output row per sampled frame timestamp.
 
     Durations are REAL for recognized containers (WAV via media_decode);
     the frame content hash is stubbed (frame_sha = hash(payload, ts)) —
     the fan-out shape (1 media row → N frame rows) is the real pattern.
+
+    Map-only by default, like every other media op: no forced Exchange.
+    Pass ``repartition_to`` only when the upstream partitioning is known-bad
+    (e.g. one giant archive file) and the fan-out would otherwise skew.
     """
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -105,7 +121,7 @@ def sample_frames(df: DataFrame, id_col: str, bin_col: str, every_ms: int = 5000
                 if payload is None:
                     continue
                 _, _, _, dur, status = _probe_one(payload, "")
-                if status != "ok" or dur == 0:
+                if status not in ("ok", "probe") or dur == 0:
                     _, _, dur = _stub_decode(payload) if payload else (0, 0, 0)
                 for idx, ts in enumerate(range(0, dur, every_ms)):
                     out["media_id"].append(mid)
@@ -116,9 +132,9 @@ def sample_frames(df: DataFrame, id_col: str, bin_col: str, every_ms: int = 5000
                     )
             yield pd.DataFrame(out)
 
-    return df.repartition(max(df.sparkSession.sparkContext.defaultParallelism, 8)).mapInPandas(
-        sample, schema=FRAME_SCHEMA
-    )
+    if repartition_to is not None:
+        df = df.repartition(repartition_to)
+    return df.mapInPandas(sample, schema=FRAME_SCHEMA)
 
 
 def base64_payloads(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
@@ -161,7 +177,7 @@ def resize_media(df: DataFrame, id_col: str, bin_col: str, max_w: int = 256, max
                 if payload is None:
                     continue
                 kind, w, h, _, status = _probe_one(payload, "")
-                if status != "ok" or not kind.startswith("image/"):
+                if status not in ("ok", "probe") or not kind.startswith("image/"):
                     w, h, _ = _stub_decode(payload)
                 s = min(1.0, max_w / w, max_h / h)
                 out["media_id"].append(mid)
@@ -185,9 +201,10 @@ def decode_media_kernel(payload: bytes | None, fallback_kind: str) -> dict:
 
     Images (PNG/BMP full pixels): per-channel means, std, aspect, gradient
     energies, min — ``media_decode.image_features``. Audio (WAV): rms, peak,
-    zero-cross, duration + 4 zeros. Unrecognized: stub dims + sha-digest
-    features (the old stub contract). This function IS the oracle — the
-    Spark op maps it over Arrow batches.
+    zero-cross, duration + 4 zeros. GIF/JPEG: header dims only, status
+    'probe', zero features. Unrecognized: stub dims + sha-digest features
+    (the old stub contract). This function IS the oracle — the Spark op maps
+    it over Arrow batches.
     """
     kind, w, h, dur, status = _probe_one(payload, fallback_kind)
     feats = [0.0] * 8
@@ -195,9 +212,10 @@ def decode_media_kernel(payload: bytes | None, fallback_kind: str) -> dict:
         try:
             if kind == "image/png":
                 feats = media_decode.image_features(media_decode.decode_png(payload))
+            elif kind == "image/bmp":
+                feats = media_decode.image_features(media_decode.decode_bmp(payload))
             elif kind == "audio/wav":
                 feats = media_decode.audio_features(payload) + [0.0] * 4
-            # BMP/GIF/JPEG: header-only probe here; features stay zero
         except ValueError as exc:  # recognized container, undecodable body
             status, feats = "decode_error:" + str(exc)[:40], [0.0] * 8
     elif status == "stub":

@@ -239,6 +239,14 @@ def repetition_scores(
       score = max(of the three); 0 below ``min_tokens`` (reference default 80)
       is_repetitive = score ≥ 0.22 or (diversity ≤ 0.35 and repetition ≥ 0.18)
 
+    Unicode caveat: the reference tokenizes with Python ``re`` where ``\\w``
+    is Unicode-aware; Spark and DuckDB ``\\w`` is ASCII-only, so tokenization
+    (hence the ratios) can diverge from the reference on non-ASCII text.
+    Engine and oracle agree with each other on all inputs; the thresholds
+    and score formula match the reference exactly. Use ``(?U)`` in the regex
+    if Unicode parity with the reference ever matters more than the
+    cross-engine (DuckDB) oracle contract.
+
     Shape: consecutive repeats stay in-array (zip_with over two slices, zero
     shuffle); token counts take ONE explode → groupBy(doc, token) with
     map-side combine → groupBy(doc) — the same two-level aggregation as

@@ -48,11 +48,16 @@ def config_fingerprint(config: dict) -> tuple[str, str]:
 
 
 def _table_exists(spark: SparkSession, path: str) -> bool:
-    try:
-        spark.read.parquet(path).limit(1).collect()
-        return True
-    except Exception:
-        return False
+    """O(1) filesystem existence probe — no file listing, no scan, no collect.
+
+    The old read+collect form cost a full directory listing per call; at
+    100 TB with thousands of prior runs that is a driver-side stall on every
+    incremental run.
+    """
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
 
 
 def read_results(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -75,8 +80,14 @@ def run_extraction(
     """Run (or resume) the extraction job. Returns per-run lineage summary.
 
     ``pages`` must have columns (url, warc_ts, html, text, lang) — the
-    BASELINE.json input shape. Results land at ``{out_dir}/results`` (append),
-    lineage at ``{out_dir}/lineage`` (append).
+    BASELINE.json input shape. Results land at ``{out_dir}/results`` and
+    lineage at ``{out_dir}/lineage``, both append-mode and PARTITIONED BY
+    ``run_id``: every per-run read-back (lineage computation, summary) prunes
+    to this run's partition directory instead of filter-scanning all prior
+    runs' files — O(|run|), not O(corpus), per incremental run. This is the
+    parquet emulation of the reference's run-scoped artifact dirs
+    (core/run_manager.py:368-407); an Iceberg table with identity
+    partitioning on run_id is the drop-in upgrade.
 
     ``strict`` selects the validate→fail vs validate→coerce behavior of the
     reference's schema ladder (openrouter/inference.py:1920-2070, SURVEY §2.7
@@ -84,7 +95,8 @@ def run_extraction(
     (counted + urls recorded in lineage, text nulled); lenient (default) ⇒
     the recall-cascade output is kept and only hard errors count as failures.
     """
-    run_id = run_id or uuid.uuid4().hex[:12]
+    # 'r' prefix keeps an all-hex-digit id unambiguous as a directory name
+    run_id = run_id or "r" + uuid.uuid4().hex[:12]
     results_path = f"{out_dir}/results"
     lineage_path = f"{out_dir}/lineage"
     config_json, config_hash = config_fingerprint(
@@ -124,12 +136,12 @@ def run_extraction(
             F.lit(run_id).alias("run_id"),
         )
     )
-    extracted.write.mode("append").parquet(results_path)
+    extracted.write.mode("append").partitionBy("run_id").parquet(results_path)
 
-    # lineage from what was actually committed (read-back, not recompute)
+    # lineage from what was actually committed (read-back, not recompute) —
+    # the run_id partition filter prunes the scan to THIS run's directory
     written = spark.read.parquet(results_path).filter(F.col("run_id") == run_id)
     lineage = written.groupBy(BUCKET_COL).agg(
-        F.lit(run_id).alias("run_id"),
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_input_bytes").alias("n_bytes"),
         F.sum((F.col("status") == "failed").cast("long")).alias("n_failed"),
@@ -143,8 +155,9 @@ def run_extraction(
         F.lit(config_hash).alias("config_hash"),
         F.lit(config_json).alias("config_json"),
         F.lit(ENGINE_VERSION).alias("engine_version"),
+        F.lit(run_id).alias("run_id"),
     )
-    lineage.write.mode("append").parquet(lineage_path)
+    lineage.write.mode("append").partitionBy("run_id").parquet(lineage_path)
 
     summary_rows = (
         spark.read.parquet(lineage_path)

@@ -31,9 +31,11 @@ def publish_reject_reason(
     Rule order (first match wins, mirroring the reference's short-circuit
     validation): empty text → PII → non-finite numerics → unparseable JSON →
     un-decoded media. ``decode_status_col`` is the strict-mode contract for
-    multimodal rows: stub-decoded metadata (``decode_status='stub'``, see
-    operators/multimodal.py) must never reach the published archive — it
-    quarantines as ``stub_decode`` until a real codec sets status 'ok'.
+    multimodal rows: only fully-decoded metadata (``decode_status='ok'``,
+    see operators/multimodal.py) reaches the published archive. Header-only
+    probes ('probe', GIF/JPEG) quarantine as ``probe_only`` — distinct from
+    ``stub_decode`` so operators can tell "real dims, no pixels" from
+    "nothing decoded".
     """
     checks = []
     if text_col is not None:
@@ -47,7 +49,10 @@ def publish_reject_reason(
         col = F.col(c)
         checks.append((col.isNotNull() & F.get_json_object(col, "$").isNull(), "bad_json"))
     if decode_status_col is not None:
-        checks.append((~F.col(decode_status_col).isin(*allowed_decode), "stub_decode"))
+        status = F.col(decode_status_col)
+        if "probe" not in allowed_decode:
+            checks.append((status == "probe", "probe_only"))
+        checks.append((~status.isin(*allowed_decode, "probe"), "stub_decode"))
     reason = F.lit(None).cast("string")
     for cond, label in reversed(checks):
         reason = F.when(cond, F.lit(label)).otherwise(reason)

@@ -41,6 +41,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # partition columns (run_id=... directories) always read back as
+        # string — an all-digit run_id must not silently become a long and
+        # break run-pruning filters / schema stability across runs
+        .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -72,3 +72,21 @@ def test_index_append_makes_next_snapshot_see_previous(spark, corpora, tmp_path)
              for r in incremental_dedup_pairs(spark, third, "doc_id", "text", path,
                                               update_index=False).collect()}
     assert ("new_unique", "third_dup_of_new") in pairs
+
+
+def test_reingested_snapshot_is_idempotent(spark, corpora, tmp_path):
+    """A retried/re-crawled snapshot (same ids) must not bloat the index with
+    duplicate signature rows nor re-emit its pairs on the retry."""
+    old, new = corpora
+    path = str(tmp_path / "idx3")
+    build_dedup_index(old, "doc_id", "text", path)
+    first = incremental_dedup_pairs(spark, new, "doc_id", "text", path, update_index=True)
+    assert first.count() > 0
+    n_after_first = spark.read.parquet(f"{path}/sigs").count()
+    # retry the SAME snapshot (partial-failure replay): ids already indexed
+    retry = incremental_dedup_pairs(spark, new, "doc_id", "text", path, update_index=True)
+    assert retry.count() == 0  # nothing new touches the corpus
+    assert spark.read.parquet(f"{path}/sigs").count() == n_after_first  # no bloat
+    assert (
+        spark.read.parquet(f"{path}/sigs").groupBy("_id").count().filter("count > 1").count() == 0
+    )  # no conflicting duplicate signature rows either

@@ -68,6 +68,41 @@ def test_probe_formats():
     assert md.probe_bytes(b"not a media payload") is None
 
 
+def test_bmp_round_trip_and_variants():
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, size=(9, 7, 3), dtype=np.uint8)  # stride padding path
+    assert np.array_equal(md.decode_bmp(md.encode_bmp(px)), px)
+    px4 = rng.randint(0, 256, size=(3, 4, 3), dtype=np.uint8)  # no padding (w*3 % 4 == 0)
+    assert np.array_equal(md.decode_bmp(md.encode_bmp(px4)), px4)
+    with pytest.raises(ValueError):
+        md.decode_bmp(b"BM" + b"\x00" * 60)  # bpp=0 → unsupported variant
+    with pytest.raises(ValueError):
+        md.decode_bmp(md.encode_bmp(px)[:40])  # truncated
+
+
+def test_bmp_top_down_matches_bottom_up():
+    """Negative height = top-down row order per the public header spec."""
+    px = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    bu = bytearray(md.encode_bmp(px))
+    # flip to top-down: negate height, reverse the two 8-byte rows (stride=8)
+    struct.pack_into("<i", bu, 22, -2)
+    off = 54
+    bu[off : off + 8], bu[off + 8 : off + 16] = bu[off + 8 : off + 16], bu[off : off + 8]
+    assert np.array_equal(md.decode_bmp(bytes(bu)), px)
+
+
+def test_zero_framerate_wav_is_stub_not_crash():
+    """Malformed fmt chunk with framerate=0: record-and-continue, never a
+    task-killing ZeroDivisionError (ADVICE r3)."""
+    wav = bytearray(md.encode_wav(np.zeros(100, dtype=np.int16), rate=8000))
+    # RIFF fmt chunk: sample rate lives 4 bytes into the fmt payload body
+    i = bytes(wav).index(b"fmt ") + 8 + 4
+    struct.pack_into("<I", wav, i, 0)
+    assert md.probe_bytes(bytes(wav)) is None  # falls back to stub path
+    with pytest.raises(ValueError):
+        md.audio_features(bytes(wav))
+
+
 def test_resize_box_properties():
     rng = np.random.RandomState(1)
     px = rng.randint(0, 256, size=(64, 48, 3), dtype=np.uint8)
@@ -93,18 +128,25 @@ def test_spark_decode_media_real_vs_stub(spark):
 
     assert media_row(42, 3) == media_row(42, 3)
     out = {r["media_id"]: r for r in
-           decode_media(media_df(spark, 20, seed=42), "media_id", "payload", "kind").collect()}
-    assert len(out) == 20
+           decode_media(media_df(spark, 24, seed=42), "media_id", "payload", "kind").collect()}
+    assert len(out) == 24
     for i, r in out.items():
         i = int(i)
-        if i % 5 in (0, 1, 2):   # png rows decode for real
+        if i % 8 in (0, 1, 2):   # png rows decode for real
             assert r["kind"] == "image/png" and r["decode_status"] == "ok"
             assert r["width"] >= 4 and r["height"] >= 4
-        elif i % 5 == 3:         # wav rows decode for real
+        elif i % 8 == 3:         # wav rows decode for real
             assert r["kind"] == "audio/wav" and r["decode_status"] == "ok"
             assert r["duration_ms"] >= 100 and r["f0"] > 0  # rms
-        else:                    # blobs fall back to the stub
+        elif i % 8 == 4:         # blobs fall back to the stub
             assert r["kind"] == "blob" and r["decode_status"] == "stub"
+        elif i % 8 == 5:         # bmp rows decode full pixels
+            assert r["kind"] == "image/bmp" and r["decode_status"] == "ok"
+            assert r["f3"] > 0   # pixel std from real noise content
+        else:                    # gif/jpeg: header probe only — real dims
+            assert r["kind"] in ("image/gif", "image/jpeg")
+            assert r["decode_status"] == "probe"
+            assert r["width"] >= 4 and all(r[f"f{k}"] == 0.0 for k in range(8))
 
 
 def test_gate_passes_real_decodes_quarantines_stubs(spark, tmp_path):
@@ -112,10 +154,15 @@ def test_gate_passes_real_decodes_quarantines_stubs(spark, tmp_path):
     from batch_doc_vqa_spark.plans import publish_run
     from batch_doc_vqa_spark.sources.media_fixture import media_df
 
-    meta = probe_media(media_df(spark, 20, seed=42), "media_id", "payload", "kind")
+    meta = probe_media(media_df(spark, 24, seed=42), "media_id", "payload", "kind")
     counts = publish_run(spark, meta, str(tmp_path / "p"), text_col=None,
                          decode_status_col="decode_status")
-    assert counts == {"published": 16, "quarantined": 4}  # 4 blobs per 20
+    # 24 rows mod 8 kinds: 9 png + 3 wav + 3 bmp publish; 3 blobs (stub) and
+    # 3+3 gif/jpeg (probe-only) quarantine — with distinct reasons
+    assert counts == {"published": 15, "quarantined": 9}
+    reasons = {r["reject_reason"] for r in
+               spark.read.parquet(str(tmp_path / "p" / "quarantine")).collect()}
+    assert reasons == {"stub_decode", "probe_only"}
 
 
 def test_resize_and_frames_use_real_metadata(spark):
