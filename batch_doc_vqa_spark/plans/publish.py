@@ -1,15 +1,25 @@
-"""Validation-gated publishing (S11).
+"""Validation-gated publishing (S11) with an atomic per-run commit.
 
 The reference validates run artifacts before they reach the published archive
 — structural checks, PII scrubbing, non-finite numeric rejection
-(/root/reference/src/batch_doc_vqa/benchmarks/published_runs.py:759-833).
-Engine form: a pure column-expression classifier tags every row with a reject
-reason (or null = publishable); ``publish_run`` splits the frame, appends only
-clean rows to the published table, and quarantines the rest with their reason
-so nothing is silently dropped.
+(/root/reference/src/batch_doc_vqa/benchmarks/published_runs.py:759-833) —
+and gates archive visibility behind a manifest write
+(published_runs.py:884-911). Engine form: a pure column-expression classifier
+tags every row with a reject reason (or null = publishable); ``publish_run``
+splits the frame into run-scoped ``published/run_id=…`` and
+``quarantine/run_id=…`` directories and then — only after BOTH halves have
+fully landed — creates a single ``_committed/<run_id>`` marker file. The
+readers (``read_published`` / ``read_quarantine``) filter on the marker set,
+so a crash between the two writes can never surface a torn run: the
+half-written directories exist on disk but are invisible until the marker
+appears, and a retry of the same run_id overwrites them idempotently. This
+is the parquet emulation of an Iceberg two-table transaction; the marker
+file plays the snapshot-commit role.
 """
 
 from __future__ import annotations
+
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -59,6 +69,37 @@ def publish_reject_reason(
     return reason
 
 
+def _fs(spark: SparkSession, path: str):
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def committed_publish_ids(spark: SparkSession, out_dir: str) -> list[str]:
+    """run_ids whose publish transaction fully committed (marker exists)."""
+    fs, jpath = _fs(spark, f"{out_dir}/_committed")
+    if not fs.exists(jpath):
+        return []
+    return sorted(s.getPath().getName() for s in fs.listStatus(jpath))
+
+
+def _read_committed(spark: SparkSession, out_dir: str, table: str) -> DataFrame:
+    ids = committed_publish_ids(spark, out_dir)
+    df = spark.read.parquet(f"{out_dir}/{table}")
+    # partition filter on the committed id set: torn (marker-less) run dirs
+    # are pruned at the directory level, never scanned
+    return df.filter(F.col("run_id").isin(ids) if ids else F.lit(False))
+
+
+def read_published(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The published archive — committed runs only (never a torn run)."""
+    return _read_committed(spark, out_dir, "published")
+
+
+def read_quarantine(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The quarantine table — committed runs only (never a torn run)."""
+    return _read_committed(spark, out_dir, "quarantine")
+
+
 def publish_run(
     spark: SparkSession,
     results: DataFrame,
@@ -67,15 +108,28 @@ def publish_run(
     numeric_cols: tuple[str, ...] = (),
     json_cols: tuple[str, ...] = (),
     decode_status_col: str | None = None,
+    run_id: str | None = None,
+    _crash_before_commit: str | None = None,
 ) -> dict:
-    """Gate → split → append. Returns THIS RUN's {'published': n, 'quarantined': n}.
+    """Gate → split → staged run-scoped writes → atomic marker commit.
+
+    Returns THIS RUN's {'published': n, 'quarantined': n, 'run_id': id}.
 
     Counts come from one tiny aggregate over the tagged frame *before* the
     writes — not a read-back of the cumulative tables (which would cost two
     extra full scans per publish at scale and report prior runs' rows as this
     run's). The tagged frame is localCheckpointed so the gate classifier runs
     once, and count + both writes reuse the same materialization.
+
+    Atomicity: both halves land in ``<table>/run_id=<id>`` directories
+    (mode=overwrite, so a retried run_id is idempotent); the run becomes
+    visible to ``read_published``/``read_quarantine`` only when the single
+    ``_committed/<id>`` marker file is created after both writes succeed.
+    ``_crash_before_commit`` is a test-only fault-injection point: 'published'
+    raises after the published half, 'quarantine' after both halves but
+    before the marker — the kill-between-writes test drives both.
     """
+    run_id = run_id or "p" + uuid.uuid4().hex[:12]
     tagged = results.withColumn(
         "_reject",
         publish_reject_reason(text_col, numeric_cols, json_cols, decode_status_col),
@@ -86,11 +140,22 @@ def publish_run(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    tagged.filter(F.col("_reject").isNull()).drop("_reject").write.mode("append").parquet(
-        f"{out_dir}/published"
+    tagged.filter(F.col("_reject").isNull()).drop("_reject").write.mode("overwrite").parquet(
+        f"{out_dir}/published/run_id={run_id}"
     )
+    if _crash_before_commit == "published":
+        raise RuntimeError("fault injection: crashed after published half")
     quarantined = tagged.filter(F.col("_reject").isNotNull()).withColumnRenamed(
         "_reject", "reject_reason"
     )
-    quarantined.write.mode("append").parquet(f"{out_dir}/quarantine")
-    return {"published": counts.get(True, 0), "quarantined": counts.get(False, 0)}
+    quarantined.write.mode("overwrite").parquet(f"{out_dir}/quarantine/run_id={run_id}")
+    if _crash_before_commit == "quarantine":
+        raise RuntimeError("fault injection: crashed before commit marker")
+    fs, marker = _fs(spark, f"{out_dir}/_committed/{run_id}")
+    fs.mkdirs(marker.getParent())
+    fs.create(marker, True).close()  # single atomic create = the commit point
+    return {
+        "published": counts.get(True, 0),
+        "quarantined": counts.get(False, 0),
+        "run_id": run_id,
+    }

@@ -123,6 +123,23 @@ def main() -> None:
 
         timings[name] = round(best_of(run), 3)
 
+    # SimHash impl costing (VERDICT r3 #2): the oracle-checked simhash_pairs
+    # entry above is the SQL+md5 verification tier; time the production
+    # default (Arrow UDF) and the pure-JVM xxhash64 tier on the same input
+    # so the sql-vs-udf tradeoff carries numbers, not prose.
+    from batch_doc_vqa_spark.operators import dedup as _dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for label, kwargs in [
+        ("simhash_pairs_udf", dict(impl="udf")),
+        ("simhash_pairs_sql_xxh", dict(impl="sql", base_hash="xxhash64")),
+    ]:
+        def run_impl(kwargs=kwargs):
+            df = _dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3, **kwargs)
+            df.agg(F.try_sum(F.xxhash64(*[F.col(c).cast("string") for c in df.columns]))).collect()
+
+        timings[label] = round(best_of(run_impl), 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -159,7 +159,7 @@ def test_gate_passes_real_decodes_quarantines_stubs(spark, tmp_path):
                          decode_status_col="decode_status")
     # 24 rows mod 8 kinds: 9 png + 3 wav + 3 bmp publish; 3 blobs (stub) and
     # 3+3 gif/jpeg (probe-only) quarantine — with distinct reasons
-    assert counts == {"published": 15, "quarantined": 9}
+    assert (counts["published"], counts["quarantined"]) == (15, 9)
     reasons = {r["reject_reason"] for r in
                spark.read.parquet(str(tmp_path / "p" / "quarantine")).collect()}
     assert reasons == {"stub_decode", "probe_only"}
