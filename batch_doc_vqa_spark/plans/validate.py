@@ -9,8 +9,9 @@ coerced with a ``_schema_corrections`` list recorded on the row
 that actually appears in its schemas: field type, regex pattern, required
 (ta_benchmark/schema.py).
 
-Engine form: a rule = (field, type, pattern, required). All checks are pure
-column predicates (zero Python on the path):
+Engine form: a rule = (field, type, pattern, required, enum, minimum,
+maximum, max_length, required_keys). All checks are pure column predicates
+(zero Python on the path):
 
 - ``strict=True``  ⇒ any violating field fails the whole row: ``valid=false``
   with ``first_violation`` naming the field+rule, raw values preserved for
@@ -20,8 +21,11 @@ column predicates (zero Python on the path):
   appended to a ``corrections`` array column — the engine's
   ``_schema_corrections`` log; the row stays ``valid=true``.
 
-Violation precedence per field mirrors jsonschema's error ordering for flat
-object schemas: required (missing) → type → pattern; first match wins.
+Violation precedence per field is fixed by the ladder (jsonschema leaves
+sibling-keyword ordering undefined; pinning one makes the corrections log
+deterministic): required (missing) → type → enum → minimum → maximum →
+maxLength → pattern → required.<key> (one level of nested-object
+required-ness); first match wins.
 """
 
 from __future__ import annotations
@@ -34,13 +38,32 @@ from pyspark.sql import functions as F
 
 @dataclass(frozen=True)
 class FieldRule:
-    """One flat-object schema property: the Draft 2020-12 subset the
-    reference's presets use (type / pattern / required)."""
+    """One flat-object schema property — the Draft 2020-12 subset the
+    reference's runtime exercises (openrouter/inference.py:154-162 validates
+    arbitrary user schemas; the preset schemas pin type/pattern/required,
+    and enum / bounds / maxLength / nested required appear in user schemas).
+
+    - ``enum``: allowed values, compared on the trimmed raw string (the
+      transport layer is all-string; declare dtype for numeric enums).
+    - ``minimum`` / ``maximum``: inclusive numeric bounds, checked on the
+      value cast to ``dtype`` (only meaningful for numeric dtypes; an
+      uncastable value is a 'type' violation first).
+    - ``max_length``: maximum string length of the raw value.
+    - ``required_keys``: one level of nested-object required-ness — the
+      field holds a JSON object string and each listed key must be present
+      and non-null (``get_json_object``); a malformed object reports its
+      first listed key as missing.
+    """
 
     field: str
     dtype: str = "string"  # Spark cast target: 'string' | 'bigint' | 'double' | ...
     pattern: str | None = None  # anchored Java regex, checked on the raw string
     required: bool = False
+    enum: tuple[str, ...] | None = None
+    minimum: float | None = None
+    maximum: float | None = None
+    max_length: int | None = None
+    required_keys: tuple[str, ...] = ()
 
 
 def _violation(rule: FieldRule) -> Column:
@@ -52,8 +75,28 @@ def _violation(rule: FieldRule) -> Column:
         checks.append((blank, "required"))
     if rule.dtype != "string":
         checks.append((~blank & raw.try_cast(rule.dtype).isNull(), "type"))
+    if rule.enum is not None:
+        checks.append(
+            (~blank & ~F.trim(raw.cast("string")).isin(*rule.enum), "enum")
+        )
+    num = raw.try_cast(rule.dtype if rule.dtype != "string" else "double")
+    if rule.minimum is not None:
+        checks.append((~blank & num.isNotNull() & (num < F.lit(rule.minimum)), "minimum"))
+    if rule.maximum is not None:
+        checks.append((~blank & num.isNotNull() & (num > F.lit(rule.maximum)), "maximum"))
+    if rule.max_length is not None:
+        checks.append(
+            (~blank & (F.length(raw.cast("string")) > rule.max_length), "maxLength")
+        )
     if rule.pattern is not None:
         checks.append((~blank & ~raw.cast("string").rlike(rule.pattern), "pattern"))
+    for key in rule.required_keys:
+        checks.append(
+            (
+                ~blank & F.get_json_object(raw.cast("string"), f"$.{key}").isNull(),
+                f"required.{key}",
+            )
+        )
     out = F.lit(None).cast("string")
     for cond, label in reversed(checks):
         out = F.when(cond, F.lit(label)).otherwise(out)

@@ -56,3 +56,54 @@ def test_required_blank_vs_whitespace(spark):
     rules = [FieldRule("label", "string", required=True)]
     out = {r["id"]: r for r in validate_coerce(df, rules, strict=True).collect()}
     assert not out[1]["valid"] and out[2]["valid"]
+
+
+EXT_RULES = [
+    FieldRule("grade", enum=("A", "B", "C")),
+    FieldRule("pct", "double", minimum=0.0, maximum=100.0),
+    FieldRule("tag", max_length=4),
+    FieldRule("obj", required_keys=("id", "ts")),
+]
+
+EXT_ROWS = [
+    (1, "A", "50", "ok", '{"id": 7, "ts": "x"}'),   # clean
+    (2, "Z", "50", "ok", '{"id": 7, "ts": "x"}'),   # enum
+    (3, "B", "-1", "ok", '{"id": 7, "ts": "x"}'),   # minimum
+    (4, "B", "101", "ok", '{"id": 7, "ts": "x"}'),  # maximum
+    (5, "C", "0", "toolong", '{"id": 7, "ts": "x"}'),  # maxLength (bounds inclusive: 0 ok)
+    (6, "C", "100", "ok", '{"id": 7}'),             # nested required.ts (100 inclusive: ok)
+    (7, "A", "50", "ok", "{broken"),                # malformed obj → required.id
+    (8, "A", "abc", "ok", '{"id": 7, "ts": "x"}'),  # type beats bounds
+]
+EXT_SCHEMA = "id long, grade string, pct string, tag string, obj string"
+
+
+def test_extended_ladder_lenient(spark):
+    """Draft 2020-12 extension (VERDICT r3 #4): enum, numeric bounds,
+    maxLength, one level of nested required-ness — lenient tier."""
+    df = spark.createDataFrame(EXT_ROWS, EXT_SCHEMA)
+    out = {r["id"]: r for r in validate_coerce(df, EXT_RULES, strict=False).collect()}
+    assert out[1]["corrections"] == [] and out[1]["pct"] == 50.0
+    assert out[2]["grade"] is None and out[2]["corrections"] == ["grade:enum"]
+    assert out[3]["pct"] is None and out[3]["corrections"] == ["pct:minimum"]
+    assert out[4]["pct"] is None and out[4]["corrections"] == ["pct:maximum"]
+    assert out[5]["tag"] is None and out[5]["corrections"] == ["tag:maxLength"]
+    assert out[5]["pct"] == 0.0 and out[6]["pct"] == 100.0  # inclusive bounds
+    assert out[6]["obj"] is None and out[6]["corrections"] == ["obj:required.ts"]
+    assert out[7]["obj"] is None and out[7]["corrections"] == ["obj:required.id"]
+    # type violation outranks bounds (ladder precedence) and try_cast coerces
+    assert out[8]["corrections"] == ["pct:type"] and out[8]["pct"] is None
+    assert all(r["valid"] for r in out.values())
+
+
+def test_extended_ladder_strict(spark):
+    df = spark.createDataFrame(EXT_ROWS, EXT_SCHEMA)
+    out = {r["id"]: r for r in validate_coerce(df, EXT_RULES, strict=True).collect()}
+    assert out[1]["valid"] and out[1]["first_violation"] is None
+    expected = {2: "grade:enum", 3: "pct:minimum", 4: "pct:maximum",
+                5: "tag:maxLength", 6: "obj:required.ts", 7: "obj:required.id",
+                8: "pct:type"}
+    for i, v in expected.items():
+        assert not out[i]["valid"] and out[i]["first_violation"] == v, i
+        # raw values preserved for the quarantine sink
+    assert out[2]["grade"] == "Z" and out[7]["obj"] == "{broken"
