@@ -72,6 +72,12 @@ SMOOTH_MIN_WORDS = 3
 SMOOTH_MAX_LINK_DENSITY = 0.5
 # recall cascade triggers when the precision pass yields less than this
 MIN_YIELD_CHARS = 150
+# runaway-header repair: a real masthead is small. When "header" blocks hold
+# more than this share of the document's chars AND more than this many
+# non-heading blocks, the header tag was left unclosed (a common crawl
+# pathology) and its contents are reclassified as ordinary body content.
+HEADER_RUNAWAY_CHAR_SHARE = 0.5
+HEADER_RUNAWAY_MIN_BLOCKS = 2
 
 
 @dataclass
@@ -229,6 +235,19 @@ def extract_html(payload: bytes | str) -> ExtractResult:
     is_header = np.asarray(headerish, dtype=bool)
     is_heading = np.asarray(heading, dtype=bool)
     ch = np.asarray(chars, dtype=np.int64)
+
+    # runaway-header repair (see HEADER_RUNAWAY_*): an unclosed <header>
+    # swallows the rest of the document into the header container; a
+    # "masthead" holding most of the text and several non-heading blocks is
+    # not a masthead — demote its blocks to ordinary content
+    if is_header.any():
+        header_share = ch[is_header].sum() / ch.sum()
+        non_heading_header_blocks = int((is_header & ~is_heading).sum())
+        if (
+            header_share > HEADER_RUNAWAY_CHAR_SHARE
+            and non_heading_header_blocks > HEADER_RUNAWAY_MIN_BLOCKS
+        ):
+            is_header = np.zeros_like(is_header)
 
     def classify(min_words: int, min_words_heading: int, max_ld: float) -> np.ndarray:
         min_w = np.where(is_heading, min_words_heading, min_words)

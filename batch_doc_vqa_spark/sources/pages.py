@@ -73,6 +73,12 @@ for _k in range(_N_HOSTS):
     _HOST_CUM.append(_acc)
 
 PROFILES = ("clean", "tabular", "noisy_mixed")
+# Hard-mode tiers (VERDICT r3 #5), mirroring the reference generator's
+# difficulty profiles (tools/generate_synthetic_pdf_task.py:23-45): drawn
+# from an INDEPENDENT rng stream (key[8:16]) so enabling them left every
+# non-hard row byte-identical to the previous fixture generation.
+HARD_PROFILES = ("malformed_nest", "table_heavy", "near_empty")
+HARD_FRACTION = 0.15
 PDF_FRACTION = 0.10
 
 
@@ -115,6 +121,50 @@ def _footer_html(rng: random.Random) -> str:
         f'<footer><a href="/about">About</a> <a href="/privacy">Privacy</a>'
         f"<p>Copyright 2025 {rng.choice(_WORDS)} media group all rights reserved</p></footer>"
     )
+
+
+def _malformed_nest_html(title: str, paras: list[str], rng: random.Random) -> str:
+    """Hard tier 1: pathologically malformed nesting — unclosed divs/spans
+    accumulating depth, crossed inline tags (<b><i></b></i>), stray closers,
+    never-closed body/html. A stack-strict parser chokes; the extractor's
+    linear tokenizer must still recover every paragraph."""
+    out = [f"<header><h1>{title}</h1>"]  # header never closed
+    for p in paras:
+        opens = "".join(f"<div class=l{k}><span>" for k in range(rng.randint(1, 3)))
+        words = p.split(" ")
+        mid = len(words) // 2
+        crossed = (
+            " ".join(words[:mid]) + " <b>bold <i>both</b> italic</i> " + " ".join(words[mid:])
+        )
+        out.append(f"{opens}<p>{crossed}")
+        if rng.random() < 0.5:
+            out.append("</div></div></div></span>")  # mismatched strays
+    return "<html><body>" + "".join(out)
+
+
+def _table_heavy_html(title: str, paras: list[str], rng: random.Random) -> str:
+    """Hard tier 2: 2000s-style layout-table page — three levels of nested
+    tables, real content in inner cells surrounded by ad/link junk cells."""
+    def ad() -> str:
+        return f'<td><a href="/ad">{rng.choice(_WORDS)}</a></td>'
+
+    content_rows = "".join(f"<tr><td><p>{p}</p></td>{ad()}</tr>" for p in paras)
+    junk_rows = "".join(f"<tr>{ad()}{ad()}{ad()}</tr>" for _ in range(rng.randint(4, 8)))
+    inner = f"<table>{content_rows}</table>"
+    mid = f"<table><tr><td>{inner}</td><td>{_link_farm(rng)}</td></tr>{junk_rows}</table>"
+    return (
+        f"<html><head><title>{title}</title></head><body>"
+        f"<table><tr><td>{_nav_html(rng)}</td></tr><tr><td><h1>{title}</h1>{mid}</td></tr>"
+        f"<tr><td>{_footer_html(rng)}</td></tr></table></body></html>"
+    )
+
+
+def _near_empty_html(title: str, paras: list[str], rng: random.Random) -> str:
+    """Hard tier 3: near-empty markup — bare text separated by <br> runs,
+    HTML entities in the text, no <p>/<div> structure, nothing closed."""
+    blocks = [title] + [p.replace(" ", " &amp; ", 1) for p in paras[:1]] + paras[1:]
+    sep = "<br><br>" if rng.random() < 0.5 else "\n<br>\n<br>\n"
+    return "<html><body>" + sep.join(blocks)
 
 
 def page_row(seed: int, i: int) -> dict:
@@ -179,6 +229,20 @@ def page_row(seed: int, i: int) -> dict:
         f'<script src="/bundle.js"></script></head><body>{"".join(body)}</body></html>'
     )
     stale = paras[0][: rng.randint(20, 60)] if rng.random() < 0.5 else ""
+
+    # hard-mode override AFTER all rng draws: the independent rng2 stream
+    # decides hard membership, so url/ts/lang/title/paras/stale of every row
+    # — and every byte of every NON-hard row — are unchanged by this tier
+    rng2 = random.Random(int.from_bytes(key[8:16], "big"))
+    if rng2.random() < HARD_FRACTION:
+        profile = HARD_PROFILES[rng2.randrange(len(HARD_PROFILES))]
+        builder = {
+            "malformed_nest": _malformed_nest_html,
+            "table_heavy": _table_heavy_html,
+            "near_empty": _near_empty_html,
+        }[profile]
+        html_doc = builder(title, paras, rng2)
+
     return {
         "url": url, "warc_ts": ts, "html": html_doc.encode("utf-8"),
         "text": stale, "lang": lang, "profile": profile,

@@ -130,3 +130,91 @@ def test_bom_and_utf16_payloads_decode():
     assert bom8.text == base.text
     assert u16.text == base.text
     assert u16be.text == base.text
+
+
+def test_unclosed_header_does_not_swallow_document():
+    """An unclosed <header> is a common crawl pathology: when the 'masthead'
+    ends up holding most of the document's chars across several non-heading
+    blocks, the runaway-header repair demotes it to body content."""
+    paras = [
+        "brave new words appear here in this long enough paragraph today",
+        "second block of body prose with plenty of words to keep things going",
+        "third block closing out the page with more than enough real words",
+    ]
+    html = "<html><body><header><h1>Headline Words Here</h1>" + "".join(
+        f"<p>{p}</p>" for p in paras
+    )
+    r = extract_html(html)
+    for p in paras:
+        assert p in r.text
+    assert "Headline Words Here" in r.text  # headline still kept
+    # a SMALL well-formed header keeps the headings-only masthead contract
+    html2 = (
+        "<body><header><h1>Real Masthead Headline</h1><p>small tagline here "
+        "with just enough words to pass strict</p></header>"
+        f"<p>{paras[0]}</p><p>{paras[1]}</p></body>"
+    )
+    r2 = extract_html(html2)
+    assert "small tagline" not in r2.text and "Real Masthead Headline" in r2.text
+
+
+def test_hard_profiles_recall_and_precision():
+    """Hard-mode corpus tiers (VERDICT r3 #5): every content paragraph is
+    recovered (recall) and trackers/footer boilerplate never leak
+    (precision), per profile."""
+    import collections
+
+    seen = collections.Counter()
+    for i in range(512):
+        row = page_row(42, i)
+        prof = row["profile"]
+        if prof not in ("malformed_nest", "table_heavy", "near_empty"):
+            continue
+        seen[prof] += 1
+        r = extract_payload(row["html"])
+        assert r.status == "ok", (i, prof, r.status)
+        blocks = row["intent_text"].split("\n\n")
+        title, paras = blocks[0], blocks[1:]
+        if prof != "near_empty":
+            # near_empty's title is a bare 3-5 word line with no markup —
+            # indistinguishable from junk, so dropping it is correct
+            # precision behavior; the paragraphs are the content
+            assert title in r.text, (i, prof)
+        for j, p in enumerate(paras):
+            if prof == "malformed_nest":
+                # the crossed inline tags inject three words mid-paragraph
+                words = p.split(" ")
+                mid = len(words) // 2
+                p = " ".join(words[:mid]) + " bold both italic " + " ".join(words[mid:])
+            elif prof == "near_empty" and j == 0:
+                p = p.replace(" ", " & ", 1)  # entity round-trip
+            assert p in r.text, (i, prof, j)
+        for junk in ("all rights reserved", "track('", 'href="/ad"'):
+            assert junk not in r.text, (i, prof, junk)
+    # all three tiers actually appeared in the sample
+    assert set(seen) == {"malformed_nest", "table_heavy", "near_empty"}
+    assert all(v >= 10 for v in seen.values()), seen
+
+
+def test_hard_override_leaves_other_rows_byte_identical():
+    """The hard tier draws from an independent rng stream: rows it does not
+    claim must be byte-identical to what the base profiles generate."""
+    from batch_doc_vqa_spark.sources import pages as P
+
+    base_rows = {}
+    for i in range(60):
+        r = P.page_row(42, i)
+        base_rows[i] = (r["profile"], r["html"])
+    # regenerate with the hard tier disabled
+    orig = P.HARD_FRACTION
+    P.HARD_FRACTION = -1.0
+    try:
+        for i in range(60):
+            r = P.page_row(42, i)
+            prof, html = base_rows[i]
+            if prof in P.HARD_PROFILES:
+                assert r["html"] != html  # hard rows differ by construction
+            else:
+                assert r["html"] == html and r["profile"] == prof
+    finally:
+        P.HARD_FRACTION = orig
