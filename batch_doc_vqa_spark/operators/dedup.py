@@ -226,8 +226,12 @@ def minhash_lsh_pairs(
     shingles hashing alike, empty-ish docs) can hold 10^6+ docs and the
     within-bucket join goes quadratic; capping bounds the worst bucket's
     cost at max_bucket². Recall loss is confined to pairs whose ONLY
-    colliding band is a mega-bucket — docs that similar almost always share
-    a rarer band too. None (default) keeps exact banding semantics.
+    colliding bands are mega-buckets — docs that similar almost always share
+    a rarer band too. This bound is checked empirically (not just argued) on
+    a seeded adversarial boilerplate-mega-cluster fixture at two cap values:
+    tests/test_dedup_similarity.py::
+    test_max_bucket_cap_recall_bound_on_boilerplate_megacluster.
+    None (default) keeps exact banding semantics.
     """
     # materialize signatures before the self-join: otherwise the whole
     # explode+aggregate signature pipeline is recomputed for BOTH join sides.

@@ -315,3 +315,78 @@ def test_remove_duplicate_spans_slices_tokens(spark):
     assert out[1] == "keep1 keep2"
     assert out[2] == "keep3 keep4"
     assert out[3] == "solo words that stay untouched"  # byte-identical passthrough
+
+
+def test_max_bucket_cap_recall_bound_on_boilerplate_megacluster(spark):
+    """VERDICT r3 #8: quantify the max_bucket recall loss empirically on a
+    seeded adversarial fixture, at two cap values.
+
+    Fixture: a 40-doc boilerplate mega-cluster (large shared text + tiny
+    unique tails → every band bucket holds ~40 docs) and 30 planted rare
+    near-dup pairs (unique texts, bucket size 2). Asserts the documented
+    bound ("recall loss is confined to pairs whose ONLY colliding bands are
+    mega-buckets") as a SET property, not prose: a pair is lost under cap c
+    iff all of its colliding band buckets exceed c.
+    """
+    rng = random.Random(1234)
+    words = [f"w{k}" for k in range(500)]
+    boiler = " ".join(rng.choice(words) for _ in range(120))
+    rows = []
+    for i in range(40):  # mega-cluster: shared boilerplate + 3 unique words
+        rows.append((f"mega{i:02d}", boiler + " " + " ".join(rng.choice(words) for _ in range(3))))
+    rare_pairs = set()
+    for j in range(30):  # rare true near-dups: unique base, one word changed
+        base = " ".join(rng.choice(words) for _ in range(60))
+        w = base.split()
+        w[7] = "changed"
+        rows.append((f"rareA{j:02d}", base))
+        rows.append((f"rareB{j:02d}", " ".join(w)))
+        rare_pairs.add((f"rareA{j:02d}", f"rareB{j:02d}"))
+    for u in range(40):  # background uniques
+        rows.append((f"uniq{u:02d}", " ".join(rng.choice(words) for _ in range(60))))
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+
+    def pairs(cap):
+        out = dedup.minhash_lsh_pairs(df, "doc_id", "text", n=3, num_hashes=64,
+                                      bands=16, max_bucket=cap)
+        return {(r["id_a"], r["id_b"]) for r in
+                out.filter(F.col("est_jaccard") >= 0.5).collect()}
+
+    uncapped = pairs(None)
+    assert rare_pairs <= uncapped  # ground truth present
+    mega_uncapped = {p for p in uncapped if p[0].startswith("mega")}
+    assert len(mega_uncapped) > 500  # the quadratic blowup the cap exists for
+
+    # cap ≥ cluster size: zero recall loss
+    assert pairs(50) == uncapped
+
+    # tight cap: rare pairs all survive; loss confined to mega-bucket-only pairs
+    capped10 = pairs(10)
+    assert rare_pairs <= capped10
+    lost = uncapped - capped10
+    assert lost and lost <= mega_uncapped
+
+    # the documented bound, checked against the actual bucket sizes: a pair
+    # is lost iff NONE of its colliding band buckets is ≤ cap
+    sigs = dedup.minhash_signatures(df, "doc_id", "text", 3, 64, 7, "xxhash64")
+    banded = dedup.banded_rows(sigs, 64, 16, "xxhash64")
+    sizes = banded.groupBy("band_idx", "band_hash").agg(F.count(F.lit(1)).alias("bn"))
+    b2 = banded.join(sizes, ["band_idx", "band_hash"])
+    a, b = b2.alias("a"), b2.alias("b")
+    colliding = (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+                  & (F.col("a.band_hash") == F.col("b.band_hash"))
+                  & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.min("a.bn").alias("min_bucket"))
+    )
+    min_bucket = {(r["id_a"], r["id_b"]): r["min_bucket"] for r in colliding.collect()}
+    for p in uncapped:
+        if p in lost:
+            assert min_bucket[p] > 10, p      # lost ⇒ every colliding bucket mega
+        else:
+            assert min_bucket[p] <= 10, p     # kept ⇒ some rare band collided
+    # quantified recall at cap=10 on the adversarial fixture, for the record:
+    # rare-pair recall 1.0; mega-cluster recall is the price of the cap
+    mega_recall = 1 - len(lost) / len(mega_uncapped)
+    assert 0.0 <= mega_recall < 1.0

@@ -99,6 +99,32 @@ def test_pdf_and_media_paths_arrow_batched_no_shuffle(plans):
         assert len(re.findall(r"\(\d+\) Exchange", p)) == 0, q  # map-only
 
 
+def test_every_media_operator_is_map_only(spark):
+    """The WHOLE media family is map-only by default — zero forced Exchange
+    (VERDICT r3 #7: sample_frames' unconditional repartition made opt-in)."""
+    from batch_doc_vqa_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame(
+        [("m1", b"payload", "image")], "media_id string, payload binary, kind string"
+    )
+    ops = {
+        "probe": mm.probe_media(df, "media_id", "payload", "kind"),
+        "frames": mm.sample_frames(df, "media_id", "payload"),
+        "resize": mm.resize_media(df, "media_id", "payload"),
+        "decode": mm.decode_media(df, "media_id", "payload", "kind"),
+        "features": mm.extract_features(df, "media_id", "payload"),
+        "base64": mm.base64_payloads(df, "media_id", "payload"),
+    }
+    for name, out in ops.items():
+        p = spark._jvm.PythonSQLUtils.explainString(out._jdf.queryExecution(), "formatted")
+        assert len(re.findall(r"\(\d+\) Exchange", p)) == 0, (name, p[:1200])
+        assert "BatchEvalPython" not in p, name
+    # the opt-in still works when the caller knows the input layout is bad
+    forced = mm.sample_frames(df, "media_id", "payload", repartition_to=4)
+    p = spark._jvm.PythonSQLUtils.explainString(forced._jdf.queryExecution(), "formatted")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p[:1200]
+
+
 def test_boilerplate_lines_single_aggregation_shuffle(plans):
     # explode → partial agg → ONE exchange on (host, line) → final agg
     p = plans("boilerplate_lines")
