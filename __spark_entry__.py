@@ -435,6 +435,80 @@ def _dedup_resolve_lsh_oracle(threshold: float = 0.5) -> str:
     """
 
 
+def _bench_fixture(spark: SparkSession, sf_dir: str):
+    """(docs, bench): a benchmark set derived deterministically from the
+    documents table — every 37th doc contributes tokens 5..24 as one
+    benchmark item — so the DuckDB oracle rebuilds the identical set and the
+    planted contamination (each source doc trivially contains its own
+    snippet) is known."""
+    from batch_doc_vqa_spark.operators.dedup import normalized_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", normalized_tokens(F.col("text")).alias("_t"))
+    bench = toks.filter((F.col("doc_id") % 37 == 0) & (F.size("_t") >= 24)).select(
+        F.concat(F.lit("b"), F.col("doc_id").cast("string")).alias("bench_id"),
+        F.array_join(F.slice("_t", 5, 20), " ").alias("bench_text"),
+    )
+    return docs, bench
+
+
+def _q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination, report tier: per (doc, benchmark-item)
+    n-gram overlap — GPT-3-appendix-C style, benchmark side broadcast."""
+    from batch_doc_vqa_spark.operators import decontam
+
+    docs, bench = _bench_fixture(spark, sf_dir)
+    return decontam.contamination_report(
+        docs, "doc_id", "text", bench, "bench_id", "bench_text", n=8, base_hash="md5"
+    )
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination, drop tier: corpus minus docs covering ≥80% of any
+    benchmark item's n-grams."""
+    from batch_doc_vqa_spark.operators import decontam
+
+    docs, bench = _bench_fixture(spark, sf_dir)
+    return decontam.decontaminate(
+        docs, "doc_id", "text", bench, "bench_id", "bench_text",
+        n=8, threshold=0.8, base_hash="md5",
+    ).select("doc_id", "n_chars")
+
+
+# Shared tokenization + benchmark-derivation CTEs for the decontamination
+# oracles (same normalization as _minhash_ctes so the engines cannot drift).
+_DECONTAM_CTES = """toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+'), x -> x != '') AS t
+        FROM documents
+    ), bench AS (
+        SELECT 'b' || CAST(doc_id AS VARCHAR) AS bench_id, list_slice(t, 5, 24) AS bt
+        FROM toks WHERE doc_id % 37 = 0 AND len(t) >= 24
+    ), bh AS (
+        SELECT bench_id,
+               CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h
+        FROM (SELECT bench_id, unnest(list_distinct(list_transform(
+                  range(1, greatest(len(bt) - 7, 0) + 1),
+                  i -> array_to_string(list_slice(bt, i, i + 7), ' ')))) AS s
+              FROM bench)
+    ), bsz AS (
+        SELECT bench_id, COUNT(*) AS bench_ngrams FROM bh GROUP BY bench_id
+    ), dh AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h
+        FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+                  range(1, greatest(len(t) - 7, 0) + 1),
+                  i -> array_to_string(list_slice(t, i, i + 7), ' ')))) AS s
+              FROM toks)
+    ), contam AS (
+        SELECT doc_id, bench_id, matched_ngrams, bench_ngrams,
+               ROUND(CAST(matched_ngrams AS DOUBLE) / bench_ngrams, 6) AS coverage
+        FROM (SELECT doc_id, bench_id, COUNT(*) AS matched_ngrams
+              FROM dh JOIN bh USING (h) GROUP BY doc_id, bench_id)
+        JOIN bsz USING (bench_id)
+    )"""
+
+
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # impl="sql" + portable hash: the signature is 64 JVM sum-aggregates and
     # DuckDB reproduces the whole pipeline (see _simhash_oracle)
@@ -1507,6 +1581,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- not driver-signed in r03 (incl. new-this-round): sampled first --
         "validate_strict": _q_validate_strict,
+        "contamination_report": _q_contamination_report,
+        "decontaminate": _q_decontaminate,
         "ann_ivf_topk": _q_ann_ivf,
         "embedding_dup_pairs": _q_embedding_dup,
         "embedding_dup_pairs_lsh": _q_embedding_dup_lsh,
@@ -2144,6 +2220,18 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(v1, v2, v3, v4, v5, v6, v7) AS first_violation,
                    TRUE AS valid
             FROM v
+        """,
+        "contamination_report": f"""
+            WITH {_DECONTAM_CTES}
+            SELECT doc_id, bench_id, matched_ngrams, bench_ngrams, coverage
+            FROM contam
+        """,
+        "decontaminate": f"""
+            WITH {_DECONTAM_CTES}
+            SELECT d.doc_id, d.n_chars
+            FROM documents d
+            ANTI JOIN (SELECT DISTINCT doc_id FROM contam WHERE coverage >= 0.8) c
+            USING (doc_id)
         """,
         "validate_strict": f"""
             WITH v AS ({_VALIDATE_ORACLE_BASE})

@@ -1,0 +1,96 @@
+"""Benchmark decontamination: n-gram overlap between corpus and eval sets.
+
+A training-data pipeline must guarantee its corpus does not contain the
+benchmarks it will be evaluated on (the reference's published-run archive
+plays the benchmark-set role: curated eval artifacts kept strictly apart
+from inputs, /root/reference/src/batch_doc_vqa/benchmarks/published_runs.py).
+The standard web-scale recipe (GPT-3 appendix C / Gopher / The Pile) flags a
+document when it shares ≥ some number of word n-grams with any benchmark
+item, then drops or audits the collisions.
+
+Engine shape — corpus-linear, benchmark-broadcast:
+
+- benchmark side: distinct n-gram hashes per benchmark item. Benchmarks are
+  tiny next to a 100 TB corpus (thousands of items, not billions), so the
+  hash set broadcasts: the corpus-side join is map-only, no corpus shuffle;
+- corpus side: the SAME tokenizer + shingle machinery as every dedup op
+  (``dedup.normalized_tokens`` / ``exploded_shingles`` — shared so the
+  contamination n-grams can never drift from the dedup shingles);
+- one groupBy (doc, bench) counts matches → coverage = matched / benchmark
+  n-grams. The aggregate runs on join OUTPUT rows — bounded by actual
+  collisions, not corpus size.
+
+``base_hash='md5'`` (portable_hash64) makes the whole pipeline
+value-checkable against a DuckDB oracle; production uses xxhash64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _base_hash, exploded_shingles
+
+DEFAULT_NGRAM = 8  # GPT-3 uses 13-grams at full web scale; 8 suits fixtures
+
+
+def _ngram_hashes(df: DataFrame, id_col: str, text_col: str, n: int, base_hash: str) -> DataFrame:
+    """(_id, h): distinct n-gram hashes per row, shared-tokenizer shingles."""
+    sh = exploded_shingles(df, id_col, text_col, n)
+    return sh.select("_id", _base_hash(F.col("sh"), base_hash).alias("h"))
+
+
+def contamination_report(
+    docs: DataFrame,
+    doc_id: str,
+    doc_text: str,
+    bench: DataFrame,
+    bench_id: str,
+    bench_text: str,
+    n: int = DEFAULT_NGRAM,
+    base_hash: str = "xxhash64",
+) -> DataFrame:
+    """(doc_id, bench_id, matched_ngrams, bench_ngrams, coverage) per
+    contaminated (doc, benchmark-item) pair — rows only where ≥1 n-gram
+    matches. ``coverage`` is the fraction of the benchmark item's distinct
+    n-grams found in the document (rounded 6)."""
+    doc_h = _ngram_hashes(docs, doc_id, doc_text, n, base_hash).withColumnRenamed(
+        "_id", "doc_id"
+    )
+    bench_h = _ngram_hashes(bench, bench_id, bench_text, n, base_hash).withColumnRenamed(
+        "_id", "bench_id"
+    )
+    bench_sizes = bench_h.groupBy("bench_id").agg(F.count(F.lit(1)).alias("bench_ngrams"))
+    matches = (
+        doc_h.join(F.broadcast(bench_h), "h")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("matched_ngrams"))
+    )
+    return matches.join(F.broadcast(bench_sizes), "bench_id").select(
+        "doc_id",
+        "bench_id",
+        "matched_ngrams",
+        "bench_ngrams",
+        F.round(F.col("matched_ngrams") / F.col("bench_ngrams"), 6).alias("coverage"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    doc_id: str,
+    doc_text: str,
+    bench: DataFrame,
+    bench_id: str,
+    bench_text: str,
+    n: int = DEFAULT_NGRAM,
+    threshold: float = 0.5,
+    base_hash: str = "xxhash64",
+) -> DataFrame:
+    """Corpus minus documents whose coverage of ANY benchmark item reaches
+    ``threshold`` — the drop-the-collision policy. The flagged-id frame is a
+    tiny aggregate of the report, so the anti-join broadcasts."""
+    report = contamination_report(docs, doc_id, doc_text, bench, bench_id, bench_text, n, base_hash)
+    flagged = (
+        report.filter(F.col("coverage") >= threshold).select(F.col("doc_id").alias(doc_id)).distinct()
+    )
+    return docs.join(F.broadcast(flagged), doc_id, "left_anti")

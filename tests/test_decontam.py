@@ -1,0 +1,77 @@
+"""Benchmark decontamination: n-gram overlap detection + drop policy.
+
+The GPT-3-appendix-C-style pipeline step: flag corpus docs sharing word
+n-grams with benchmark items, drop above a coverage threshold."""
+
+from __future__ import annotations
+
+import random
+
+import re
+
+from pyspark.sql import functions as F
+
+from batch_doc_vqa_spark.operators.decontam import contamination_report, decontaminate
+
+WORDS = [f"tok{k}" for k in range(300)]
+
+
+def _text(rng, n=60):
+    return " ".join(rng.choice(WORDS) for _ in range(n))
+
+
+def _fixture(spark):
+    rng = random.Random(77)
+    bench_items = [(f"bench{j}", _text(rng, 20)) for j in range(5)]
+    docs = []
+    # d0/d1: verbatim contamination (benchmark embedded mid-document)
+    docs.append(("d0", _text(rng, 30) + " " + bench_items[0][1] + " " + _text(rng, 30)))
+    docs.append(("d1", bench_items[1][1]))  # the whole doc IS the benchmark
+    # d2: partial overlap — first 10 tokens of bench2 only (3 of 13 8-grams)
+    docs.append(("d2", _text(rng, 25) + " " + " ".join(bench_items[2][1].split()[:10]) + " " + _text(rng, 25)))
+    # d3/d4: clean
+    docs.append(("d3", _text(rng, 60)))
+    docs.append(("d4", _text(rng, 60)))
+    return (
+        spark.createDataFrame(docs, "doc_id string, text string"),
+        spark.createDataFrame(bench_items, "bench_id string, text string"),
+    )
+
+
+def test_contamination_report_coverage(spark):
+    docs, bench = _fixture(spark)
+    rep = contamination_report(docs, "doc_id", "text", bench, "bench_id", "text", n=8)
+    rows = {(r["doc_id"], r["bench_id"]): r for r in rep.collect()}
+    assert rows[("d0", "bench0")]["coverage"] == 1.0  # embedded verbatim
+    assert rows[("d1", "bench1")]["coverage"] == 1.0
+    # 20-token item → 13 distinct-ish 8-grams; 10 shared tokens → 3 8-grams
+    partial = rows[("d2", "bench2")]
+    assert 0 < partial["coverage"] < 0.5
+    assert partial["matched_ngrams"] == 3
+    # clean docs never appear, and no cross-benchmark noise
+    assert all(d not in ("d3", "d4") for d, _ in rows)
+
+
+def test_decontaminate_drop_policy(spark):
+    docs, bench = _fixture(spark)
+    kept = decontaminate(docs, "doc_id", "text", bench, "bench_id", "text", n=8, threshold=0.5)
+    ids = {r["doc_id"] for r in kept.collect()}
+    # verbatim contamination dropped; partial (below threshold) and clean kept
+    assert ids == {"d2", "d3", "d4"}
+    # threshold low enough catches the partial overlap too
+    strict = decontaminate(docs, "doc_id", "text", bench, "bench_id", "text", n=8, threshold=0.2)
+    assert {r["doc_id"] for r in strict.collect()} == {"d3", "d4"}
+
+
+def test_benchmark_side_broadcasts(spark):
+    """Scale shape: the benchmark hash set must broadcast — the corpus side
+    joins map-only, no corpus-wide shuffle for the match step."""
+    docs, bench = _fixture(spark)
+    rep = contamination_report(docs, "doc_id", "text", bench, "bench_id", "text", n=8)
+    plan = spark._jvm.PythonSQLUtils.explainString(rep._jdf.queryExecution(), "formatted")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan  # pure JVM
+    # the only Exchanges are the tiny broadcast-build sides + the
+    # match-output aggregate — the corpus scan itself feeds the join directly
+    assert len(re.findall(r"\(\d+\) Exchange hashpartitioning", plan)) <= 1, plan[:1500]
