@@ -140,22 +140,36 @@ def publish_run(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    tagged.filter(F.col("_reject").isNull()).drop("_reject").write.mode("overwrite").parquet(
-        f"{out_dir}/published/run_id={run_id}"
-    )
-    if _crash_before_commit == "published":
-        raise RuntimeError("fault injection: crashed after published half")
-    quarantined = tagged.filter(F.col("_reject").isNotNull()).withColumnRenamed(
-        "_reject", "reject_reason"
-    )
-    quarantined.write.mode("overwrite").parquet(f"{out_dir}/quarantine/run_id={run_id}")
-    if _crash_before_commit == "quarantine":
-        raise RuntimeError("fault injection: crashed before commit marker")
-    fs, marker = _fs(spark, f"{out_dir}/_committed/{run_id}")
-    fs.mkdirs(marker.getParent())
-    fs.create(marker, True).close()  # single atomic create = the commit point
+    write_tagged_run(spark, tagged, out_dir, run_id, _crash_before_commit)
     return {
         "published": counts.get(True, 0),
         "quarantined": counts.get(False, 0),
         "run_id": run_id,
     }
+
+
+def write_tagged_run(
+    spark: SparkSession,
+    tagged: DataFrame,
+    out_dir: str,
+    run_id: str,
+    _crash_before_commit: str | None = None,
+) -> None:
+    """The staged-write + marker-commit protocol, shared by the batch
+    publisher and the streaming twin (one definition — the two sinks cannot
+    drift). ``tagged`` carries a ``_reject`` column; both halves land in
+    run-scoped directories (overwrite = idempotent replay) and become
+    visible only when the single marker file is created."""
+    tagged.filter(F.col("_reject").isNull()).drop("_reject").write.mode("overwrite").parquet(
+        f"{out_dir}/published/run_id={run_id}"
+    )
+    if _crash_before_commit == "published":
+        raise RuntimeError("fault injection: crashed after published half")
+    tagged.filter(F.col("_reject").isNotNull()).withColumnRenamed(
+        "_reject", "reject_reason"
+    ).write.mode("overwrite").parquet(f"{out_dir}/quarantine/run_id={run_id}")
+    if _crash_before_commit == "quarantine":
+        raise RuntimeError("fault injection: crashed before commit marker")
+    fs, marker = _fs(spark, f"{out_dir}/_committed/{run_id}")
+    fs.mkdirs(marker.getParent())
+    fs.create(marker, True).close()  # single atomic create = the commit point

@@ -1,13 +1,17 @@
 """Streaming twin of the validation-gated publish sink (S11).
 
 Batch form: ``plans/publish.publish_run`` tags rows with a reject reason and
-splits them into published/quarantine tables. Streaming form: the SAME
-column-expression gate (``publish_reject_reason`` — one definition, no
-drift) runs inside ``foreachBatch``, so each micro-batch appends its clean
-rows to ``published/`` and its rejects to ``quarantine/`` with exactly-once
-semantics from the stream checkpoint. ``trigger(availableNow=True)`` turns
-this into an incremental batch publisher: rerun it after new result files
-land and only the new files flow through the gate.
+splits them into published/quarantine tables behind an atomic per-run
+marker commit. Streaming form: the SAME column-expression gate
+(``publish_reject_reason``) and the SAME staged-write protocol
+(``write_tagged_run`` — one definition each, no drift) run inside
+``foreachBatch`` with an EPOCH-scoped run id (``e<batch_id>``): a replayed
+epoch overwrites its own run directories idempotently, and a crash between
+the two table writes leaves the epoch invisible to
+``read_published``/``read_quarantine`` until the marker lands — end-to-end
+exactly-once, not just at-least-once appends. ``trigger(availableNow=True)``
+turns this into an incremental batch publisher: rerun it after new result
+files land and only the new files flow through the gate.
 """
 
 from __future__ import annotations
@@ -16,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..plans.publish import publish_reject_reason
+from ..plans.publish import publish_reject_reason, write_tagged_run
 
 
 def gated_publish_stream(
@@ -31,18 +35,13 @@ def gated_publish_stream(
     decode_status_col: str | None = None,
     available_now: bool = True,
 ) -> StreamingQuery:
-    """File-source results stream → gate → published/quarantine appends."""
+    """File-source results stream → gate → atomic epoch-scoped publishes."""
     stream = spark.readStream.schema(schema).parquet(results_dir)
     reason = publish_reject_reason(text_col, numeric_cols, json_cols, decode_status_col)
 
     def publish_batch(batch: DataFrame, batch_id: int) -> None:
         tagged = batch.withColumn("_reject", reason).localCheckpoint(eager=True)
-        tagged.filter(F.col("_reject").isNull()).drop("_reject").write.mode("append").parquet(
-            f"{out_dir}/published"
-        )
-        tagged.filter(F.col("_reject").isNotNull()).withColumnRenamed(
-            "_reject", "reject_reason"
-        ).write.mode("append").parquet(f"{out_dir}/quarantine")
+        write_tagged_run(batch.sparkSession, tagged, out_dir, f"e{batch_id:08d}")
 
     writer = stream.writeStream.foreachBatch(publish_batch).option(
         "checkpointLocation", checkpoint_dir

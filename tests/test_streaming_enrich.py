@@ -129,15 +129,40 @@ def test_gated_publish_stream_incremental(spark, tmp_path):
     ).write.mode("append").parquet(str(src))
     q = gated_publish_stream(spark, str(src), schema, out, ckpt)
     q.awaitTermination(120)
-    pub = spark.read.parquet(f"{out}/published")
-    quar = spark.read.parquet(f"{out}/quarantine")
+    from batch_doc_vqa_spark.plans import committed_publish_ids, read_published, read_quarantine
+
+    pub = read_published(spark, out)
+    quar = read_quarantine(spark, out)
     assert {r["id"] for r in pub.collect()} == {1}
     assert {r["id"]: r["reject_reason"] for r in quar.collect()} == {2: "empty", 3: "pii_email"}
+    # each epoch committed atomically under its own marker
+    assert committed_publish_ids(spark, out) == ["e00000000"]
     # second batch of files: only the new rows flow through (checkpointed)
     spark.createDataFrame([(4, "another clean"), (5, "")], schema).write.mode(
         "append"
     ).parquet(str(src))
     q2 = gated_publish_stream(spark, str(src), schema, out, ckpt)
     q2.awaitTermination(120)
-    assert {r["id"] for r in spark.read.parquet(f"{out}/published").collect()} == {1, 4}
-    assert spark.read.parquet(f"{out}/quarantine").count() == 3
+    assert {r["id"] for r in read_published(spark, out).collect()} == {1, 4}
+    assert read_quarantine(spark, out).count() == 3
+    assert committed_publish_ids(spark, out) == ["e00000000", "e00000001"]
+
+
+def test_gated_publish_stream_torn_epoch_invisible(spark, tmp_path):
+    """A crash between an epoch's two table writes (simulated by deleting
+    its commit marker) leaves that epoch invisible to the archive readers —
+    the streaming sink inherits the batch publisher's atomicity."""
+    import os
+
+    from batch_doc_vqa_spark.plans import read_published
+    from batch_doc_vqa_spark.streaming.publish_stream import gated_publish_stream
+
+    src = tmp_path / "torn_in"
+    out = str(tmp_path / "torn_out")
+    schema = "id long, text string"
+    spark.createDataFrame([(1, "clean row"), (2, "more clean")], schema).write.parquet(str(src))
+    q = gated_publish_stream(spark, str(src), schema, out, str(tmp_path / "torn_ckpt"))
+    q.awaitTermination(120)
+    assert read_published(spark, out).count() == 2
+    os.remove(f"{out}/_committed/e00000000")  # the torn-epoch state
+    assert read_published(spark, out).count() == 0  # bytes on disk, reader blind
