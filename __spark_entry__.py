@@ -435,6 +435,111 @@ def _dedup_resolve_lsh_oracle(threshold: float = 0.5) -> str:
     """
 
 
+def _pii_dirty_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with deterministically injected PII (modulus-keyed, so the
+    DuckDB oracle rebuilds the identical dirt): emails, phones, IPs, SSNs,
+    card numbers — several can stack on one row."""
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+
+    def inj(mod: int, *parts) -> F.Column:
+        return F.when(k % mod == 0, F.concat(*parts)).otherwise(F.lit(""))
+
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            inj(7, F.lit(" contact: user"), k.cast("string"), F.lit("@example.com")),
+            inj(11, F.lit(" call 555-867-5309")),
+            inj(13, F.lit(" server 192.168.0.1 up")),
+            inj(17, F.lit(" ssn 123-45-6789")),
+            inj(19, F.lit(" card 4111-1111-1111-1111")),
+        ).alias("text"),
+    )
+
+
+def _q_pii_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection report: per-doc counts per category, raw text."""
+    from batch_doc_vqa_spark.operators.pii import pii_report
+
+    return pii_report(_pii_dirty_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction cascade: typed placeholders + rewrite count; the text
+    column is value-compared in full (byte identity of the redacted text)."""
+    from batch_doc_vqa_spark.operators.pii import redact_pii
+
+    return redact_pii(_pii_dirty_docs(spark, sf_dir), "doc_id", "text")
+
+
+# documents + injected PII, as SQL (same modulus dirt as _pii_dirty_docs)
+_PII_DIRTY_CTE = """dirty AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 7 = 0 THEN ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+               || CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309' ELSE '' END
+               || CASE WHEN doc_id % 13 = 0 THEN ' server 192.168.0.1 up' ELSE '' END
+               || CASE WHEN doc_id % 17 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+               || CASE WHEN doc_id % 19 = 0 THEN ' card 4111-1111-1111-1111' ELSE '' END
+               AS text
+        FROM documents
+    )"""
+
+
+def _pii_report_oracle() -> str:
+    from batch_doc_vqa_spark.operators.pii import PII_PATTERNS
+
+    counts = ",\n                   ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS INT) AS n_{cat}"
+        for cat, (pat, _) in PII_PATTERNS.items()
+    )
+    total = " + ".join(f"n_{cat}" for cat in PII_PATTERNS)
+    return f"""
+        WITH {_PII_DIRTY_CTE},
+        c AS (
+            SELECT doc_id,
+                   {counts}
+            FROM dirty
+        )
+        SELECT doc_id, {", ".join("n_" + c for c in PII_PATTERNS)},
+               CAST({total} AS INT) AS n_pii
+        FROM c
+    """
+
+
+def _pii_redact_oracle() -> str:
+    """Progressive cascade as chained CTEs: each stage counts on the text as
+    it stands, then rewrites with the 'g' flag (DuckDB replaces only the
+    first match by default — Spark replaces all)."""
+    from batch_doc_vqa_spark.operators.pii import PII_PATTERNS
+
+    n = len(PII_PATTERNS)
+    # thread the stage counts through: each CTE carries the previous counts
+    chain = []
+    prev = "t0"
+    for i, (cat, (pat, repl)) in enumerate(PII_PATTERNS.items(), start=1):
+        carried = ", ".join(f"c{j}" for j in range(1, i))
+        carried = (carried + ", ") if carried else ""
+        chain.append(
+            f"""r{i} AS (
+            SELECT doc_id, {carried}
+                   CAST(len(regexp_extract_all({prev}, '{pat}')) AS INT) AS c{i},
+                   regexp_replace({prev}, '{pat}', '{repl}', 'g') AS t{i}
+            FROM r{i - 1}
+        )"""
+        )
+        prev = f"t{i}"
+    total = " + ".join(f"c{j}" for j in range(1, n + 1))
+    return f"""
+        WITH {_PII_DIRTY_CTE},
+        r0 AS (SELECT doc_id, text AS t0 FROM dirty),
+        {", ".join(chain)}
+        SELECT doc_id, t{n} AS text, CAST({total} AS INT) AS n_redactions
+        FROM r{n}
+    """
+
+
 def _bench_fixture(spark: SparkSession, sf_dir: str):
     """(docs, bench): a benchmark set derived deterministically from the
     documents table — every 37th doc contributes tokens 5..24 as one
@@ -1583,6 +1688,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_strict": _q_validate_strict,
         "contamination_report": _q_contamination_report,
         "decontaminate": _q_decontaminate,
+        "pii_report": _q_pii_report,
+        "pii_redact": _q_pii_redact,
         "ann_ivf_topk": _q_ann_ivf,
         "embedding_dup_pairs": _q_embedding_dup,
         "embedding_dup_pairs_lsh": _q_embedding_dup_lsh,
@@ -2221,6 +2328,8 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS valid
             FROM v
         """,
+        "pii_report": _pii_report_oracle(),
+        "pii_redact": _pii_redact_oracle(),
         "contamination_report": f"""
             WITH {_DECONTAM_CTES}
             SELECT doc_id, bench_id, matched_ngrams, bench_ngrams, coverage

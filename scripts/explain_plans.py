@@ -41,6 +41,9 @@ INTERESTING = [
     "boilerplate_lines",
     "media_decode",
     "repetition_scores",
+    "validate_strict",
+    "contamination_report",
+    "decontaminate",
 ]
 
 
