@@ -1465,6 +1465,11 @@ def _validate_fixture(spark: SparkSession, sf_dir: str):
         .when(k % 23 == 0, F.lit("{broken"))
         .otherwise(meta_clean)
         .alias("meta"),
+        F.when(k % 29 == 0, F.lit("[]"))
+        .when(k % 31 == 0, F.lit('["a","b","c","d","e","f"]'))
+        .when(k % 41 == 0, F.lit('{"not":"array"}'))
+        .otherwise(F.lit('["t1","t2"]'))
+        .alias("tags"),
     )
     rules = [
         FieldRule("student_id", "string", r"^[0-9]{8}$", required=True),
@@ -1474,13 +1479,14 @@ def _validate_fixture(spark: SparkSession, sf_dir: str):
         FieldRule("pct", "double", minimum=0.0, maximum=100.0),
         FieldRule("comment_short", max_length=20),
         FieldRule("meta", required_keys=("id", "ts")),
+        FieldRule("tags", min_items=1, max_items=5),
     ]
     return dirty, rules
 
 
 _VALIDATE_OUT_COLS = [
     "c_custkey", "student_id", "score", "name", "grade", "pct",
-    "comment_short", "meta", "first_violation", "valid",
+    "comment_short", "meta", "tags", "first_violation", "valid",
 ]
 
 # Shared CTE body for the validate_coerce / validate_strict oracles: the
@@ -1497,7 +1503,10 @@ _VALIDATE_ORACLE_BASE = """
                 WHEN c_custkey % 200 > 150 THEN 'pct:maximum' END AS v5,
            CASE WHEN c_custkey % 15 > 6 THEN 'comment_short:maxLength' END AS v6,
            CASE WHEN c_custkey % 19 = 0 THEN 'meta:required.ts'
-                WHEN c_custkey % 23 = 0 THEN 'meta:required.id' END AS v7
+                WHEN c_custkey % 23 = 0 THEN 'meta:required.id' END AS v7,
+           CASE WHEN c_custkey % 29 = 0 THEN 'tags:minItems'
+                WHEN c_custkey % 31 = 0 THEN 'tags:maxItems'
+                WHEN c_custkey % 41 = 0 THEN 'tags:minItems' END AS v8
     FROM (
         SELECT c_custkey, c_name, id8, grade_clean, meta_clean,
                CASE WHEN c_custkey % 7 = 0 THEN 'X' || id8 ELSE id8 END AS student_id_raw,
@@ -1509,7 +1518,11 @@ _VALIDATE_ORACLE_BASE = """
                repeat('ab', CAST(c_custkey % 15 + 4 AS INT)) AS comment_raw,
                CASE WHEN c_custkey % 19 = 0 THEN '{"id": 1}'
                     WHEN c_custkey % 23 = 0 THEN '{broken'
-                    ELSE meta_clean END AS meta_raw
+                    ELSE meta_clean END AS meta_raw,
+               CASE WHEN c_custkey % 29 = 0 THEN '[]'
+                    WHEN c_custkey % 31 = 0 THEN '["a","b","c","d","e","f"]'
+                    WHEN c_custkey % 41 = 0 THEN '{"not":"array"}'
+                    ELSE '["t1","t2"]' END AS tags_raw
         FROM (
             SELECT c_custkey, c_name,
                    lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS id8,
@@ -1530,7 +1543,7 @@ def _q_validate_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
     dirty, rules = _validate_fixture(spark, sf_dir)
     out = validate_coerce(dirty, rules, strict=False)
     return out.select(
-        *_VALIDATE_OUT_COLS[:8],
+        *_VALIDATE_OUT_COLS[:9],
         F.array_join("corrections", ";").alias("corrections_csv"),
         "first_violation",
         "valid",
@@ -2321,10 +2334,11 @@ def oracle_sql() -> dict[str, str]:
                         ELSE CAST(c_custkey % 200 - 50 AS DOUBLE) END AS pct,
                    CASE WHEN v6 IS NOT NULL THEN NULL ELSE comment_raw END AS comment_short,
                    CASE WHEN v7 IS NOT NULL THEN NULL ELSE meta_clean END AS meta,
+                   CASE WHEN v8 IS NOT NULL THEN NULL ELSE tags_raw END AS tags,
                    COALESCE(array_to_string(list_filter(
-                       [v1, v2, v3, v4, v5, v6, v7], x -> x IS NOT NULL), ';'), '')
+                       [v1, v2, v3, v4, v5, v6, v7, v8], x -> x IS NOT NULL), ';'), '')
                        AS corrections_csv,
-                   COALESCE(v1, v2, v3, v4, v5, v6, v7) AS first_violation,
+                   COALESCE(v1, v2, v3, v4, v5, v6, v7, v8) AS first_violation,
                    TRUE AS valid
             FROM v
         """,
@@ -2347,8 +2361,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, student_id_raw AS student_id, score_raw AS score,
                    name_raw AS name, grade_raw AS grade, pct_raw AS pct,
                    comment_raw AS comment_short, meta_raw AS meta,
-                   COALESCE(v1, v2, v3, v4, v5, v6, v7) AS first_violation,
-                   COALESCE(v1, v2, v3, v4, v5, v6, v7) IS NULL AS valid
+                   tags_raw AS tags,
+                   COALESCE(v1, v2, v3, v4, v5, v6, v7, v8) AS first_violation,
+                   COALESCE(v1, v2, v3, v4, v5, v6, v7, v8) IS NULL AS valid
             FROM v
         """,
         "split_pages": _split_pages_oracle(),

@@ -25,7 +25,7 @@ Violation precedence per field is fixed by the ladder (jsonschema leaves
 sibling-keyword ordering undefined; pinning one makes the corrections log
 deterministic): required (missing) → type → enum → minimum → maximum →
 maxLength → pattern → required.<key> (one level of nested-object
-required-ness); first match wins.
+required-ness) → minItems → maxItems; first match wins.
 """
 
 from __future__ import annotations
@@ -53,6 +53,12 @@ class FieldRule:
       field holds a JSON object string and each listed key must be present
       and non-null (``get_json_object``); a malformed object reports its
       first listed key as missing.
+    - ``min_items`` / ``max_items``: JSON-array cardinality bounds
+      (``json_array_length``). A non-array value (including malformed JSON)
+      has no length and reports ``minItems`` when ``min_items`` is set.
+      SQL-oracle note: DuckDB's json_array_length returns 0 for non-array
+      JSON where Spark returns NULL — guard with
+      ``json_type(x) = 'ARRAY'`` on the SQL side.
     """
 
     field: str
@@ -64,6 +70,8 @@ class FieldRule:
     maximum: float | None = None
     max_length: int | None = None
     required_keys: tuple[str, ...] = ()
+    min_items: int | None = None
+    max_items: int | None = None
 
 
 def _violation(rule: FieldRule) -> Column:
@@ -97,6 +105,16 @@ def _violation(rule: FieldRule) -> Column:
                 f"required.{key}",
             )
         )
+    if rule.min_items is not None or rule.max_items is not None:
+        arr_len = F.json_array_length(raw.cast("string"))
+        if rule.min_items is not None:
+            checks.append(
+                (~blank & (arr_len.isNull() | (arr_len < rule.min_items)), "minItems")
+            )
+        if rule.max_items is not None:
+            checks.append(
+                (~blank & arr_len.isNotNull() & (arr_len > rule.max_items), "maxItems")
+            )
     out = F.lit(None).cast("string")
     for cond, label in reversed(checks):
         out = F.when(cond, F.lit(label)).otherwise(out)

@@ -96,6 +96,30 @@ def test_extended_ladder_lenient(spark):
     assert all(r["valid"] for r in out.values())
 
 
+def test_json_array_bounds(spark):
+    """minItems/maxItems on JSON-array fields; non-arrays (incl. malformed
+    JSON) have no length and report minItems when it is set."""
+    rows = [
+        (1, '["a","b"]'),        # clean
+        (2, "[]"),               # minItems
+        (3, '["a","b","c","d"]'),  # maxItems
+        (4, '{"not":"array"}'),  # not an array → minItems
+        (5, "{broken"),          # malformed → minItems
+        (6, None),               # optional + blank: no violation
+    ]
+    rules = [FieldRule("tags", min_items=1, max_items=3)]
+    df = spark.createDataFrame(rows, "id long, tags string")
+    out = {r["id"]: r for r in validate_coerce(df, rules, strict=False).collect()}
+    assert out[1]["corrections"] == [] and out[1]["tags"] == '["a","b"]'
+    assert out[2]["corrections"] == ["tags:minItems"] and out[2]["tags"] is None
+    assert out[3]["corrections"] == ["tags:maxItems"] and out[3]["tags"] is None
+    assert out[4]["corrections"] == ["tags:minItems"]
+    assert out[5]["corrections"] == ["tags:minItems"]
+    assert out[6]["corrections"] == [] and out[6]["tags"] is None
+    strict = {r["id"]: r for r in validate_coerce(df, rules, strict=True).collect()}
+    assert strict[3]["first_violation"] == "tags:maxItems" and strict[3]["tags"] == rows[2][1]
+
+
 def test_extended_ladder_strict(spark):
     df = spark.createDataFrame(EXT_ROWS, EXT_SCHEMA)
     out = {r["id"]: r for r in validate_coerce(df, EXT_RULES, strict=True).collect()}
