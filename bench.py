@@ -66,6 +66,12 @@ BENCH_QUERIES = [
     "duplicate_spans",
     "dedup_spans_removed",
     "trigram_entropy",
+    # round 4: strict ladder tier, decontamination pair, PII cascade
+    "validate_strict",
+    "contamination_report",
+    "decontaminate",
+    "pii_report",
+    "pii_redact",
 ]
 
 
