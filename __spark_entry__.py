@@ -435,6 +435,56 @@ def _dedup_resolve_lsh_oracle(threshold: float = 0.5) -> str:
     """
 
 
+_PACK_CTX = 512
+_PACK_BLOCK = 64  # small so the sf0.01 fixture exercises many blocks
+
+
+def _docs_with_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from batch_doc_vqa_spark.operators.dedup import normalized_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.size(normalized_tokens(F.col("text"))).alias("n_tokens"))
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-cut training-sequence layout via the distributed prefix
+    sum (data-defined blocks — no global single-partition sort); the oracle
+    is the plain SUM OVER (ORDER BY) the two-layer form must equal."""
+    from batch_doc_vqa_spark.operators.packing import pack_sequences
+
+    return pack_sequences(
+        _docs_with_tokens(spark, sf_dir), "doc_id", "n_tokens", _PACK_CTX, _PACK_BLOCK
+    ).select("doc_id", "n_tokens", "start_offset", "seq_id", "end_seq_id", "crosses_boundary")
+
+
+def _q_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from batch_doc_vqa_spark.operators.packing import pack_sequences, packing_stats
+
+    packed = pack_sequences(
+        _docs_with_tokens(spark, sf_dir), "doc_id", "n_tokens", _PACK_CTX, _PACK_BLOCK
+    )
+    return packing_stats(packed, "n_tokens", _PACK_CTX)
+
+
+_PACK_OFF_CTE = """toks AS (
+        SELECT doc_id,
+               CAST(len(list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+'), x -> x != '')) AS INT) AS n_tokens
+        FROM documents
+    ), off AS (
+        SELECT doc_id, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   AS start_offset
+        FROM toks
+    ), laid AS (
+        SELECT doc_id, n_tokens, start_offset,
+               CAST(FLOOR(start_offset / 512.0) AS BIGINT) AS seq_id,
+               CAST(FLOOR((start_offset + GREATEST(n_tokens - 1, 0)) / 512.0) AS BIGINT)
+                   AS end_seq_id
+        FROM off
+    )"""
+
+
 def _pii_dirty_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents with deterministically injected PII (modulus-keyed, so the
     DuckDB oracle rebuilds the identical dirt): emails, phones, IPs, SSNs,
@@ -1703,6 +1753,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "pii_report": _q_pii_report,
         "pii_redact": _q_pii_redact,
+        "pack_sequences": _q_pack_sequences,
+        "packing_stats": _q_packing_stats,
         "ann_ivf_topk": _q_ann_ivf,
         "embedding_dup_pairs": _q_embedding_dup,
         "embedding_dup_pairs_lsh": _q_embedding_dup_lsh,
@@ -2344,6 +2396,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pii_report": _pii_report_oracle(),
         "pii_redact": _pii_redact_oracle(),
+        "pack_sequences": f"""
+            WITH {_PACK_OFF_CTE}
+            SELECT doc_id, n_tokens, start_offset, seq_id, end_seq_id,
+                   end_seq_id > seq_id AS crosses_boundary
+            FROM laid
+        """,
+        "packing_stats": f"""
+            WITH {_PACK_OFF_CTE}
+            SELECT COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                   CAST(CEIL(CAST(SUM(n_tokens) AS DOUBLE) / 512) AS BIGINT) AS n_sequences,
+                   CAST(SUM(CASE WHEN end_seq_id > seq_id THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_boundary_docs,
+                   ROUND(CAST(SUM(n_tokens) AS DOUBLE)
+                         / (CEIL(CAST(SUM(n_tokens) AS DOUBLE) / 512) * 512), 6)
+                       AS fill_fraction
+            FROM laid
+        """,
         "contamination_report": f"""
             WITH {_DECONTAM_CTES}
             SELECT doc_id, bench_id, matched_ngrams, bench_ngrams, coverage

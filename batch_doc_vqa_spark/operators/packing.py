@@ -1,0 +1,93 @@
+"""Training-sequence packing: concat-and-cut layout over a document stream.
+
+The last step of a training-data pipeline lays documents end-to-end into
+fixed-length context windows (GPT-2/3-style packing: concatenate the token
+stream, cut every ``ctx_len`` tokens — no padding waste; a document may span
+a window boundary). The layout is a pure function of (order, token counts):
+every document needs its absolute start offset in the concatenated stream —
+a prefix sum over the corpus.
+
+Scale shape — distributed prefix sum, NO global single-partition sort:
+``Window.orderBy(key)`` with no partitionBy collapses the corpus onto one
+task. Instead the stream is cut into data-defined blocks
+(``floor(key / block_size)`` — derived from the data, never from task ids,
+per the determinism rule), and the offset assembles in two cheap layers:
+
+1. per-block token totals (one map-side-combined groupBy — #blocks rows),
+   cumulated by a window over the TINY block table;
+2. within-block running sum (window partitioned by block — bounded state).
+
+Both layers shuffle O(corpus) rows once on the block key; no stage sees the
+whole corpus in one partition. The DuckDB oracle is the plain
+``SUM(...) OVER (ORDER BY key)`` the distributed form must equal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    key_col: str,
+    tokens_col: str,
+    ctx_len: int,
+    block_size: int = 4096,
+) -> DataFrame:
+    """Per-document packing layout for the concat-and-cut scheme.
+
+    ``key_col`` must be a numeric, globally-unique sort key (the stream
+    order). Returns one row per input row:
+
+    - ``start_offset``: absolute token offset where this document begins;
+    - ``seq_id`` / ``end_seq_id``: first and last context window touched
+      (``floor(offset / ctx_len)``);
+    - ``crosses_boundary``: true when the document spans ≥2 windows.
+
+    Documents with 0 tokens keep a defined offset (they occupy no space).
+    """
+    key, toks = F.col(key_col), F.col(tokens_col).cast("long")
+    blocked = df.withColumn("_blk", F.floor(key / F.lit(block_size)).cast("long"))
+
+    block_totals = blocked.groupBy("_blk").agg(F.sum(toks).alias("_blk_tokens"))
+    w_blocks = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
+    block_offsets = block_totals.withColumn(
+        "_blk_offset", F.coalesce(F.sum("_blk_tokens").over(w_blocks), F.lit(0))
+    ).drop("_blk_tokens")
+
+    w_in_block = (
+        Window.partitionBy("_blk").orderBy(key_col).rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = (
+        blocked.join(F.broadcast(block_offsets), "_blk")
+        .withColumn(
+            "start_offset",
+            F.col("_blk_offset") + F.coalesce(F.sum(toks).over(w_in_block), F.lit(0)),
+        )
+        .withColumn("seq_id", F.floor(F.col("start_offset") / F.lit(ctx_len)))
+        .withColumn(
+            "end_seq_id",
+            F.floor(
+                (F.col("start_offset") + F.greatest(toks - 1, F.lit(0))) / F.lit(ctx_len)
+            ),
+        )
+        .withColumn("crosses_boundary", F.col("end_seq_id") > F.col("seq_id"))
+    )
+    return out.drop("_blk", "_blk_offset")
+
+
+def packing_stats(packed: DataFrame, tokens_col: str, ctx_len: int) -> DataFrame:
+    """One-row summary: total tokens/docs/sequences and the fill fraction of
+    the final (only partially filled) window."""
+    return packed.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(tokens_col).cast("long")).alias("total_tokens"),
+        F.ceil(F.sum(F.col(tokens_col).cast("long")) / F.lit(ctx_len)).alias("n_sequences"),
+        F.sum(F.col("crosses_boundary").cast("long")).alias("n_boundary_docs"),
+        F.round(
+            F.sum(F.col(tokens_col).cast("long"))
+            / (F.ceil(F.sum(F.col(tokens_col).cast("long")) / F.lit(ctx_len)) * F.lit(ctx_len)),
+            6,
+        ).alias("fill_fraction"),
+    )

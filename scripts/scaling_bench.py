@@ -201,6 +201,16 @@ def main() -> None:
     pair_rows = "\n".join(
         f"| pair {i} | {a}s | {b}s | {e} |" for i, (a, b, e) in enumerate(p14["pairs"])
     )
+    # rewrite only the headline section; every manually-written '## ' section
+    # (SimHash costing, sf1 evidence, replication notes) is preserved
+    tail = ""
+    try:
+        prev = open(f"{REPO}/BENCH/BASELINE.md").read()
+        idx = prev.find("\n## ")
+        if idx != -1:
+            tail = prev[idx:]
+    except FileNotFoundError:
+        pass
     with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:
         f.write(
             "# BENCH — measured numbers\n\n"
@@ -240,6 +250,7 @@ def main() -> None:
             "data-defined hash(url) buckets, no driver bottleneck, no hot-path\n"
             "shuffle — which is exactly the property that transfers to N→4N\n"
             "executors on a real cluster, where executors own their cores.\n"
+            + tail
         )
 
 
