@@ -485,6 +485,30 @@ _PACK_OFF_CTE = """toks AS (
     )"""
 
 
+def _q_epoch_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing upsampling: odd-numbered sources get 2.5 epochs (2 copies
+    + content-keyed Bernoulli half), even sources 1.0 — LLaMA-style recipe
+    weights, fully deterministic (md5-portable hash for the oracle)."""
+    from batch_doc_vqa_spark.operators.chunking import epoch_expand
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    epochs = F.when(
+        F.substring("source", 4, 10).cast("int") % 2 == 1, F.lit(2.5)
+    ).otherwise(F.lit(1.0))
+    return epoch_expand(docs, "doc_id", epochs, seed=0, base_hash="md5").select(
+        "doc_id", "source", "epoch_idx"
+    )
+
+
+def _q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget curation: best docs per source (n_chars desc) until a
+    5000-char budget — the fixed-budget curriculum step."""
+    from batch_doc_vqa_spark.operators.chunking import budget_select
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return budget_select(docs, "source", "n_chars", 5000, "n_chars", "doc_id")
+
+
 def _pii_dirty_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents with deterministically injected PII (modulus-keyed, so the
     DuckDB oracle rebuilds the identical dirt): emails, phones, IPs, SSNs,
@@ -1755,6 +1779,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": _q_pii_redact,
         "pack_sequences": _q_pack_sequences,
         "packing_stats": _q_packing_stats,
+        "epoch_expand": _q_epoch_expand,
+        "budget_select": _q_budget_select,
         "ann_ivf_topk": _q_ann_ivf,
         "embedding_dup_pairs": _q_embedding_dup,
         "embedding_dup_pairs_lsh": _q_embedding_dup_lsh,
@@ -2396,6 +2422,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pii_report": _pii_report_oracle(),
         "pii_redact": _pii_redact_oracle(),
+        "epoch_expand": """
+            WITH e AS (
+                SELECT doc_id, source,
+                       CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 1
+                            THEN 2.5 ELSE 1.0 END AS epochs,
+                       CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#0'), 1, 15)) AS BIGINT)
+                           % 1048576 AS h
+                FROM documents
+            ), c AS (
+                SELECT doc_id, source,
+                       CAST(FLOOR(epochs) AS INT)
+                       + CASE WHEN h < CAST((epochs - FLOOR(epochs)) * 1048576 AS BIGINT)
+                              THEN 1 ELSE 0 END AS copies
+                FROM e
+            )
+            SELECT doc_id, source, CAST(epoch_idx AS INT) AS epoch_idx
+            FROM (SELECT doc_id, source, unnest(range(0, copies)) AS epoch_idx
+                  FROM c WHERE copies > 0)
+        """,
+        "budget_select": """
+            SELECT doc_id, source, n_chars, cum_tokens
+            FROM (SELECT doc_id, source, n_chars,
+                         CAST(SUM(n_chars) OVER (PARTITION BY source
+                             ORDER BY n_chars DESC, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                             AS cum_tokens
+                  FROM documents)
+            WHERE cum_tokens <= 5000
+        """,
         "pack_sequences": f"""
             WITH {_PACK_OFF_CTE}
             SELECT doc_id, n_tokens, start_offset, seq_id, end_seq_id,

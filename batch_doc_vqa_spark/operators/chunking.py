@@ -107,3 +107,69 @@ def weighted_mixture(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def epoch_expand(
+    df: DataFrame,
+    id_col: str,
+    epochs_col,
+    seed: int = 0,
+    base_hash: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic UPsampling: repeat each row ``epochs`` times, where
+    ``epochs`` may be fractional (LLaMA-style per-source epoch counts in a
+    data-mixing recipe — e.g. books 2.5 epochs, web 1.0).
+
+    Integer part → that many copies; fractional part → one extra copy iff
+    the row's content-keyed Bernoulli draw (same hash convention as
+    ``deterministic_sample``) lands under it. Output gains ``epoch_idx``
+    (0-based copy index) so downstream shuffles of repeated rows stay
+    distinguishable. Membership and copy count are pure functions of
+    (id, seed) — identical under any partitioning.
+    """
+    bucket = F.lit(1 << 20)
+    key = F.concat(F.col(id_col).cast("string"), F.lit(f"#{seed}"))
+    h = F.xxhash64(key) if base_hash == "xxhash64" else portable_hash64(key)
+    epochs = epochs_col if not isinstance(epochs_col, str) else F.col(epochs_col)
+    n_full = F.floor(epochs).cast("int")
+    frac = epochs - n_full
+    extra = (F.pmod(h, bucket) < (frac * (1 << 20)).cast("long")).cast("int")
+    copies = (n_full + extra).alias("_copies")
+    return (
+        df.withColumn("_copies", copies)
+        .filter(F.col("_copies") > 0)
+        .withColumn("epoch_idx", F.explode(F.sequence(F.lit(0), F.col("_copies") - 1)))
+        .drop("_copies")
+    )
+
+
+def budget_select(
+    df: DataFrame,
+    group_col: str,
+    tokens_col: str,
+    budget: int,
+    order_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Token-budget curation: within each group (source/domain), keep the
+    best rows (``order_col`` descending, ``id_col`` tiebreak) until the
+    running token total reaches ``budget`` — the fixed-budget curriculum
+    step of a data recipe.
+
+    The window partitions by group, so state is bounded per group; a group
+    with pathological row counts is a pre-existing skew problem the salting
+    machinery (plans/skew.py) addresses upstream. The running total INCLUDES
+    the current row: a row that would overshoot the budget is dropped, rows
+    after it too (contiguous prefix by construction).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(order_col).desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("cum_tokens", F.sum(F.col(tokens_col).cast("long")).over(w))
+        .filter(F.col("cum_tokens") <= budget)
+    )

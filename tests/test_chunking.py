@@ -57,3 +57,39 @@ def test_weighted_mixture_sources_and_weights(spark):
     got = {r["source_idx"]: r["count"] for r in rows}
     assert got[0] == 1000              # weight 1.0 keeps everything
     assert 130 < got[1] < 270          # weight 0.2 keeps ~200
+
+
+def test_epoch_expand_fractional_epochs(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i,) for i in range(400)], "doc_id long")
+    out = chunking.epoch_expand(df, "doc_id", F.lit(2.5), seed=3)
+    rows = [(r["doc_id"], r["epoch_idx"]) for r in out.collect()]
+    per_doc = {}
+    for d, e in rows:
+        per_doc.setdefault(d, []).append(e)
+    # every doc appears 2 or 3 times with contiguous 0-based epoch indices
+    assert all(sorted(v) == list(range(len(v))) and len(v) in (2, 3) for v in per_doc.values())
+    # the fractional half lands near 50% of docs (content-keyed Bernoulli)
+    n3 = sum(1 for v in per_doc.values() if len(v) == 3)
+    assert 140 <= n3 <= 260
+    # sub-1.0 epochs degrade to deterministic sampling (0 or 1 copies)
+    down = chunking.epoch_expand(df, "doc_id", F.lit(0.25), seed=3)
+    kept = down.count()
+    assert 0 < kept < 200
+    # partition-independence: same membership under different layouts
+    again = chunking.epoch_expand(df.repartition(7), "doc_id", F.lit(2.5), seed=3)
+    assert sorted(rows) == sorted((r["doc_id"], r["epoch_idx"]) for r in again.collect())
+
+
+def test_budget_select_contiguous_prefix(spark):
+    rows = [
+        ("a", 1, 40), ("a", 2, 30), ("a", 3, 30), ("a", 4, 10),
+        ("b", 5, 90), ("b", 6, 90),
+    ]
+    df = spark.createDataFrame(rows, "src string, doc_id long, toks int")
+    out = chunking.budget_select(df, "src", "toks", 80, "toks", "doc_id")
+    got = {(r["src"], r["doc_id"]): r["cum_tokens"] for r in out.collect()}
+    # a: 40 + 30 = 70 fits; the next 30 would overshoot → prefix stops
+    # b: first 90 already overshoots → nothing kept
+    assert got == {("a", 1): 40, ("a", 2): 70}
