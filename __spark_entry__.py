@@ -582,15 +582,16 @@ def _pii_report_oracle() -> str:
     """
 
 
-def _pii_redact_oracle() -> str:
-    """Progressive cascade as chained CTEs: each stage counts on the text as
-    it stands, then rewrites with the 'g' flag (DuckDB replaces only the
-    first match by default — Spark replaces all)."""
+def _pii_chain_ctes(src_rel: str) -> tuple[str, str, str]:
+    """(cte_text, final_text_col_rel, n_redactions_expr): the progressive
+    redaction cascade as chained CTEs over ``src_rel(doc_id, text)`` — each
+    stage counts on the text as it stands, then rewrites with the 'g' flag
+    (DuckDB replaces only the first match by default — Spark replaces all).
+    Generated from PII_PATTERNS so SQL and engine share one source of truth."""
     from batch_doc_vqa_spark.operators.pii import PII_PATTERNS
 
     n = len(PII_PATTERNS)
-    # thread the stage counts through: each CTE carries the previous counts
-    chain = []
+    chain = [f"r0 AS (SELECT doc_id, text AS t0 FROM {src_rel})"]
     prev = "t0"
     for i, (cat, (pat, repl)) in enumerate(PII_PATTERNS.items(), start=1):
         carried = ", ".join(f"c{j}" for j in range(1, i))
@@ -605,12 +606,19 @@ def _pii_redact_oracle() -> str:
         )
         prev = f"t{i}"
     total = " + ".join(f"c{j}" for j in range(1, n + 1))
+    return ", ".join(chain), f"r{n}", f"CAST({total} AS INT)"
+
+
+def _pii_redact_oracle() -> str:
+    chain, final_rel, total = _pii_chain_ctes("dirty")
+    from batch_doc_vqa_spark.operators.pii import PII_PATTERNS
+
+    n = len(PII_PATTERNS)
     return f"""
         WITH {_PII_DIRTY_CTE},
-        r0 AS (SELECT doc_id, text AS t0 FROM dirty),
-        {", ".join(chain)}
-        SELECT doc_id, t{n} AS text, CAST({total} AS INT) AS n_redactions
-        FROM r{n}
+        {chain}
+        SELECT doc_id, t{n} AS text, {total} AS n_redactions
+        FROM {final_rel}
     """
 
 
@@ -656,10 +664,18 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Shared tokenization + benchmark-derivation CTEs for the decontamination
 # oracles (same normalization as _minhash_ctes so the engines cannot drift).
-_DECONTAM_CTES = """toks AS (
+# ``doc_rel`` parameterizes the CORPUS side (the recipe composition feeds
+# redacted text through); the benchmark side always derives from the clean
+# documents table — it is an external eval set.
+def _decontam_ctes(doc_rel: str = "documents") -> str:
+    return f"""toks AS (
         SELECT doc_id,
                list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+'), x -> x != '') AS t
         FROM documents
+    ), ctoks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+'), x -> x != '') AS t
+        FROM {doc_rel}
     ), bench AS (
         SELECT 'b' || CAST(doc_id AS VARCHAR) AS bench_id, list_slice(t, 5, 24) AS bt
         FROM toks WHERE doc_id % 37 = 0 AND len(t) >= 24
@@ -678,7 +694,7 @@ _DECONTAM_CTES = """toks AS (
         FROM (SELECT doc_id, unnest(list_distinct(list_transform(
                   range(1, greatest(len(t) - 7, 0) + 1),
                   i -> array_to_string(list_slice(t, i, i + 7), ' ')))) AS s
-              FROM toks)
+              FROM ctoks)
     ), contam AS (
         SELECT doc_id, bench_id, matched_ngrams, bench_ngrams,
                ROUND(CAST(matched_ngrams AS DOUBLE) / bench_ngrams, 6) AS coverage
@@ -1368,6 +1384,44 @@ def _q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_training_recipe_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-4 end-to-end recipe as ONE plan: PII-redact a dirty corpus
+    → drop benchmark leaks (decontaminate) → exact-dedup keep-one (identical
+    post-redaction texts collapse) → token-window chunking → pack into
+    fixed-length training sequences (distributed prefix sum). Every stage is
+    individually oracled; this proves the composition."""
+    from batch_doc_vqa_spark.operators import chunking, decontam
+    from batch_doc_vqa_spark.operators.packing import pack_sequences
+    from batch_doc_vqa_spark.operators.pii import redact_pii
+
+    corpus = _pii_dirty_docs(spark, sf_dir)
+    # localCheckpoint: the redacted frame feeds THREE consumers (decontam
+    # n-gram explode, dedup hash, chunking) — materialize the 25-regex
+    # cascade once instead of re-running it per subtree
+    red = redact_pii(corpus, "doc_id", "text").select("doc_id", "text").localCheckpoint(
+        eager=True
+    )
+    _, bench = _bench_fixture(spark, sf_dir)  # eval set derives from CLEAN docs
+    keep = decontam.decontaminate(
+        red, "doc_id", "text", bench, "bench_id", "bench_text",
+        n=8, threshold=0.8, base_hash="md5",
+    ).localCheckpoint(eager=True)
+    canon = (
+        dedup.exact_dedup(keep, "doc_id", "text")
+        .select(F.col("canonical_id").alias("doc_id"))
+        .distinct()
+    )
+    base = keep.join(canon, "doc_id").select("doc_id", "text")
+    chunks = chunking.chunk_documents(base, "doc_id", "text", 64, 16)
+    keyed = chunks.withColumn("_k", F.col("doc_id") * 4096 + F.col("chunk_idx"))
+    packed = pack_sequences(keyed, "_k", "n_tokens", 128, block_size=64 * 4096)
+    return packed.select(
+        "doc_id", "chunk_idx", "n_tokens",
+        F.md5(F.encode("chunk_text", "utf-8")).alias("chunk_md5"),
+        "start_offset", "seq_id", "crosses_boundary",
+    )
+
+
 def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-URL dedup over deterministically dirtied URLs: tracking
     params, fragments, case, double slashes and trailing slashes collapse so
@@ -1781,6 +1835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packing_stats": _q_packing_stats,
         "epoch_expand": _q_epoch_expand,
         "budget_select": _q_budget_select,
+        "training_recipe_v2": _q_training_recipe_v2,
         "ann_ivf_topk": _q_ann_ivf,
         "embedding_dup_pairs": _q_embedding_dup,
         "embedding_dup_pairs_lsh": _q_embedding_dup_lsh,
@@ -2470,12 +2525,12 @@ def oracle_sql() -> dict[str, str]:
             FROM laid
         """,
         "contamination_report": f"""
-            WITH {_DECONTAM_CTES}
+            WITH {_decontam_ctes()}
             SELECT doc_id, bench_id, matched_ngrams, bench_ngrams, coverage
             FROM contam
         """,
         "decontaminate": f"""
-            WITH {_DECONTAM_CTES}
+            WITH {_decontam_ctes()}
             SELECT d.doc_id, d.n_chars
             FROM documents d
             ANTI JOIN (SELECT DISTINCT doc_id FROM contam WHERE coverage >= 0.8) c
@@ -3086,5 +3141,58 @@ def oracle_sql() -> dict[str, str]:
         FROM ch
         WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_idx AS VARCHAR) || '#9'), 1, 15)) AS BIGINT)
               % 1048576 < 524288
+    """
+    # round-4 recipe: PII redaction → decontamination → exact-dedup keep-one
+    # → 64/16 chunking → concat-and-cut packing; composed from the SAME
+    # generated/parameterized CTE builders the per-stage oracles use
+    _chain, _final_rel, _ = _pii_chain_ctes("dirty")
+    _n_stages = len(__import__("batch_doc_vqa_spark.operators.pii", fromlist=["PII_PATTERNS"]).PII_PATTERNS)
+    oracles["training_recipe_v2"] = rf"""
+        WITH {_PII_DIRTY_CTE},
+        {_chain},
+        red AS (SELECT doc_id, t{_n_stages} AS text FROM {_final_rel}),
+        {_decontam_ctes("red")},
+        flagged AS (SELECT DISTINCT doc_id FROM contam WHERE coverage >= 0.8),
+        keep AS (
+            SELECT r.doc_id, r.text FROM red r ANTI JOIN flagged USING (doc_id)
+        ), canon AS (
+            SELECT MIN(doc_id) AS doc_id FROM keep GROUP BY md5(text)
+        ), base AS (
+            SELECT k.doc_id, k.text FROM keep k JOIN canon USING (doc_id)
+        ), ct AS (
+            SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS tk
+            FROM base
+        ), cb AS (
+            SELECT doc_id, tk, len(tk) AS n FROM ct
+        ), cst AS (
+            SELECT doc_id, tk, n,
+              CASE WHEN n > 0
+                   THEN range(1, 2 + greatest(CAST(ceil((n - 64.0) / 48) AS INT), 0) * 48, 48)
+                   ELSE CAST([] AS BIGINT[]) END AS starts
+            FROM cb
+        ), cex AS (
+            SELECT doc_id, n, tk, unnest(starts) AS s FROM cst
+        ), ch AS (
+            SELECT doc_id, CAST((s - 1) // 48 AS INT) AS chunk_idx,
+                   CAST(least(64, n - s + 1) AS INT) AS n_tokens,
+                   array_to_string(list_slice(tk, CAST(s AS INT), CAST(s + 63 AS INT)), ' ') AS chunk_text
+            FROM cex
+        ), keyed AS (
+            SELECT doc_id, chunk_idx, n_tokens, chunk_text,
+                   doc_id * 4096 + chunk_idx AS k
+            FROM ch
+        ), off AS (
+            SELECT doc_id, chunk_idx, n_tokens, chunk_text,
+                   CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY k
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                       AS start_offset
+            FROM keyed
+        )
+        SELECT doc_id, chunk_idx, n_tokens, md5(chunk_text) AS chunk_md5,
+               start_offset,
+               CAST(FLOOR(start_offset / 128.0) AS BIGINT) AS seq_id,
+               CAST(FLOOR((start_offset + GREATEST(n_tokens - 1, 0)) / 128.0) AS BIGINT)
+                   > CAST(FLOOR(start_offset / 128.0) AS BIGINT) AS crosses_boundary
+        FROM off
     """
     return oracles

@@ -72,6 +72,10 @@ BENCH_QUERIES = [
     "decontaminate",
     "pii_report",
     "pii_redact",
+    "pack_sequences",
+    "epoch_expand",
+    "budget_select",
+    "training_recipe_v2",
 ]
 
 

@@ -44,6 +44,8 @@ INTERESTING = [
     "validate_strict",
     "contamination_report",
     "decontaminate",
+    "pack_sequences",
+    "training_recipe_v2",
 ]
 
 
