@@ -2488,7 +2488,7 @@ def oracle_sql() -> dict[str, str]:
             ), c AS (
                 SELECT doc_id, source,
                        CAST(FLOOR(epochs) AS INT)
-                       + CASE WHEN h < CAST((epochs - FLOOR(epochs)) * 1048576 AS BIGINT)
+                       + CASE WHEN h < CAST(FLOOR((epochs - FLOOR(epochs)) * 1048576) AS BIGINT)
                               THEN 1 ELSE 0 END AS copies
                 FROM e
             )

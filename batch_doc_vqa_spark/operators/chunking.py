@@ -133,7 +133,10 @@ def epoch_expand(
     epochs = epochs_col if not isinstance(epochs_col, str) else F.col(epochs_col)
     n_full = F.floor(epochs).cast("int")
     frac = epochs - n_full
-    extra = (F.pmod(h, bucket) < (frac * (1 << 20)).cast("long")).cast("int")
+    # explicit floor before the long cast: Spark's double→long cast truncates
+    # but DuckDB's rounds, so a SQL mirror must write FLOOR(frac * 2^20) too
+    # (matters for fractions like 0.1 that aren't binary-representable)
+    extra = (F.pmod(h, bucket) < F.floor(frac * (1 << 20)).cast("long")).cast("int")
     copies = (n_full + extra).alias("_copies")
     return (
         df.withColumn("_copies", copies)

@@ -86,7 +86,10 @@ def _read_committed(spark: SparkSession, out_dir: str, table: str) -> DataFrame:
     ids = committed_publish_ids(spark, out_dir)
     df = spark.read.parquet(f"{out_dir}/{table}")
     # partition filter on the committed id set: torn (marker-less) run dirs
-    # are pruned at the directory level, never scanned
+    # are pruned at the directory level, never scanned. The isin literal list
+    # grows with run count — fine to ~10^4 runs; past that, compact old runs
+    # into a consolidated partition (the Iceberg analogue is snapshot
+    # expiration) so the live marker set stays small.
     return df.filter(F.col("run_id").isin(ids) if ids else F.lit(False))
 
 
