@@ -43,6 +43,25 @@ def build_dedup_index(
     )
 
 
+def compact_dedup_index(
+    spark: SparkSession, current_docs: DataFrame, id_col: str, text_col: str, path: str, **params
+) -> None:
+    """Rebuild the index from the CURRENT corpus state — the maintenance
+    pass that picks up content changes for re-crawled ids (the append-only
+    emulation keeps a re-ingested id's ORIGINAL signature until this runs;
+    an Iceberg MERGE would update in place). Staged write → swap: the old
+    index stays readable until both new tables land."""
+    tmp = f"{path}__compacting"
+    build_dedup_index(current_docs, id_col, text_col, tmp, mode="overwrite", **params)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    old, new = jvm.org.apache.hadoop.fs.Path(path), jvm.org.apache.hadoop.fs.Path(tmp)
+    if fs.exists(old):
+        fs.delete(old, True)
+    fs.rename(new, old)
+
+
 def incremental_dedup_pairs(
     spark: SparkSession,
     new_docs: DataFrame,

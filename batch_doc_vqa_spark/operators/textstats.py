@@ -226,7 +226,11 @@ def corpus_profile(df: DataFrame, id_col: str, text_col: str, approximate: bool 
 
 
 def repetition_scores(
-    df: DataFrame, id_col: str, text_col: str, min_tokens: int = 80
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 80,
+    unicode_words: bool = False,
 ) -> DataFrame:
     """Reference-exact repetition heuristic (P13), fully distributed.
 
@@ -243,9 +247,11 @@ def repetition_scores(
     is Unicode-aware; Spark and DuckDB ``\\w`` is ASCII-only, so tokenization
     (hence the ratios) can diverge from the reference on non-ASCII text.
     Engine and oracle agree with each other on all inputs; the thresholds
-    and score formula match the reference exactly. Use ``(?U)`` in the regex
-    if Unicode parity with the reference ever matters more than the
-    cross-engine (DuckDB) oracle contract.
+    and score formula match the reference exactly. ``unicode_words=True``
+    switches to Java's ``(?U)`` (UNICODE_CHARACTER_CLASS) flag for full
+    reference parity on non-ASCII text — choose it when matching the
+    reference matters more than the cross-engine (DuckDB/RE2) oracle
+    contract, which has no such flag.
 
     Shape: consecutive repeats stay in-array (zip_with over two slices, zero
     shuffle); token counts take ONE explode → groupBy(doc, token) with
@@ -253,7 +259,8 @@ def repetition_scores(
     word-count, corpus-linear. Ratios are exact double divisions of integers
     (bit-identical cross-engine); only the emitted columns are rounded.
     """
-    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\w+|[^\s\w]"), 0)
+    pattern = r"(?U)\w+|[^\s\w]" if unicode_words else r"\w+|[^\s\w]"
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(pattern), 0)
     base = df.select(F.col(id_col).alias("_id"), toks.alias("_t")).select(
         "_id", "_t", F.size("_t").alias("_n")
     )

@@ -200,3 +200,20 @@ def test_trigram_entropy_orders_text_quality(spark):
     assert r["n_trigrams"] == 2 and r["distinct_trigrams"] == 1
     assert r["trigram_entropy"] == 0.0
     assert math.isfinite(out[1]["trigram_entropy"])
+
+
+def test_repetition_unicode_words_flag(spark):
+    """unicode_words=True matches the reference's Python-re tokenization on
+    non-ASCII text (ASCII-only \\w splits 'héllo' into pieces)."""
+    import re as _re
+
+    text = "héllo héllo héllo héllo wörld wörld " * 20
+    df = spark.createDataFrame([(1, text)], "id long, text string")
+    uni = textstats.repetition_scores(df, "id", "text", min_tokens=10,
+                                      unicode_words=True).collect()[0]
+    # reference formula computed inline with Python re (unicode \w)
+    toks = _re.findall(r"\w+|[^\s\w]", text.lower())
+    most = max(toks.count(t) for t in set(toks))
+    assert uni["repetition_ratio"] == round(most / len(toks), 6)
+    ascii_row = textstats.repetition_scores(df, "id", "text", min_tokens=10).collect()[0]
+    assert ascii_row["repetition_ratio"] != uni["repetition_ratio"]  # modes differ on purpose

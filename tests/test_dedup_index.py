@@ -90,3 +90,32 @@ def test_reingested_snapshot_is_idempotent(spark, corpora, tmp_path):
     assert (
         spark.read.parquet(f"{path}/sigs").groupBy("_id").count().filter("count > 1").count() == 0
     )  # no conflicting duplicate signature rows either
+
+
+def test_compaction_picks_up_changed_recrawls(spark, corpora, tmp_path):
+    """Append-only emulation keeps a re-crawled id's ORIGINAL signature;
+    compact_dedup_index rebuilds from current state so the change lands."""
+    from batch_doc_vqa_spark.operators.dedup_index import compact_dedup_index
+
+    old, new = corpora
+    path = str(tmp_path / "idx4")
+    build_dedup_index(old, "doc_id", "text", path)
+    # re-crawl: old0's content becomes a copy of old1's
+    changed = spark.createDataFrame(
+        [("old0", [r["text"] for r in old.collect() if r["doc_id"] == "old1"][0])]
+        + [(r["doc_id"], r["text"]) for r in old.collect() if r["doc_id"] != "old0"],
+        "doc_id string, text string",
+    )
+    # pre-compaction: a fresh snapshot duplicating old1 finds old1, and the
+    # stale old0 signature does NOT yet reflect the re-crawl
+    probe = spark.createDataFrame([("probe", changed.collect()[0]["text"])],
+                                  "doc_id string, text string")
+    before = {(r["id_a"], r["id_b"])
+              for r in incremental_dedup_pairs(spark, probe, "doc_id", "text", path,
+                                               update_index=False).collect()}
+    assert ("old1", "probe") in before and ("old0", "probe") not in before
+    compact_dedup_index(spark, changed, "doc_id", "text", path)
+    after = {(r["id_a"], r["id_b"])
+             for r in incremental_dedup_pairs(spark, probe, "doc_id", "text", path,
+                                              update_index=False).collect()}
+    assert {("old0", "probe"), ("old1", "probe")} <= after  # change landed

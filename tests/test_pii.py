@@ -63,3 +63,13 @@ def test_patterns_shared_single_source():
     # source of truth; guard its shape so generation cannot silently drift
     assert list(PII_PATTERNS) == ["email", "ipv4", "ssn", "card", "phone"]
     assert all(repl.startswith("[") and repl.endswith("]") for _, repl in PII_PATTERNS.values())
+
+
+def test_redaction_is_idempotent(spark):
+    """Placeholders contain no redactable shapes: redact∘redact == redact."""
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    once = redact_pii(df, "id", "text")
+    twice = redact_pii(once.select("id", "text"), "id", "text")
+    a = {r["id"]: r["text"] for r in once.collect()}
+    b = {r["id"]: (r["text"], r["n_redactions"]) for r in twice.collect()}
+    assert all(b[i] == (t, 0) for i, t in a.items())
