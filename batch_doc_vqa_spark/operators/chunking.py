@@ -153,26 +153,58 @@ def budget_select(
     budget: int,
     order_col: str,
     id_col: str,
+    order_block: int | None = None,
 ) -> DataFrame:
     """Token-budget curation: within each group (source/domain), keep the
     best rows (``order_col`` descending, ``id_col`` tiebreak) until the
     running token total reaches ``budget`` — the fixed-budget curriculum
-    step of a data recipe.
+    step of a data recipe. The running total INCLUDES the current row: a
+    row that would overshoot the budget is dropped, rows after it too
+    (contiguous prefix by construction).
 
-    The window partitions by group, so state is bounded per group; a group
-    with pathological row counts is a pre-existing skew problem the salting
-    machinery (plans/skew.py) addresses upstream. The running total INCLUDES
-    the current row: a row that would overshoot the budget is dropped, rows
-    after it too (contiguous prefix by construction).
+    Scale: the plain form windows per group — fine when no group dominates.
+    A mega-group (one "web" source owning most of a 10^12-doc corpus) would
+    collapse onto one task, so ``order_block`` switches to the same
+    two-layer prefix sum as ``packing.pack_sequences``, with blocks cut
+    along the ORDER direction: block index = floor(-order_col /
+    order_block) rises as order falls, so per-(group, block) totals
+    cumulated over the small per-group block table + a within-block running
+    sum reproduce the global descending cumsum exactly (requires a numeric
+    ``order_col``; results are identical to the plain form — tested).
+    Value-skew caveat: if most rows share ONE order value they share a
+    block; pick ``order_block`` small relative to the value spread.
     """
     from pyspark.sql import Window
 
-    w = (
-        Window.partitionBy(group_col)
+    toks = F.col(tokens_col).cast("long")
+    if order_block is None:
+        w = (
+            Window.partitionBy(group_col)
+            .orderBy(F.col(order_col).desc(), F.col(id_col))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return df.withColumn("cum_tokens", F.sum(toks).over(w)).filter(
+            F.col("cum_tokens") <= budget
+        )
+
+    blocked = df.withColumn(
+        "_oblk", F.floor(-F.col(order_col).cast("double") / F.lit(order_block)).cast("long")
+    )
+    blk_totals = blocked.groupBy(group_col, "_oblk").agg(F.sum(toks).alias("_blk_tokens"))
+    w_blocks = (
+        Window.partitionBy(group_col).orderBy("_oblk").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    blk_offsets = blk_totals.withColumn(
+        "_blk_offset", F.coalesce(F.sum("_blk_tokens").over(w_blocks), F.lit(0))
+    ).drop("_blk_tokens")
+    w_in = (
+        Window.partitionBy(group_col, "_oblk")
         .orderBy(F.col(order_col).desc(), F.col(id_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        df.withColumn("cum_tokens", F.sum(F.col(tokens_col).cast("long")).over(w))
+        blocked.join(F.broadcast(blk_offsets), [group_col, "_oblk"])
+        .withColumn("cum_tokens", F.col("_blk_offset") + F.sum(toks).over(w_in))
         .filter(F.col("cum_tokens") <= budget)
+        .drop("_oblk", "_blk_offset")
     )

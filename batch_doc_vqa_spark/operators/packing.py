@@ -18,7 +18,10 @@ per the determinism rule), and the offset assembles in two cheap layers:
 2. within-block running sum (window partitioned by block — bounded state).
 
 Both layers shuffle O(corpus) rows once on the block key; no stage sees the
-whole corpus in one partition. The DuckDB oracle is the plain
+whole corpus in one partition. Parameter law: choose ``block_size ≈ √N``
+(N = key-domain size) so BOTH layers stay ≈ √N rows — at 10^12 docs,
+block_size 10^6 gives a 10^6-row block table (16 bytes/row, one executor's
+work) and 10^6-row within-block windows. The DuckDB oracle is the plain
 ``SUM(...) OVER (ORDER BY key)`` the distributed form must equal.
 """
 

@@ -93,3 +93,25 @@ def test_budget_select_contiguous_prefix(spark):
     # a: 40 + 30 = 70 fits; the next 30 would overshoot → prefix stops
     # b: first 90 already overshoots → nothing kept
     assert got == {("a", 1): 40, ("a", 2): 70}
+
+
+def test_budget_select_two_layer_equals_plain(spark):
+    """order_block mode (the mega-source scale path) must reproduce the
+    plain per-group window exactly, for several block sizes."""
+    import random as _r
+
+    rng = _r.Random(21)
+    rows = [(f"s{i % 3}", i, rng.randint(1, 300), rng.randint(5, 50)) for i in range(600)]
+    df = spark.createDataFrame(rows, "src string, doc_id long, quality int, toks int")
+    plain = sorted(
+        (r["src"], r["doc_id"], r["cum_tokens"])
+        for r in chunking.budget_select(df, "src", "toks", 2000, "quality", "doc_id").collect()
+    )
+    for ob in (8, 64, 1000):
+        two = sorted(
+            (r["src"], r["doc_id"], r["cum_tokens"])
+            for r in chunking.budget_select(
+                df, "src", "toks", 2000, "quality", "doc_id", order_block=ob
+            ).collect()
+        )
+        assert two == plain, ob
