@@ -50,18 +50,25 @@ def pii_report(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return out.withColumn("n_pii", total)
 
 
-def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, text, n_redactions): the cascade applied in pinned order.
-
-    n_redactions counts matches the cascade actually rewrote: each
-    category's count is measured on the text as it stands when that
-    category's turn comes (an email's digits can no longer match the phone
-    pattern once the email is already ``[EMAIL]``)."""
-    col = F.col(text_col)
+def redact_columns(text_col) -> tuple[Column, Column]:
+    """(redacted_text, n_redactions) column pair — the cascade in pinned
+    order as reusable expressions (shared by ``redact_pii`` and the publish
+    sink's scrub mode; one definition, no drift). n_redactions counts
+    matches the cascade actually rewrote: each category's count is measured
+    on the text as it stands when that category's turn comes (an email's
+    digits can no longer match the phone pattern once the email is already
+    ``[EMAIL]``)."""
+    col = text_col if not isinstance(text_col, str) else F.col(text_col)
     total = F.lit(0)
     for pat, placeholder in PII_PATTERNS.values():
         total = total + _count(col, pat)
         col = F.regexp_replace(col, pat, placeholder)
+    return col, total
+
+
+def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, text, n_redactions): the cascade applied in pinned order."""
+    col, total = redact_columns(text_col)
     return df.select(
         F.col(id_col),
         col.alias(text_col),

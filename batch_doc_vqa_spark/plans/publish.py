@@ -112,11 +112,20 @@ def publish_run(
     json_cols: tuple[str, ...] = (),
     decode_status_col: str | None = None,
     run_id: str | None = None,
+    scrub_pii: bool = False,
     _crash_before_commit: str | None = None,
 ) -> dict:
     """Gate → split → staged run-scoped writes → atomic marker commit.
 
     Returns THIS RUN's {'published': n, 'quarantined': n, 'run_id': id}.
+
+    ``scrub_pii=True`` selects the reference's archive semantics — PII is
+    SCRUBBED, not dropped (published_runs.py:759-833 rewrites identifiers
+    before the row reaches the archive): ``text_col`` runs through the
+    ``operators/pii`` redaction cascade BEFORE the gate classifier, so a
+    row whose only problem was PII publishes with typed placeholders (and
+    an ``n_redactions`` audit column); the quarantine keeps catching
+    everything else. Default False = detect-and-quarantine.
 
     Counts come from one tiny aggregate over the tagged frame *before* the
     writes — not a read-back of the cumulative tables (which would cost two
@@ -133,6 +142,13 @@ def publish_run(
     before the marker — the kill-between-writes test drives both.
     """
     run_id = run_id or "p" + uuid.uuid4().hex[:12]
+    if scrub_pii and text_col is not None:
+        from ..operators.pii import redact_columns
+
+        col, total = redact_columns(text_col)
+        results = results.withColumn("n_redactions", F.coalesce(total, F.lit(0))).withColumn(
+            text_col, col
+        )
     tagged = results.withColumn(
         "_reject",
         publish_reject_reason(text_col, numeric_cols, json_cols, decode_status_col),

@@ -73,3 +73,26 @@ def test_redaction_is_idempotent(spark):
     a = {r["id"]: r["text"] for r in once.collect()}
     b = {r["id"]: (r["text"], r["n_redactions"]) for r in twice.collect()}
     assert all(b[i] == (t, 0) for i, t in a.items())
+
+
+def test_publish_scrub_mode_publishes_redacted_rows(spark, tmp_path):
+    """scrub_pii=True: a row whose only problem was PII publishes with
+    placeholders + an audit count (the reference scrubs, it doesn't drop);
+    other reject reasons still quarantine."""
+    from batch_doc_vqa_spark.plans import publish_run, read_published, read_quarantine
+
+    df = spark.createDataFrame(
+        [(1, "mail me at alice@example.org now"), (2, ""), (3, "clean row")],
+        "id long, text string",
+    )
+    out = str(tmp_path / "scrub")
+    counts = publish_run(spark, df, out, text_col="text", run_id="s1", scrub_pii=True)
+    assert (counts["published"], counts["quarantined"]) == (2, 1)
+    pub = {r["id"]: r for r in read_published(spark, out).collect()}
+    assert pub[1]["text"] == "mail me at [EMAIL] now" and pub[1]["n_redactions"] == 1
+    assert pub[3]["n_redactions"] == 0
+    assert {r["id"] for r in read_quarantine(spark, out).collect()} == {2}
+    # default mode still quarantines the PII row
+    out2 = str(tmp_path / "noscrub")
+    c2 = publish_run(spark, df, out2, text_col="text", run_id="s2")
+    assert (c2["published"], c2["quarantined"]) == (1, 2)
