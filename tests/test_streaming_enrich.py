@@ -166,3 +166,50 @@ def test_gated_publish_stream_torn_epoch_invisible(spark, tmp_path):
     assert read_published(spark, out).count() == 2
     os.remove(f"{out}/_committed/e00000000")  # the torn-epoch state
     assert read_published(spark, out).count() == 0  # bytes on disk, reader blind
+
+
+def test_decontam_screen_stream_incremental(spark, tmp_path):
+    """Streaming decontamination: each availableNow run screens only NEW
+    files against the pinned benchmark set; verdicts commit atomically per
+    epoch and match the batch operator's semantics."""
+    from batch_doc_vqa_spark.operators.decontam import contamination_report
+    from batch_doc_vqa_spark.streaming.decontam_stream import decontam_screen_stream
+
+    src = tmp_path / "snap_in"
+    out = str(tmp_path / "screen_out")
+    ckpt = str(tmp_path / "screen_ckpt")
+    schema = "doc_id long, text string"
+    bench_text = "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12"
+    bench = spark.createDataFrame([("b0", bench_text)], "bench_id string, bench_text string")
+    clean_text = " ".join(f"w{i}" for i in range(40))
+    spark.createDataFrame(
+        [(1, clean_text), (2, f"prefix words {bench_text} suffix words")], schema
+    ).write.mode("append").parquet(str(src))
+
+    q = decontam_screen_stream(spark, str(src), schema, bench, out, ckpt)
+    q.awaitTermination(120)
+    clean = spark.read.parquet(f"{out}/clean")
+    flagged = spark.read.parquet(f"{out}/contaminated")
+    assert {r["doc_id"] for r in clean.collect()} == {1}
+    assert {r["doc_id"] for r in flagged.collect()} == {2}
+    assert flagged.collect()[0]["coverage"] == 1.0
+    import os
+    assert os.path.exists(f"{out}/_committed/e00000000")  # atomic epoch marker
+
+    # second snapshot: only the new file flows through (checkpointed)
+    spark.createDataFrame([(3, clean_text + " tail"), (4, bench_text)], schema).write.mode(
+        "append"
+    ).parquet(str(src))
+    q2 = decontam_screen_stream(spark, str(src), schema, bench, out, ckpt)
+    q2.awaitTermination(120)
+    assert {r["doc_id"] for r in spark.read.parquet(f"{out}/clean").collect()} == {1, 3}
+    assert {r["doc_id"] for r in spark.read.parquet(f"{out}/contaminated").collect()} == {2, 4}
+    # streaming verdicts == batch operator on the union (same machinery)
+    all_docs = spark.read.parquet(str(src))
+    batch_flagged = {
+        r["doc_id"]
+        for r in contamination_report(all_docs, "doc_id", "text", bench,
+                                      "bench_id", "bench_text", n=8)
+        .filter("coverage >= 0.8").collect()
+    }
+    assert batch_flagged == {2, 4}
