@@ -187,8 +187,15 @@ def budget_select(
             F.col("cum_tokens") <= budget
         )
 
+    # exact floor-division on longs (double-routed division loses exactness
+    # past 2^53 and could mis-block a row near a boundary): subtract the
+    # non-negative pmod, then integer `div` of the exact multiple
     blocked = df.withColumn(
-        "_oblk", F.floor(-F.col(order_col).cast("double") / F.lit(order_block)).cast("long")
+        "_oblk",
+        F.expr(
+            f"((-CAST({order_col} AS BIGINT)) - pmod(-CAST({order_col} AS BIGINT), {order_block}))"
+            f" div {order_block}"
+        ),
     )
     blk_totals = blocked.groupBy(group_col, "_oblk").agg(F.sum(toks).alias("_blk_tokens"))
     w_blocks = (

@@ -51,7 +51,17 @@ def pack_sequences(
     Documents with 0 tokens keep a defined offset (they occupy no space).
     """
     key, toks = F.col(key_col), F.col(tokens_col).cast("long")
-    blocked = df.withColumn("_blk", F.floor(key / F.lit(block_size)).cast("long"))
+    # exact floor-division on longs: `/` and F.floor route through double and
+    # lose exactness past 2^53 (reachable with composite keys at corpus
+    # scale); (key - pmod(key, b)) is an exact multiple of b, so integer
+    # `div` returns the exact floor quotient for any sign
+    blocked = df.withColumn(
+        "_blk",
+        F.expr(
+            f"(CAST({key_col} AS BIGINT) - pmod(CAST({key_col} AS BIGINT), {block_size}))"
+            f" div {block_size}"
+        ),
+    )
 
     block_totals = blocked.groupBy("_blk").agg(F.sum(toks).alias("_blk_tokens"))
     w_blocks = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
