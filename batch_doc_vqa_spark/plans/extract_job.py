@@ -109,9 +109,15 @@ def run_extraction(
 
     todo = pages
     if _table_exists(spark, results_path):
-        # checkpoint/resume: anti-join against the done-set (J7 pattern)
-        done = spark.read.parquet(results_path).select("url")
-        todo = pages.join(done, "url", "left_anti")
+        # checkpoint/resume: anti-join against the done-set (J7 pattern).
+        # The existence probe is O(1) and can be true for a directory a
+        # crashed first run created but never committed data into — an
+        # unreadable/empty store means an empty done-set, not a dead job.
+        try:
+            done = spark.read.parquet(results_path).select("url")
+            todo = pages.join(done, "url", "left_anti")
+        except Exception:
+            pass
 
     bucketed = with_salted_partition(todo, num_buckets, target_rows_per_task=target_rows_per_task)
     # unsupported_format (e.g. encrypted / non-Flate real PDFs) is always a

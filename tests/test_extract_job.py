@@ -136,6 +136,19 @@ def test_lineage_carries_config_identity(spark, tmp_path):
     assert config_fingerprint({"a": 1})[1] != config_fingerprint({"a": 2})[1]
 
 
+def test_resume_survives_crashed_first_run_directory(spark, tmp_path):
+    """A first run that crashed after creating the results directory but
+    before committing any data must not kill the retry: an unreadable/empty
+    store is an empty done-set."""
+    import os
+
+    out = str(tmp_path / "crashed")
+    os.makedirs(f"{out}/results")  # what a dead first attempt leaves behind
+    s = run_extraction(spark, pages_df(spark, 40, seed=SEED), out, run_id="retry1", num_buckets=4)
+    assert s["n_docs"] == 40 and s["n_failed"] == 0
+    assert read_results(spark, out).count() == 40
+
+
 def test_run_scoped_readback_is_partition_pruned(spark, tmp_path):
     """The per-run lineage/summary read-back must touch only THIS run's
     partition (run_id=... directory), not filter-scan every prior run's files
