@@ -485,6 +485,58 @@ _PACK_OFF_CTE = """toks AS (
     )"""
 
 
+def _snapshot_pair(spark: SparkSession, sf_dir: str):
+    """(old, new): documents vs a deterministically evolved re-crawl —
+    %41 ids vanish, %17 texts gain a suffix, %29 ids reappear re-keyed
+    (+1e6) as additions."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    k = F.col("doc_id")
+    kept = docs.filter(k % 41 != 0)
+    changed = kept.withColumn(
+        "text", F.when(k % 17 == 0, F.concat(F.col("text"), F.lit(" v2"))).otherwise(F.col("text"))
+    )
+    added = docs.filter(k % 29 == 0).select((k + 1_000_000).alias("doc_id"), "text")
+    return docs, changed.unionByName(added)
+
+
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset versioning: added/removed/changed/unchanged per doc between
+    two corpus states, detected by content hash (never timestamps)."""
+    from batch_doc_vqa_spark.operators.snapshots import snapshot_diff
+
+    old, new = _snapshot_pair(spark, sf_dir)
+    return snapshot_diff(old, new, "doc_id", "text")
+
+
+def _q_snapshot_work_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental scoping: the added+changed rows (new content) downstream
+    stages must reprocess."""
+    from batch_doc_vqa_spark.operators.snapshots import incremental_work_set
+
+    old, new = _snapshot_pair(spark, sf_dir)
+    return incremental_work_set(old, new, "doc_id", "text").select(
+        "doc_id", F.md5(F.col("text")).alias("text_md5")
+    )
+
+
+_SNAPSHOT_CTES = """newt AS (
+        SELECT doc_id,
+               text || CASE WHEN doc_id % 17 = 0 THEN ' v2' ELSE '' END AS text
+        FROM documents WHERE doc_id % 41 != 0
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 29 = 0
+    ), o AS (SELECT doc_id, md5(text) AS h FROM documents),
+    nn AS (SELECT doc_id, md5(text) AS h FROM newt),
+    dif AS (
+        SELECT COALESCE(o.doc_id, nn.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN nn.doc_id IS NULL THEN 'removed'
+                    WHEN o.h = nn.h THEN 'unchanged'
+                    ELSE 'changed' END AS change
+        FROM o FULL OUTER JOIN nn ON o.doc_id = nn.doc_id
+    )"""
+
+
 def _q_epoch_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mixing upsampling: odd-numbered sources get 2.5 epochs (2 copies
     + content-keyed Bernoulli half), even sources 1.0 — LLaMA-style recipe
@@ -1836,6 +1888,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_expand": _q_epoch_expand,
         "budget_select": _q_budget_select,
         "training_recipe_v2": _q_training_recipe_v2,
+        "snapshot_diff": _q_snapshot_diff,
+        "snapshot_work_set": _q_snapshot_work_set,
         "ann_ivf_topk": _q_ann_ivf,
         "embedding_dup_pairs": _q_embedding_dup,
         "embedding_dup_pairs_lsh": _q_embedding_dup_lsh,
@@ -2477,6 +2531,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pii_report": _pii_report_oracle(),
         "pii_redact": _pii_redact_oracle(),
+        "snapshot_diff": f"""
+            WITH {_SNAPSHOT_CTES}
+            SELECT doc_id, change FROM dif
+        """,
+        "snapshot_work_set": f"""
+            WITH {_SNAPSHOT_CTES}
+            SELECT n.doc_id, md5(n.text) AS text_md5
+            FROM newt n JOIN dif USING (doc_id)
+            WHERE dif.change IN ('added', 'changed')
+        """,
         "epoch_expand": """
             WITH e AS (
                 SELECT doc_id, source,

@@ -46,9 +46,11 @@ def decontam_screen_stream(
 
     def screen(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
+        # materialized once: the report feeds both the anti-join build side
+        # and the contaminated-table write
         report = contamination_report(
             batch, id_col, text_col, bench, "bench_id", "bench_text", n=n
-        )
+        ).localCheckpoint(eager=True)
         flagged = (
             report.filter(F.col("coverage") >= threshold)
             .select(F.col("doc_id").alias(id_col))

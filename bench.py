@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "epoch_expand",
     "budget_select",
     "training_recipe_v2",
+    "snapshot_diff",
 ]
 
 
