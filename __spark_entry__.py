@@ -478,8 +478,9 @@ _PACK_OFF_CTE = """toks AS (
         FROM toks
     ), laid AS (
         SELECT doc_id, n_tokens, start_offset,
-               CAST(FLOOR(start_offset / 512.0) AS BIGINT) AS seq_id,
-               CAST(FLOOR((start_offset + GREATEST(n_tokens - 1, 0)) / 512.0) AS BIGINT)
+               CAST((start_offset - (start_offset % 512)) // 512 AS BIGINT) AS seq_id,
+               CAST(((start_offset + GREATEST(n_tokens - 1, 0))
+                     - ((start_offset + GREATEST(n_tokens - 1, 0)) % 512)) // 512 AS BIGINT)
                    AS end_seq_id
         FROM off
     )"""
@@ -617,7 +618,7 @@ def _pii_report_oracle() -> str:
     from batch_doc_vqa_spark.operators.pii import PII_PATTERNS
 
     counts = ",\n                   ".join(
-        f"CAST(len(regexp_extract_all(text, '{pat}')) AS INT) AS n_{cat}"
+        f"CAST(COALESCE(len(regexp_extract_all(text, '{pat}')), 0) AS INT) AS n_{cat}"
         for cat, (pat, _) in PII_PATTERNS.items()
     )
     total = " + ".join(f"n_{cat}" for cat in PII_PATTERNS)
@@ -651,7 +652,7 @@ def _pii_chain_ctes(src_rel: str) -> tuple[str, str, str]:
         chain.append(
             f"""r{i} AS (
             SELECT doc_id, {carried}
-                   CAST(len(regexp_extract_all({prev}, '{pat}')) AS INT) AS c{i},
+                   CAST(COALESCE(len(regexp_extract_all({prev}, '{pat}')), 0) AS INT) AS c{i},
                    regexp_replace({prev}, '{pat}', '{repl}', 'g') AS t{i}
             FROM r{i - 1}
         )"""
@@ -2578,15 +2579,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "packing_stats": f"""
             WITH {_PACK_OFF_CTE}
-            SELECT COUNT(*) AS n_docs,
-                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-                   CAST(CEIL(CAST(SUM(n_tokens) AS DOUBLE) / 512) AS BIGINT) AS n_sequences,
-                   CAST(SUM(CASE WHEN end_seq_id > seq_id THEN 1 ELSE 0 END) AS BIGINT)
-                       AS n_boundary_docs,
-                   ROUND(CAST(SUM(n_tokens) AS DOUBLE)
-                         / (CEIL(CAST(SUM(n_tokens) AS DOUBLE) / 512) * 512), 6)
-                       AS fill_fraction
-            FROM laid
+            SELECT n_docs, total_tokens,
+                   CAST((total_tokens + 511) // 512 AS BIGINT) AS n_sequences,
+                   n_boundary_docs,
+                   ROUND(CAST(total_tokens AS DOUBLE)
+                         / (((total_tokens + 511) // 512) * 512), 6) AS fill_fraction
+            FROM (SELECT COUNT(*) AS n_docs,
+                         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                         CAST(SUM(CASE WHEN end_seq_id > seq_id THEN 1 ELSE 0 END) AS BIGINT)
+                             AS n_boundary_docs
+                  FROM laid)
         """,
         "contamination_report": f"""
             WITH {_decontam_ctes()}
@@ -3254,9 +3256,11 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, chunk_idx, n_tokens, md5(chunk_text) AS chunk_md5,
                start_offset,
-               CAST(FLOOR(start_offset / 128.0) AS BIGINT) AS seq_id,
-               CAST(FLOOR((start_offset + GREATEST(n_tokens - 1, 0)) / 128.0) AS BIGINT)
-                   > CAST(FLOOR(start_offset / 128.0) AS BIGINT) AS crosses_boundary
+               CAST((start_offset - (start_offset % 128)) // 128 AS BIGINT) AS seq_id,
+               CAST(((start_offset + GREATEST(n_tokens - 1, 0))
+                     - ((start_offset + GREATEST(n_tokens - 1, 0)) % 128)) // 128 AS BIGINT)
+                   > CAST((start_offset - (start_offset % 128)) // 128 AS BIGINT)
+                   AS crosses_boundary
         FROM off
     """
     return oracles

@@ -32,6 +32,10 @@ from pyspark.sql import functions as F
 from .dedup import _base_hash, exploded_shingles
 
 DEFAULT_NGRAM = 8  # GPT-3 uses 13-grams at full web scale; 8 suits fixtures
+# one drop policy shared by the batch op and the streaming screener — a
+# silent threshold divergence between the two would ship docs the batch
+# pass drops
+DEFAULT_DROP_THRESHOLD = 0.5
 
 
 def _ngram_hashes(df: DataFrame, id_col: str, text_col: str, n: int, base_hash: str) -> DataFrame:
@@ -83,7 +87,7 @@ def decontaminate(
     bench_id: str,
     bench_text: str,
     n: int = DEFAULT_NGRAM,
-    threshold: float = 0.5,
+    threshold: float = DEFAULT_DROP_THRESHOLD,
     base_hash: str = "xxhash64",
 ) -> DataFrame:
     """Corpus minus documents whose coverage of ANY benchmark item reaches

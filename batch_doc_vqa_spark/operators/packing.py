@@ -72,35 +72,44 @@ def pack_sequences(
     w_in_block = (
         Window.partitionBy("_blk").orderBy(key_col).rowsBetween(Window.unboundedPreceding, -1)
     )
+    # window ids via the same exact-integer idiom as _blk: start_offset is a
+    # corpus-wide token prefix sum and crosses 2^53 well before 10^12 docs,
+    # where floor(double) would assign wrong windows to late-stream rows
     out = (
         blocked.join(F.broadcast(block_offsets), "_blk")
         .withColumn(
             "start_offset",
             F.col("_blk_offset") + F.coalesce(F.sum(toks).over(w_in_block), F.lit(0)),
         )
-        .withColumn("seq_id", F.floor(F.col("start_offset") / F.lit(ctx_len)))
+        .withColumn("_last", F.col("start_offset") + F.greatest(toks - F.lit(1), F.lit(0)))
         .withColumn(
-            "end_seq_id",
-            F.floor(
-                (F.col("start_offset") + F.greatest(toks - 1, F.lit(0))) / F.lit(ctx_len)
-            ),
+            "seq_id",
+            F.expr(f"(start_offset - pmod(start_offset, {ctx_len})) div {ctx_len}"),
         )
+        .withColumn("end_seq_id", F.expr(f"(_last - pmod(_last, {ctx_len})) div {ctx_len}"))
         .withColumn("crosses_boundary", F.col("end_seq_id") > F.col("seq_id"))
     )
-    return out.drop("_blk", "_blk_offset")
+    return out.drop("_blk", "_blk_offset", "_last")
 
 
 def packing_stats(packed: DataFrame, tokens_col: str, ctx_len: int) -> DataFrame:
     """One-row summary: total tokens/docs/sequences and the fill fraction of
-    the final (only partially filled) window."""
-    return packed.agg(
+    the final (only partially filled) window. The sequence count uses exact
+    integer ceil ((total + ctx - 1) div ctx) — F.ceil(double) drifts past
+    2^53; the fill ratio itself is a rounded double by nature."""
+    base = packed.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col(tokens_col).cast("long")).alias("total_tokens"),
-        F.ceil(F.sum(F.col(tokens_col).cast("long")) / F.lit(ctx_len)).alias("n_sequences"),
         F.sum(F.col("crosses_boundary").cast("long")).alias("n_boundary_docs"),
+    )
+    return base.select(
+        "n_docs",
+        "total_tokens",
+        F.expr(f"(total_tokens + {ctx_len - 1}) div {ctx_len}").alias("n_sequences"),
+        "n_boundary_docs",
         F.round(
-            F.sum(F.col(tokens_col).cast("long"))
-            / (F.ceil(F.sum(F.col(tokens_col).cast("long")) / F.lit(ctx_len)) * F.lit(ctx_len)),
+            F.col("total_tokens")
+            / (F.expr(f"(total_tokens + {ctx_len - 1}) div {ctx_len}") * F.lit(ctx_len)),
             6,
         ).alias("fill_fraction"),
     )

@@ -32,7 +32,9 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
 
 
 def _count(col: Column, pattern: str) -> Column:
-    return F.size(F.regexp_extract_all(col, F.lit(pattern), 0))
+    # NULL text must count 0, not NULL: avg(n_pii)/`n_pii = 0` filters over a
+    # corpus with null-text rows would silently misclassify them otherwise
+    return F.coalesce(F.size(F.regexp_extract_all(col, F.lit(pattern), 0)), F.lit(0))
 
 
 def pii_report(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

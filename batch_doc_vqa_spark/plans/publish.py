@@ -82,15 +82,39 @@ def committed_publish_ids(spark: SparkSession, out_dir: str) -> list[str]:
     return sorted(s.getPath().getName() for s in fs.listStatus(jpath))
 
 
-def _read_committed(spark: SparkSession, out_dir: str, table: str) -> DataFrame:
+def commit_marker(spark: SparkSession, out_dir: str, run_id: str) -> None:
+    """The single atomic file-create that makes a run visible — ONE
+    definition shared by every marker-committed sink (batch publish,
+    streaming publish epochs, streaming decontamination verdicts)."""
+    fs, marker = _fs(spark, f"{out_dir}/_committed/{run_id}")
+    fs.mkdirs(marker.getParent())
+    fs.create(marker, True).close()
+
+
+def read_committed_table(spark: SparkSession, out_dir: str, table: str) -> DataFrame:
+    """Committed-runs-only view of a marker-committed table.
+
+    Raises FileNotFoundError with a clear message when NO run has ever
+    committed (a half-written first run leaves table dirs you must not
+    read — "nothing committed yet" is the only safe answer; a raw
+    PATH_NOT_FOUND from the torn half would be misleading). The isin
+    literal list grows with run count — fine to ~10^4 runs; past that,
+    compact old runs into a consolidated partition (the Iceberg analogue
+    is snapshot expiration) so the live marker set stays small.
+    """
     ids = committed_publish_ids(spark, out_dir)
+    if not ids:
+        raise FileNotFoundError(
+            f"no committed runs under {out_dir} (the _committed marker set is "
+            "empty — a torn first run is invisible by design)"
+        )
     df = spark.read.parquet(f"{out_dir}/{table}")
     # partition filter on the committed id set: torn (marker-less) run dirs
-    # are pruned at the directory level, never scanned. The isin literal list
-    # grows with run count — fine to ~10^4 runs; past that, compact old runs
-    # into a consolidated partition (the Iceberg analogue is snapshot
-    # expiration) so the live marker set stays small.
-    return df.filter(F.col("run_id").isin(ids) if ids else F.lit(False))
+    # are pruned at the directory level, never scanned
+    return df.filter(F.col("run_id").isin(ids))
+
+
+_read_committed = read_committed_table
 
 
 def read_published(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -146,9 +170,7 @@ def publish_run(
         from ..operators.pii import redact_columns
 
         col, total = redact_columns(text_col)
-        results = results.withColumn("n_redactions", F.coalesce(total, F.lit(0))).withColumn(
-            text_col, col
-        )
+        results = results.withColumn("n_redactions", total).withColumn(text_col, col)
     tagged = results.withColumn(
         "_reject",
         publish_reject_reason(text_col, numeric_cols, json_cols, decode_status_col),
@@ -173,12 +195,25 @@ def write_tagged_run(
     out_dir: str,
     run_id: str,
     _crash_before_commit: str | None = None,
-) -> None:
+    skip_if_committed: bool = False,
+) -> bool:
     """The staged-write + marker-commit protocol, shared by the batch
     publisher and the streaming twin (one definition — the two sinks cannot
     drift). ``tagged`` carries a ``_reject`` column; both halves land in
     run-scoped directories (overwrite = idempotent replay) and become
-    visible only when the single marker file is created."""
+    visible only when the single marker file is created.
+
+    ``skip_if_committed=True`` (the streaming epochs): a run_id whose marker
+    already exists is left untouched and False is returned. For a true
+    replay (crash after marker, before the stream checkpoint advanced) the
+    content is identical, so skipping is exact; for a LOST-checkpoint
+    restart (epoch numbering resets over an existing archive) it prevents
+    the new batch 0 from destroying the committed old epoch 0 — that
+    operator mistake needs a fresh out_dir, not a silent overwrite."""
+    if skip_if_committed:
+        fs, marker = _fs(spark, f"{out_dir}/_committed/{run_id}")
+        if fs.exists(marker):
+            return False
     tagged.filter(F.col("_reject").isNull()).drop("_reject").write.mode("overwrite").parquet(
         f"{out_dir}/published/run_id={run_id}"
     )
@@ -189,6 +224,5 @@ def write_tagged_run(
     ).write.mode("overwrite").parquet(f"{out_dir}/quarantine/run_id={run_id}")
     if _crash_before_commit == "quarantine":
         raise RuntimeError("fault injection: crashed before commit marker")
-    fs, marker = _fs(spark, f"{out_dir}/_committed/{run_id}")
-    fs.mkdirs(marker.getParent())
-    fs.create(marker, True).close()  # single atomic create = the commit point
+    commit_marker(spark, out_dir, run_id)  # single atomic create = the commit point
+    return True

@@ -22,8 +22,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..operators.decontam import contamination_report
-from ..plans.publish import _fs
+from ..operators.decontam import DEFAULT_DROP_THRESHOLD, contamination_report
+from ..plans.publish import _fs, commit_marker, read_committed_table
 
 
 def decontam_screen_stream(
@@ -36,16 +36,27 @@ def decontam_screen_stream(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 8,
-    threshold: float = 0.8,
+    threshold: float = DEFAULT_DROP_THRESHOLD,
     available_now: bool = True,
 ) -> StreamingQuery:
     """File-source document stream → contamination screen → atomic epoch
-    writes of ``clean`` and ``contaminated`` (with per-item coverage)."""
+    writes of ``clean`` and ``contaminated`` (with per-item coverage).
+
+    The drop threshold defaults to the batch operator's
+    (``decontam.DEFAULT_DROP_THRESHOLD``) — the stream and a later batch
+    re-validation must agree on what "clean" means. Read the results with
+    ``read_clean`` / ``read_contaminated``: they filter on the epoch
+    markers, so a crash between the two table writes never surfaces a torn
+    epoch (same contract as the publish archive)."""
     bench = bench.localCheckpoint(eager=True)  # pin the eval set for the run
     stream = spark.readStream.schema(schema).parquet(docs_dir)
 
     def screen(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
+        run_id = f"e{batch_id:08d}"
+        fs, marker = _fs(sess, f"{out_dir}/_committed/{run_id}")
+        if fs.exists(marker):  # replay of a committed epoch / stale archive
+            return
         # materialized once: the report feeds both the anti-join build side
         # and the contaminated-table write
         report = contamination_report(
@@ -56,16 +67,13 @@ def decontam_screen_stream(
             .select(F.col("doc_id").alias(id_col))
             .distinct()
         )
-        run_id = f"e{batch_id:08d}"
         batch.join(F.broadcast(flagged), id_col, "left_anti").write.mode("overwrite").parquet(
             f"{out_dir}/clean/run_id={run_id}"
         )
         report.filter(F.col("coverage") >= threshold).write.mode("overwrite").parquet(
             f"{out_dir}/contaminated/run_id={run_id}"
         )
-        fs, marker = _fs(sess, f"{out_dir}/_committed/{run_id}")
-        fs.mkdirs(marker.getParent())
-        fs.create(marker, True).close()
+        commit_marker(sess, out_dir, run_id)
 
     writer = stream.writeStream.foreachBatch(screen).option(
         "checkpointLocation", checkpoint_dir
@@ -73,3 +81,13 @@ def decontam_screen_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_clean(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Screened-clean docs — committed epochs only (never a torn epoch)."""
+    return read_committed_table(spark, out_dir, "clean")
+
+
+def read_contaminated(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Flagged (doc, benchmark-item) verdicts — committed epochs only."""
+    return read_committed_table(spark, out_dir, "contaminated")

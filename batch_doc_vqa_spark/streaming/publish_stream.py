@@ -41,7 +41,13 @@ def gated_publish_stream(
 
     def publish_batch(batch: DataFrame, batch_id: int) -> None:
         tagged = batch.withColumn("_reject", reason).localCheckpoint(eager=True)
-        write_tagged_run(batch.sparkSession, tagged, out_dir, f"e{batch_id:08d}")
+        # skip_if_committed: an already-committed epoch is either a true
+        # replay (identical content — skip is exact) or a lost-checkpoint
+        # restart colliding with an old archive (skip prevents destroying
+        # the committed epoch; use a fresh out_dir after losing a checkpoint)
+        write_tagged_run(
+            batch.sparkSession, tagged, out_dir, f"e{batch_id:08d}", skip_if_committed=True
+        )
 
     writer = stream.writeStream.foreachBatch(publish_batch).option(
         "checkpointLocation", checkpoint_dir

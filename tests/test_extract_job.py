@@ -395,3 +395,47 @@ def test_jsonl_pages_roundtrip_and_extract(spark, tmp_path):
     out = str(tmp_path / "jsonl_out")
     s = run_extraction(spark, back, out, run_id="jsonl", num_buckets=4)
     assert s["n_docs"] == 80 and s["n_failed"] == 0
+
+
+def test_read_archive_before_any_commit_raises_clearly(spark, tmp_path):
+    """A half-written first run (or a fresh dir) must yield 'nothing
+    committed yet', never a misleading PATH_NOT_FOUND on the torn half."""
+    import pytest
+
+    from batch_doc_vqa_spark.plans import publish_run, read_published, read_quarantine
+
+    out = str(tmp_path / "fresh")
+    with pytest.raises(FileNotFoundError, match="no committed runs"):
+        read_published(spark, out)
+    # first publish crashes after the published half: still the clear error
+    df = spark.createDataFrame([(1, "clean")], "id long, text string")
+    with pytest.raises(RuntimeError, match="fault injection"):
+        publish_run(spark, df, out, text_col="text", run_id="t1",
+                    _crash_before_commit="published")
+    with pytest.raises(FileNotFoundError, match="no committed runs"):
+        read_quarantine(spark, out)
+    # the retry commits; both readers come alive
+    publish_run(spark, df, out, text_col="text", run_id="t1")
+    assert read_published(spark, out).count() == 1
+    assert read_quarantine(spark, out).count() == 0
+
+
+def test_committed_epoch_is_never_overwritten_with_skip_guard(spark, tmp_path):
+    """skip_if_committed: a colliding run_id (lost-checkpoint restart over an
+    existing archive) leaves the committed epoch untouched."""
+    from pyspark.sql import functions as F2
+
+    from batch_doc_vqa_spark.plans import read_published
+    from batch_doc_vqa_spark.plans.publish import write_tagged_run
+
+    out = str(tmp_path / "guard")
+    first = spark.createDataFrame([(1, "original")], "id long, text string").withColumn(
+        "_reject", F2.lit(None).cast("string")
+    )
+    assert write_tagged_run(spark, first, out, "e0", skip_if_committed=True) is True
+    collider = spark.createDataFrame([(9, "intruder")], "id long, text string").withColumn(
+        "_reject", F2.lit(None).cast("string")
+    )
+    assert write_tagged_run(spark, collider, out, "e0", skip_if_committed=True) is False
+    rows = read_published(spark, out).collect()
+    assert [r["id"] for r in rows] == [1] and rows[0]["text"] == "original"

@@ -165,7 +165,12 @@ def test_gated_publish_stream_torn_epoch_invisible(spark, tmp_path):
     q.awaitTermination(120)
     assert read_published(spark, out).count() == 2
     os.remove(f"{out}/_committed/e00000000")  # the torn-epoch state
-    assert read_published(spark, out).count() == 0  # bytes on disk, reader blind
+    # with the only epoch torn, the reader reports "nothing committed"
+    # rather than surfacing the on-disk bytes
+    import pytest
+
+    with pytest.raises(FileNotFoundError, match="no committed runs"):
+        read_published(spark, out)
 
 
 def test_decontam_screen_stream_incremental(spark, tmp_path):
@@ -188,8 +193,10 @@ def test_decontam_screen_stream_incremental(spark, tmp_path):
 
     q = decontam_screen_stream(spark, str(src), schema, bench, out, ckpt)
     q.awaitTermination(120)
-    clean = spark.read.parquet(f"{out}/clean")
-    flagged = spark.read.parquet(f"{out}/contaminated")
+    from batch_doc_vqa_spark.streaming.decontam_stream import read_clean, read_contaminated
+
+    clean = read_clean(spark, out)
+    flagged = read_contaminated(spark, out)
     assert {r["doc_id"] for r in clean.collect()} == {1}
     assert {r["doc_id"] for r in flagged.collect()} == {2}
     assert flagged.collect()[0]["coverage"] == 1.0
@@ -202,8 +209,13 @@ def test_decontam_screen_stream_incremental(spark, tmp_path):
     ).parquet(str(src))
     q2 = decontam_screen_stream(spark, str(src), schema, bench, out, ckpt)
     q2.awaitTermination(120)
-    assert {r["doc_id"] for r in spark.read.parquet(f"{out}/clean").collect()} == {1, 3}
-    assert {r["doc_id"] for r in spark.read.parquet(f"{out}/contaminated").collect()} == {2, 4}
+    assert {r["doc_id"] for r in read_clean(spark, out).collect()} == {1, 3}
+    assert {r["doc_id"] for r in read_contaminated(spark, out).collect()} == {2, 4}
+    # torn-epoch invisibility: drop epoch 1's marker — its verdicts vanish
+    # from the readers while the bytes stay on disk
+    os.remove(f"{out}/_committed/e00000001")
+    assert {r["doc_id"] for r in read_clean(spark, out).collect()} == {1}
+    assert {r["doc_id"] for r in read_contaminated(spark, out).collect()} == {2}
     # streaming verdicts == batch operator on the union (same machinery)
     all_docs = spark.read.parquet(str(src))
     batch_flagged = {
