@@ -17,9 +17,19 @@ Signature comparability across runs is exactly why the hash family is
 seeded and the token hash pinned (``_hash_family`` seed, md5-based
 ``portable_hash64`` / ``stable_token_hash64``): an index written last month
 meets this month's snapshot bit-for-bit.
+
+Durability: both tables are SNAPSHOT-committed (``sigs/snap=<id>``,
+``bands/snap=<id>``, visible only once ``_committed/<id>`` exists — the
+same marker protocol as plans/publish.py). A crash between the sigs and
+bands writes therefore cannot strand a document with a signature but no
+band rows (which would silently exclude it from every future candidate
+join): the torn snapshot is invisible, and the retry — which anti-joins
+against COMMITTED ids only — re-writes both halves.
 """
 
 from __future__ import annotations
+
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -28,38 +38,124 @@ from .dedup import banded_rows, minhash_signatures
 
 INDEX_PARAMS = dict(n=3, num_hashes=64, bands=16, seed=7, base_hash="xxhash64")
 
+_SIG_COLS = ["_id", "signature"]
+_BAND_COLS = ["_id", "band_idx", "band_hash"]
+
+
+def _fs(spark: SparkSession, path: str):
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def committed_snapshots(spark: SparkSession, path: str) -> list[str]:
+    fs, jpath = _fs(spark, f"{path}/_committed")
+    if not fs.exists(jpath):
+        return []
+    return sorted(s.getPath().getName() for s in fs.listStatus(jpath))
+
+
+def _read_index_table(spark: SparkSession, path: str, table: str, cols: list[str]) -> DataFrame:
+    snaps = committed_snapshots(spark, path)
+    if not snaps:
+        raise FileNotFoundError(
+            f"no committed index snapshots under {path} (build_dedup_index first; "
+            "a torn snapshot write is invisible by design)"
+        )
+    return (
+        spark.read.parquet(f"{path}/{table}")
+        .filter(F.col("snap").isin(snaps))
+        .select(*cols)
+    )
+
+
+def read_index_sigs(spark: SparkSession, path: str) -> DataFrame:
+    return _read_index_table(spark, path, "sigs", _SIG_COLS)
+
+
+def read_index_bands(spark: SparkSession, path: str) -> DataFrame:
+    return _read_index_table(spark, path, "bands", _BAND_COLS)
+
+
+def _write_snapshot(
+    spark: SparkSession, sigs: DataFrame, bands: DataFrame, path: str, snapshot_id: str
+) -> None:
+    """Both halves into snap-scoped dirs (overwrite ⇒ idempotent retry for a
+    stable snapshot_id), then the single marker create = the commit point."""
+    sigs.select(*_SIG_COLS).write.mode("overwrite").parquet(f"{path}/sigs/snap={snapshot_id}")
+    bands.select(*_BAND_COLS).write.mode("overwrite").parquet(
+        f"{path}/bands/snap={snapshot_id}"
+    )
+    fs, marker = _fs(spark, f"{path}/_committed/{snapshot_id}")
+    fs.mkdirs(marker.getParent())
+    fs.create(marker, True).close()
+
 
 def build_dedup_index(
-    df: DataFrame, id_col: str, text_col: str, path: str, mode: str = "overwrite", **params
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    mode: str = "overwrite",
+    snapshot_id: str = "base",
+    **params,
 ) -> None:
-    """Signature + band tables for a corpus → ``{path}/sigs``, ``{path}/bands``."""
+    """Signature + band tables for a corpus, committed as one snapshot."""
     p = {**INDEX_PARAMS, **params}
+    spark = df.sparkSession
+    if mode == "overwrite":
+        fs, jpath = _fs(spark, path)
+        if fs.exists(jpath):
+            fs.delete(jpath, True)
     sigs = minhash_signatures(
         df, id_col, text_col, p["n"], p["num_hashes"], p["seed"], p["base_hash"]
     ).localCheckpoint(eager=True)
-    sigs.write.mode(mode).parquet(f"{path}/sigs")
-    banded_rows(sigs, p["num_hashes"], p["bands"], p["base_hash"]).write.mode(mode).parquet(
-        f"{path}/bands"
-    )
+    bands = banded_rows(sigs, p["num_hashes"], p["bands"], p["base_hash"])
+    _write_snapshot(spark, sigs, bands, path, snapshot_id)
 
 
 def compact_dedup_index(
     spark: SparkSession, current_docs: DataFrame, id_col: str, text_col: str, path: str, **params
 ) -> None:
     """Rebuild the index from the CURRENT corpus state — the maintenance
-    pass that picks up content changes for re-crawled ids (the append-only
+    pass that picks up content changes for re-crawled ids (the snapshot
     emulation keeps a re-ingested id's ORIGINAL signature until this runs;
-    an Iceberg MERGE would update in place). Staged write → swap: the old
-    index stays readable until both new tables land."""
-    tmp = f"{path}__compacting"
-    build_dedup_index(current_docs, id_col, text_col, tmp, mode="overwrite", **params)
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-    old, new = jvm.org.apache.hadoop.fs.Path(path), jvm.org.apache.hadoop.fs.Path(tmp)
-    if fs.exists(old):
-        fs.delete(old, True)
-    fs.rename(new, old)
+    an Iceberg MERGE would update in place).
+
+    Swap protocol: the rebuilt snapshot's data dirs land first (no marker),
+    then the LIVE ``_committed`` dir is atomically replaced by one holding
+    only the new snapshot's marker (rename-aside → rename-in → delete,
+    every rename checked). The only crash window leaves NO ``_committed``
+    dir — readers fail loudly with "no committed snapshots" (recover by
+    renaming ``_committed_next`` back in or re-running compaction); no
+    window ever shows old and new snapshots together (duplicate ids) or a
+    half-written snapshot.
+    """
+    p = {**INDEX_PARAMS, **params}
+    snap = "compact-" + uuid.uuid4().hex[:12]
+    sigs = minhash_signatures(
+        current_docs, id_col, text_col, p["n"], p["num_hashes"], p["seed"], p["base_hash"]
+    ).localCheckpoint(eager=True)
+    bands = banded_rows(sigs, p["num_hashes"], p["bands"], p["base_hash"])
+    # data dirs only — deliberately NOT committed yet
+    sigs.select(*_SIG_COLS).write.mode("overwrite").parquet(f"{path}/sigs/snap={snap}")
+    bands.select(*_BAND_COLS).write.mode("overwrite").parquet(f"{path}/bands/snap={snap}")
+
+    fs, committed = _fs(spark, f"{path}/_committed")
+    nxt = _fs(spark, f"{path}/_committed_next")[1]
+    old = _fs(spark, f"{path}/_committed_old")[1]
+    for stale in (nxt, old):  # debris from a previously crashed compaction
+        if fs.exists(stale):
+            fs.delete(stale, True)
+    fs.mkdirs(nxt)
+    fs.create(_fs(spark, f"{path}/_committed_next/{snap}")[1], True).close()
+    if fs.exists(committed) and not fs.rename(committed, old):
+        raise IOError(f"compaction: could not move live marker dir aside at {path}")
+    if not fs.rename(nxt, committed):
+        raise IOError(
+            f"compaction: could not activate new marker dir at {path} "
+            "(recover: rename _committed_next to _committed)"
+        )
+    fs.delete(old, True)
 
 
 def incremental_dedup_pairs(
@@ -70,32 +166,35 @@ def incremental_dedup_pairs(
     path: str,
     threshold: float = 0.5,
     update_index: bool = True,
+    snapshot_id: str | None = None,
     **params,
 ) -> DataFrame:
-    """Near-dup pairs of a new snapshot vs (index ∪ itself); appends the new
+    """Near-dup pairs of a new snapshot vs (index ∪ itself); commits the new
     rows to the index afterwards so the next snapshot sees them.
 
     Returns (id_a, id_b, est_jaccard) with id_a < id_b lexicographically —
     identical to what a full-batch ``minhash_lsh_pairs`` over (old ∪ new)
     would emit for pairs touching at least one new document.
 
-    Re-ingestion safe: a doc_id present in BOTH the index and the snapshot
-    (re-crawl, or a retried snapshot after a partial failure) is treated as
-    already indexed — its index rows stay authoritative for this pass, and
-    the append anti-joins on indexed ids so retries never bloat the index or
-    produce conflicting duplicate signature rows. A re-crawl whose CONTENT
-    changed therefore keeps its original signature until the next index
-    rebuild/compaction — the append-only parquet emulation can't update in
-    place (an Iceberg MERGE would; see plans/enrich.py for the pattern).
+    Re-ingestion safe: a doc_id present in BOTH the committed index and the
+    snapshot (re-crawl, or a retried snapshot after a partial failure) is
+    treated as already indexed — its index rows stay authoritative for this
+    pass, and the commit anti-joins on committed ids so retries never bloat
+    the index or produce conflicting duplicate signature rows. A re-crawl
+    whose CONTENT changed therefore keeps its original signature until
+    ``compact_dedup_index`` runs. Pass a stable ``snapshot_id`` (e.g. the
+    crawl batch id) to make a retried commit overwrite its own snapshot
+    dirs; the default random id is still safe — a torn attempt is invisible
+    and its ids re-enter the next attempt's anti-join as "not indexed".
     """
     p = {**INDEX_PARAMS, **params}
     all_new_sigs = minhash_signatures(
         new_docs, id_col, text_col, p["n"], p["num_hashes"], p["seed"], p["base_hash"]
     ).localCheckpoint(eager=True)
-    old_bands = spark.read.parquet(f"{path}/bands")
-    old_sigs = spark.read.parquet(f"{path}/sigs")
-    # ids-only anti-join: drop snapshot rows already in the index (the id
-    # set is tiny next to the signatures — one broadcast-able column)
+    old_sigs = read_index_sigs(spark, path)
+    old_bands = read_index_bands(spark, path)
+    # ids-only anti-join: drop snapshot rows already in the COMMITTED index
+    # (the id set is tiny next to the signatures — one broadcast-able column)
     new_sigs = all_new_sigs.join(
         old_sigs.select("_id"), "_id", "left_anti"
     ).localCheckpoint(eager=True)
@@ -122,7 +221,7 @@ def incremental_dedup_pairs(
     ).select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
     cand = vs_old.unionByName(vs_new).dropDuplicates(["id_a", "id_b"])
 
-    all_sigs = old_sigs.unionByName(new_sigs)
+    all_sigs = old_sigs.unionByName(new_sigs.select(*_SIG_COLS))
     sig_a = all_sigs.select(F.col("_id").alias("id_a"), F.col("signature").alias("_sa"))
     sig_b = all_sigs.select(F.col("_id").alias("id_b"), F.col("signature").alias("_sb"))
     pairs = (
@@ -142,9 +241,10 @@ def incremental_dedup_pairs(
             ).alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= threshold)
-        .localCheckpoint(eager=True)  # materialize BEFORE the index append below
+        .localCheckpoint(eager=True)  # materialize BEFORE the index commit below
     )
-    if update_index:
-        new_sigs.write.mode("append").parquet(f"{path}/sigs")
-        new_bands.write.mode("append").parquet(f"{path}/bands")
+    if update_index and new_sigs.limit(1).count() > 0:
+        _write_snapshot(
+            spark, new_sigs, new_bands, path, snapshot_id or "s" + uuid.uuid4().hex[:12]
+        )
     return pairs

@@ -119,3 +119,32 @@ def test_compaction_picks_up_changed_recrawls(spark, corpora, tmp_path):
              for r in incremental_dedup_pairs(spark, probe, "doc_id", "text", path,
                                               update_index=False).collect()}
     assert {("old0", "probe"), ("old1", "probe")} <= after  # change landed
+
+
+def test_torn_snapshot_is_invisible_and_retry_heals(spark, corpora, tmp_path):
+    """A snapshot whose marker never landed (crash between the sigs and
+    bands writes) is invisible — its docs re-enter the next attempt's
+    anti-join as not-indexed, so both halves get rewritten (VERDICT-review:
+    the old append order could strand a doc with a signature but no band
+    rows, silently unreachable forever)."""
+    import os
+
+    from batch_doc_vqa_spark.operators.dedup_index import read_index_bands, read_index_sigs
+
+    old, new = corpora
+    path = str(tmp_path / "idx5")
+    build_dedup_index(old, "doc_id", "text", path)
+    incremental_dedup_pairs(spark, new, "doc_id", "text", path,
+                            update_index=True, snapshot_id="snapA")
+    assert read_index_sigs(spark, path).count() == 30 + new.count()
+    # tear snapA: delete its marker — the data dirs stay on disk
+    os.remove(f"{path}/_committed/snapA")
+    assert os.path.isdir(f"{path}/sigs/snap=snapA")
+    assert read_index_sigs(spark, path).count() == 30  # invisible
+    assert read_index_bands(spark, path).filter("_id like 'new%'").count() == 0
+    # retry heals: the snapshot's ids look un-indexed again and recommit
+    pairs = incremental_dedup_pairs(spark, new, "doc_id", "text", path,
+                                    update_index=True, snapshot_id="snapA")
+    assert pairs.count() > 0  # pairs re-emitted (they never committed)
+    assert read_index_sigs(spark, path).count() == 30 + new.count()
+    assert read_index_bands(spark, path).filter("_id = 'new_exact'").count() == 16
