@@ -757,6 +757,27 @@ def _decontam_ctes(doc_rel: str = "documents") -> str:
     )"""
 
 
+def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental dedup index end-to-end: build a committed index over
+    the %5!=0 docs, then screen the %5==0 docs against (index ∪ itself)
+    WITHOUT re-signaturing the corpus. Oracle = the full-batch MinHash+LSH
+    pipeline restricted to pairs touching a new doc — the incremental path
+    must be indistinguishable from the batch one."""
+    import tempfile
+
+    from batch_doc_vqa_spark.operators import dedup_index
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    path = tempfile.mkdtemp(prefix="dedupidx_") + "/idx"
+    dedup_index.build_dedup_index(old, "doc_id", "text", path, base_hash="md5")
+    return dedup_index.incremental_dedup_pairs(
+        spark, new, "doc_id", "text", path, threshold=0.5,
+        update_index=False, base_hash="md5",
+    )
+
+
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # impl="sql" + portable hash: the signature is 64 JVM sum-aggregates and
     # DuckDB reproduces the whole pipeline (see _simhash_oracle)
@@ -1891,6 +1912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_recipe_v2": _q_training_recipe_v2,
         "snapshot_diff": _q_snapshot_diff,
         "snapshot_work_set": _q_snapshot_work_set,
+        "incremental_dedup": _q_incremental_dedup,
         "ann_ivf_topk": _q_ann_ivf,
         "embedding_dup_pairs": _q_embedding_dup,
         "embedding_dup_pairs_lsh": _q_embedding_dup_lsh,
@@ -2532,6 +2554,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pii_report": _pii_report_oracle(),
         "pii_redact": _pii_redact_oracle(),
+        "incremental_dedup": f"""
+            WITH {_minhash_ctes()}
+            SELECT id_a, id_b, est_jaccard FROM pairs
+            WHERE est_jaccard >= 0.5 AND (id_a % 5 = 0 OR id_b % 5 = 0)
+        """,
         "snapshot_diff": f"""
             WITH {_SNAPSHOT_CTES}
             SELECT doc_id, change FROM dif
