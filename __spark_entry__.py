@@ -526,13 +526,13 @@ _SNAPSHOT_CTES = """newt AS (
         FROM documents WHERE doc_id % 41 != 0
         UNION ALL
         SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 29 = 0
-    ), o AS (SELECT doc_id, md5(text) AS h FROM documents),
-    nn AS (SELECT doc_id, md5(text) AS h FROM newt),
+    ), o AS (SELECT doc_id, md5(text) AS h, TRUE AS in_old FROM documents),
+    nn AS (SELECT doc_id, md5(text) AS h, TRUE AS in_new FROM newt),
     dif AS (
         SELECT COALESCE(o.doc_id, nn.doc_id) AS doc_id,
-               CASE WHEN o.doc_id IS NULL THEN 'added'
-                    WHEN nn.doc_id IS NULL THEN 'removed'
-                    WHEN o.h = nn.h THEN 'unchanged'
+               CASE WHEN o.in_old IS NULL THEN 'added'
+                    WHEN nn.in_new IS NULL THEN 'removed'
+                    WHEN o.h IS NOT DISTINCT FROM nn.h THEN 'unchanged'
                     ELSE 'changed' END AS change
         FROM o FULL OUTER JOIN nn ON o.doc_id = nn.doc_id
     )"""

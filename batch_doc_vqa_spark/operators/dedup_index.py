@@ -43,15 +43,16 @@ _BAND_COLS = ["_id", "band_idx", "band_hash"]
 
 
 def _fs(spark: SparkSession, path: str):
-    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
-    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+    # the marker machinery is the publish protocol's — one definition
+    from ..plans.publish import _fs as publish_fs
+
+    return publish_fs(spark, path)
 
 
 def committed_snapshots(spark: SparkSession, path: str) -> list[str]:
-    fs, jpath = _fs(spark, f"{path}/_committed")
-    if not fs.exists(jpath):
-        return []
-    return sorted(s.getPath().getName() for s in fs.listStatus(jpath))
+    from ..plans.publish import committed_publish_ids
+
+    return committed_publish_ids(spark, path)
 
 
 def _read_index_table(spark: SparkSession, path: str, table: str, cols: list[str]) -> DataFrame:
@@ -81,13 +82,13 @@ def _write_snapshot(
 ) -> None:
     """Both halves into snap-scoped dirs (overwrite ⇒ idempotent retry for a
     stable snapshot_id), then the single marker create = the commit point."""
+    from ..plans.publish import commit_marker
+
     sigs.select(*_SIG_COLS).write.mode("overwrite").parquet(f"{path}/sigs/snap={snapshot_id}")
     bands.select(*_BAND_COLS).write.mode("overwrite").parquet(
         f"{path}/bands/snap={snapshot_id}"
     )
-    fs, marker = _fs(spark, f"{path}/_committed/{snapshot_id}")
-    fs.mkdirs(marker.getParent())
-    fs.create(marker, True).close()
+    commit_marker(spark, path, snapshot_id)
 
 
 def build_dedup_index(
@@ -95,17 +96,21 @@ def build_dedup_index(
     id_col: str,
     text_col: str,
     path: str,
-    mode: str = "overwrite",
     snapshot_id: str = "base",
     **params,
 ) -> None:
-    """Signature + band tables for a corpus, committed as one snapshot."""
+    """Signature + band tables for a corpus, committed as one snapshot.
+
+    Always a fresh build (the path is cleared first): growing an existing
+    index goes through ``incremental_dedup_pairs``, refreshing it through
+    ``compact_dedup_index`` — an in-place overwrite of an already-committed
+    snapshot would reopen the torn-write window the marker protocol closes.
+    """
     p = {**INDEX_PARAMS, **params}
     spark = df.sparkSession
-    if mode == "overwrite":
-        fs, jpath = _fs(spark, path)
-        if fs.exists(jpath):
-            fs.delete(jpath, True)
+    fs, jpath = _fs(spark, path)
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
     sigs = minhash_signatures(
         df, id_col, text_col, p["n"], p["num_hashes"], p["seed"], p["base_hash"]
     ).localCheckpoint(eager=True)
@@ -156,6 +161,16 @@ def compact_dedup_index(
             "(recover: rename _committed_next to _committed)"
         )
     fs.delete(old, True)
+    # GC superseded data dirs: without this, every compaction leaves a full
+    # extra corpus copy on disk (and in the readers' file listing) forever
+    for table in ("sigs", "bands"):
+        tfs, tdir = _fs(spark, f"{path}/{table}")
+        if not tfs.exists(tdir):
+            continue
+        for st in tfs.listStatus(tdir):
+            name = st.getPath().getName()
+            if name.startswith("snap=") and name != f"snap={snap}":
+                tfs.delete(st.getPath(), True)
 
 
 def incremental_dedup_pairs(

@@ -23,14 +23,25 @@ from pyspark.sql import functions as F
 def snapshot_diff(
     old: DataFrame, new: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
-    """(id, change) rows: change ∈ added | removed | changed | unchanged."""
-    o = old.select(F.col(id_col).alias("_id"), F.md5(F.col(text_col)).alias("_old_h"))
-    n = new.select(F.col(id_col).alias("_id"), F.md5(F.col(text_col)).alias("_new_h"))
+    """(id, change) rows: change ∈ added | removed | changed | unchanged.
+
+    Presence comes from explicit per-side indicator columns, never from
+    hash nullness — a NULL-text row (a re-crawl whose extraction failed)
+    must classify by its id's presence, with NULL-safe hash comparison, or
+    it would masquerade as added/removed and dodge the work set."""
+    o = old.select(
+        F.col(id_col).alias("_id"), F.md5(F.col(text_col)).alias("_old_h"),
+        F.lit(True).alias("_in_old"),
+    )
+    n = new.select(
+        F.col(id_col).alias("_id"), F.md5(F.col(text_col)).alias("_new_h"),
+        F.lit(True).alias("_in_new"),
+    )
     joined = o.join(n, "_id", "full_outer")
     change = (
-        F.when(F.col("_old_h").isNull(), F.lit("added"))
-        .when(F.col("_new_h").isNull(), F.lit("removed"))
-        .when(F.col("_old_h") == F.col("_new_h"), F.lit("unchanged"))
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(F.col("_old_h").eqNullSafe(F.col("_new_h")), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
     )
     return joined.select(F.col("_id").alias(id_col), change.alias("change"))

@@ -112,11 +112,17 @@ def run_extraction(
         # checkpoint/resume: anti-join against the done-set (J7 pattern).
         # The existence probe is O(1) and can be true for a directory a
         # crashed first run created but never committed data into — an
-        # unreadable/empty store means an empty done-set, not a dead job.
+        # EMPTY store means an empty done-set, not a dead job. Only the
+        # schema-inference failure of an empty/fileless directory is
+        # swallowed; any other read error (corrupt store, permissions) must
+        # surface — silently treating a populated archive as empty would
+        # duplicate every prior run's rows.
+        from pyspark.errors import AnalysisException
+
         try:
             done = spark.read.parquet(results_path).select("url")
             todo = pages.join(done, "url", "left_anti")
-        except Exception:
+        except AnalysisException:
             pass
 
     bucketed = with_salted_partition(todo, num_buckets, target_rows_per_task=target_rows_per_task)

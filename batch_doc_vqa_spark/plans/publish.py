@@ -108,7 +108,10 @@ def read_committed_table(spark: SparkSession, out_dir: str, table: str) -> DataF
             f"no committed runs under {out_dir} (the _committed marker set is "
             "empty — a torn first run is invisible by design)"
         )
-    df = spark.read.parquet(f"{out_dir}/{table}")
+    # mergeSchema: runs may carry optional audit columns (scrub_pii adds
+    # n_redactions) — without the merge, which columns surface would depend
+    # on which run's file the schema got sampled from
+    df = spark.read.option("mergeSchema", "true").parquet(f"{out_dir}/{table}")
     # partition filter on the committed id set: torn (marker-less) run dirs
     # are pruned at the directory level, never scanned
     return df.filter(F.col("run_id").isin(ids))

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..operators.decontam import DEFAULT_DROP_THRESHOLD, contamination_report
+from ..operators.decontam import DEFAULT_DROP_THRESHOLD, DEFAULT_NGRAM, contamination_report
 from ..plans.publish import _fs, commit_marker, read_committed_table
 
 
@@ -35,7 +35,7 @@ def decontam_screen_stream(
     checkpoint_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
-    n: int = 8,
+    n: int = DEFAULT_NGRAM,
     threshold: float = DEFAULT_DROP_THRESHOLD,
     available_now: bool = True,
 ) -> StreamingQuery:

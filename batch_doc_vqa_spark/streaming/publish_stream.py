@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..plans.publish import publish_reject_reason, write_tagged_run
+from ..plans.publish import _fs, publish_reject_reason, write_tagged_run
 
 
 def gated_publish_stream(
@@ -41,13 +41,27 @@ def gated_publish_stream(
 
     def publish_batch(batch: DataFrame, batch_id: int) -> None:
         tagged = batch.withColumn("_reject", reason).localCheckpoint(eager=True)
+        run_id = f"e{batch_id:08d}"
         # skip_if_committed: an already-committed epoch is either a true
         # replay (identical content — skip is exact) or a lost-checkpoint
         # restart colliding with an old archive (skip prevents destroying
         # the committed epoch; use a fresh out_dir after losing a checkpoint)
-        write_tagged_run(
-            batch.sparkSession, tagged, out_dir, f"e{batch_id:08d}", skip_if_committed=True
+        written = write_tagged_run(
+            batch.sparkSession, tagged, out_dir, run_id, skip_if_committed=True
         )
+        if not written:
+            # LOUD breadcrumb: a collision is either benign (replay) or an
+            # operator error about to drop this batch's rows — never silent
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "publish epoch %s already committed at %s — batch skipped "
+                "(lost-checkpoint restart over an existing archive requires a "
+                "fresh out_dir)", run_id, out_dir,
+            )
+            fs, flag = _fs(batch.sparkSession, f"{out_dir}/_collisions/{run_id}")
+            fs.mkdirs(flag.getParent())
+            fs.create(flag, True).close()
 
     writer = stream.writeStream.foreachBatch(publish_batch).option(
         "checkpointLocation", checkpoint_dir

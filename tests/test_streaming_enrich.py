@@ -177,7 +177,7 @@ def test_decontam_screen_stream_incremental(spark, tmp_path):
     """Streaming decontamination: each availableNow run screens only NEW
     files against the pinned benchmark set; verdicts commit atomically per
     epoch and match the batch operator's semantics."""
-    from batch_doc_vqa_spark.operators.decontam import contamination_report
+    from batch_doc_vqa_spark.operators.decontam import DEFAULT_DROP_THRESHOLD, contamination_report
     from batch_doc_vqa_spark.streaming.decontam_stream import decontam_screen_stream
 
     src = tmp_path / "snap_in"
@@ -222,6 +222,6 @@ def test_decontam_screen_stream_incremental(spark, tmp_path):
         r["doc_id"]
         for r in contamination_report(all_docs, "doc_id", "text", bench,
                                       "bench_id", "bench_text", n=8)
-        .filter("coverage >= 0.8").collect()
+        .filter(f"coverage >= {DEFAULT_DROP_THRESHOLD}").collect()
     }
     assert batch_flagged == {2, 4}
