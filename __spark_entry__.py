@@ -851,6 +851,19 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with exact re-rank (the IVFADC compression
+    half): 16 sub-spaces × 16 deterministic sample centroids, 40-deep ADC
+    shortlist, exact squared-L2 re-rank to top-5."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return similarity.pq_topk(emb, queries, m=16, n_codes=16, k=5, rerank=40).select(
+        "q_id", "neighbor_id", "approx_dist", "exact_dist", "rank"
+    )
+
+
 def _q_embedding_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.4)
 
@@ -1914,6 +1927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_work_set": _q_snapshot_work_set,
         "incremental_dedup": _q_incremental_dedup,
         "ann_ivf_topk": _q_ann_ivf,
+        "ann_pq_topk": _q_ann_pq,
         "embedding_dup_pairs": _q_embedding_dup,
         "embedding_dup_pairs_lsh": _q_embedding_dup_lsh,
         "doc_quality": _q_doc_quality,
@@ -2856,6 +2870,70 @@ def oracle_sql() -> dict[str, str]:
             SELECT q_id, neighbor_id, cosine, rank FROM (
                 SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
                 FROM scored
+            ) WHERE rank <= 5
+        """,
+        "ann_pq_topk": """
+            WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            cb AS (
+                SELECT v, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS code
+                FROM (SELECT vec_id, v FROM emb
+                      ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16)),
+            mm AS (SELECT unnest(range(0, 16)) AS m),
+            cbm AS (
+                SELECT code, CAST(m AS INT) AS m,
+                       list_slice(v, CAST(m*4 + 1 AS INT), CAST(m*4 + 4 AS INT)) AS cs
+                FROM cb CROSS JOIN mm),
+            ce AS (
+                SELECT e.vec_id, c.m, c.code,
+                       list_slice(e.v, c.m*4 + 1, c.m*4 + 4) AS es,
+                       ROUND(list_reduce(list_transform(range(1, 5),
+                           i -> (es[CAST(i AS INT)] - c.cs[CAST(i AS INT)])
+                                * (es[CAST(i AS INT)] - c.cs[CAST(i AS INT)])),
+                           (a, b) -> a + b), 6) AS dist
+                FROM emb e CROSS JOIN cbm c),
+            codes AS (
+                SELECT vec_id, m, code FROM (
+                    SELECT vec_id, m, code,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                               ORDER BY dist, code) AS rn
+                    FROM ce) WHERE rn = 1),
+            carr AS (SELECT vec_id, list(code ORDER BY m) AS codes
+                     FROM codes GROUP BY vec_id),
+            q AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id % 50 = 0),
+            qe AS (
+                SELECT q.q_id, c.m, c.code,
+                       list_slice(q.qv, c.m*4 + 1, c.m*4 + 4) AS qs,
+                       ROUND(list_reduce(list_transform(range(1, 5),
+                           i -> (qs[CAST(i AS INT)] - c.cs[CAST(i AS INT)])
+                                * (qs[CAST(i AS INT)] - c.cs[CAST(i AS INT)])),
+                           (a, b) -> a + b), 6) AS dist
+                FROM q CROSS JOIN cbm c),
+            qarr AS (SELECT q_id, list(dist ORDER BY m, code) AS qd
+                     FROM qe GROUP BY q_id),
+            adc AS (
+                SELECT qarr.q_id, carr.vec_id AS neighbor_id,
+                       ROUND(list_reduce(list_transform(range(1, 17),
+                           i -> qd[CAST((i-1)*16 + codes[CAST(i AS INT)] AS INT)]),
+                           (a, b) -> a + b), 6) AS approx_dist
+                FROM carr CROSS JOIN qarr WHERE carr.vec_id != qarr.q_id),
+            short AS (
+                SELECT q_id, neighbor_id, approx_dist FROM (
+                    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                        ORDER BY approx_dist ASC, neighbor_id ASC) AS rn
+                    FROM adc) WHERE rn <= 40),
+            ex AS (
+                SELECT s.q_id, s.neighbor_id, s.approx_dist,
+                       ROUND(list_reduce(list_transform(range(1, 65),
+                           i -> (e.v[CAST(i AS INT)] - q.qv[CAST(i AS INT)])
+                                * (e.v[CAST(i AS INT)] - q.qv[CAST(i AS INT)])),
+                           (a, b) -> a + b), 6) AS exact_dist
+                FROM short s
+                JOIN emb e ON e.vec_id = s.neighbor_id
+                JOIN q ON q.q_id = s.q_id)
+            SELECT q_id, neighbor_id, approx_dist, exact_dist, rank FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY exact_dist ASC, neighbor_id ASC) AS rank
+                FROM ex
             ) WHERE rank <= 5
         """,
         "embedding_dup_pairs": """

@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "budget_select",
     "training_recipe_v2",
     "snapshot_diff",
+    "ann_pq_topk",
 ]
 
 

@@ -390,3 +390,49 @@ def test_max_bucket_cap_recall_bound_on_boilerplate_megacluster(spark):
     # rare-pair recall 1.0; mega-cluster recall is the price of the cap
     mega_recall = 1 - len(lost) / len(mega_uncapped)
     assert 0.0 <= mega_recall < 1.0
+
+
+def test_pq_topk_shortlist_and_rerank(vectors):
+    """PQ ADC: codes are deterministic, the re-ranked output is exact-L2
+    ordered, and shortlist capture of the true top-k is substantial even
+    with untrained sample codebooks."""
+    emb = vectors
+    q = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = similarity.pq_topk(emb, q, m=8, n_codes=16, k=5, dim=16, rerank=30)
+    rows = out.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["q_id"], []).append(r)
+    exact = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn(
+            "d",
+            similarity._sq_l2(
+                F.transform("embedding", lambda x: x.cast("double")),
+                F.transform("q_vec", lambda x: x.cast("double")),
+            ),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    ex = exact.withColumn(
+        "r", F.row_number().over(W.partitionBy("q_id").orderBy(F.asc("d"), F.asc("vec_id")))
+    ).filter("r <= 5")
+    true_top = {}
+    for r in ex.collect():
+        true_top.setdefault(r["q_id"], set()).add(r["vec_id"])
+    hits = total = 0
+    for qid, lst in per_q.items():
+        assert [r["rank"] for r in sorted(lst, key=lambda r: r["rank"])] == [1, 2, 3, 4, 5]
+        # output ordered by exact distance
+        ds = [r["exact_dist"] for r in sorted(lst, key=lambda r: r["rank"])]
+        assert ds == sorted(ds)
+        hits += len(true_top[qid] & {r["neighbor_id"] for r in lst})
+        total += len(true_top[qid])
+    assert hits / total >= 0.6  # untrained codebooks; trained ones do better
+    # determinism under partitioning
+    again = similarity.pq_topk(emb.repartition(7), q, m=8, n_codes=16, k=5, dim=16, rerank=30)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
