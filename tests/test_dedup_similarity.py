@@ -436,3 +436,17 @@ def test_pq_topk_shortlist_and_rerank(vectors):
     # determinism under partitioning
     again = similarity.pq_topk(emb.repartition(7), q, m=8, n_codes=16, k=5, dim=16, rerank=30)
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+
+
+def test_pq_topk_small_corpus_degrades_gracefully(spark):
+    """A corpus smaller than n_codes must shrink the codebook and keep the
+    ADC position arithmetic consistent — not index past the lookup table."""
+    import random as _r
+
+    rng = _r.Random(3)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(10)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.limit(2).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    out = similarity.pq_topk(emb, q, m=4, n_codes=16, k=3, dim=16).collect()
+    assert len(out) == 6  # 2 queries × top-3, no INVALID_ARRAY_INDEX
+    assert all(r["approx_dist"] >= 0 for r in out)
