@@ -509,6 +509,14 @@ def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(old, new, "doc_id", "text")
 
 
+def _q_snapshot_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-audit line: one row per change kind with counts."""
+    from batch_doc_vqa_spark.operators.snapshots import snapshot_diff_summary
+
+    old, new = _snapshot_pair(spark, sf_dir)
+    return snapshot_diff_summary(old, new, "doc_id", "text")
+
+
 def _q_snapshot_work_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental scoping: the added+changed rows (new content) downstream
     stages must reprocess."""
@@ -1924,6 +1932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_select": _q_budget_select,
         "training_recipe_v2": _q_training_recipe_v2,
         "snapshot_diff": _q_snapshot_diff,
+        "snapshot_summary": _q_snapshot_summary,
         "snapshot_work_set": _q_snapshot_work_set,
         "incremental_dedup": _q_incremental_dedup,
         "ann_ivf_topk": _q_ann_ivf,
@@ -2576,6 +2585,10 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": f"""
             WITH {_SNAPSHOT_CTES}
             SELECT doc_id, change FROM dif
+        """,
+        "snapshot_summary": f"""
+            WITH {_SNAPSHOT_CTES}
+            SELECT change, COUNT(*) AS n FROM dif GROUP BY change
         """,
         "snapshot_work_set": f"""
             WITH {_SNAPSHOT_CTES}

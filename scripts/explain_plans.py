@@ -46,6 +46,9 @@ INTERESTING = [
     "decontaminate",
     "pack_sequences",
     "training_recipe_v2",
+    "ann_pq_topk",
+    "snapshot_diff",
+    "incremental_dedup",
 ]
 
 
