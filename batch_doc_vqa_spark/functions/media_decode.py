@@ -254,6 +254,10 @@ def resize_box(pixels: np.ndarray, max_w: int, max_h: int) -> np.ndarray:
     output via floor of the box mean.
     """
     h, w, c = pixels.shape
+    if w <= 0 or h <= 0:
+        # degenerate decode (e.g. a BMP header declaring a zero dimension):
+        # nothing to resample — return as-is rather than divide by zero
+        return pixels.copy()
     s = min(1.0, max_w / w, max_h / h)
     ow, oh = max(1, int(w * s)), max(1, int(h * s))
     if (ow, oh) == (w, h):

@@ -445,7 +445,15 @@ def simhash_pairs(
     form) stable ~2.9 s. Best-case — what a dedicated cluster sees — favors
     the UDF pass, so it is the default; the SQL form is the stable
     verification tier. Signatures are not interchangeable across impls
-    (different token hash — equivalence is on the PAIR SET, tested)."""
+    (different token hash — equivalence is on the PAIR SET, tested).
+
+    COMPATIBILITY: the default was ``'sql'`` in round 3 and flipped to
+    ``'udf'`` in round 4 — a BREAKING change for anyone who persisted
+    signatures under the old default. The default is now FROZEN at
+    ``'udf'``; any code path that PERSISTS simhash signatures must pin
+    ``impl=`` explicitly (never rely on the default), exactly as
+    ``dedup_index`` pins its MinHash hash family — cross-run signature
+    comparability is a bit-compatibility contract, not a convenience."""
     # localCheckpoint: computed once for both self-join sides, auto-released
     # on GC (see minhash_lsh_pairs).
     if impl == "sql":

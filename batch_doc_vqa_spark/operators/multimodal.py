@@ -179,6 +179,11 @@ def resize_media(df: DataFrame, id_col: str, bin_col: str, max_w: int = 256, max
                 kind, w, h, _, status = _probe_one(payload, "")
                 if status not in ("ok", "probe") or not kind.startswith("image/"):
                     w, h, _ = _stub_decode(payload)
+                if w <= 0 or h <= 0:
+                    # malformed header carrying 0 in a dimension field flows
+                    # through status='probe' — record-and-continue, never a
+                    # ZeroDivisionError that kills the task (X2 contract)
+                    w, h, _ = _stub_decode(payload)
                 s = min(1.0, max_w / w, max_h / h)
                 out["media_id"].append(mid)
                 out["width"].append(w)

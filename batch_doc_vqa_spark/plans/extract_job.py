@@ -60,6 +60,23 @@ def _table_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(jpath))
 
 
+def _has_data_files(spark: SparkSession, path: str) -> bool:
+    """True iff the directory holds at least one non-hidden data file.
+
+    Recursive listing with an early break: returns at the FIRST data file,
+    so a populated store costs one listing step, and only the
+    crashed-before-any-commit empty-directory case walks the (empty) tree.
+    """
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        if not name.startswith(("_", ".")):
+            return True
+    return False
+
+
 def read_results(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(f"{out_dir}/results")
 
@@ -112,18 +129,17 @@ def run_extraction(
         # checkpoint/resume: anti-join against the done-set (J7 pattern).
         # The existence probe is O(1) and can be true for a directory a
         # crashed first run created but never committed data into — an
-        # EMPTY store means an empty done-set, not a dead job. Only the
-        # schema-inference failure of an empty/fileless directory is
-        # swallowed; any other read error (corrupt store, permissions) must
-        # surface — silently treating a populated archive as empty would
-        # duplicate every prior run's rows.
-        from pyspark.errors import AnalysisException
-
-        try:
+        # EMPTY store means an empty done-set, not a dead job. Distinguish
+        # the two cases by probing for data FILES (not by catching
+        # AnalysisException: a populated store whose read fails for any
+        # other analysis reason — conflicting directory layouts, a missing
+        # 'url' column — must surface loudly; silently treating it as an
+        # empty done-set would duplicate every prior run's rows). The probe
+        # short-circuits at the first data file, so it stays O(1)-ish even
+        # over thousands of run_id partitions.
+        if _has_data_files(spark, results_path):
             done = spark.read.parquet(results_path).select("url")
             todo = pages.join(done, "url", "left_anti")
-        except AnalysisException:
-            pass
 
     bucketed = with_salted_partition(todo, num_buckets, target_rows_per_task=target_rows_per_task)
     # unsupported_format (e.g. encrypted / non-Flate real PDFs) is always a

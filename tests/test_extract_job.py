@@ -439,3 +439,17 @@ def test_committed_epoch_is_never_overwritten_with_skip_guard(spark, tmp_path):
     assert write_tagged_run(spark, collider, out, "e0", skip_if_committed=True) is False
     rows = read_published(spark, out).collect()
     assert [r["id"] for r in rows] == [1] and rows[0]["text"] == "original"
+
+
+def test_resume_raises_on_unreadable_populated_store(spark, tmp_path):
+    """A POPULATED results store whose read fails analysis (here: the 'url'
+    column is missing) must surface the error, not be silently treated as an
+    empty done-set — that would duplicate every prior run's rows (ADVICE r4:
+    the old blanket AnalysisException catch swallowed exactly this)."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    out = str(tmp_path / "corrupt")
+    spark.createDataFrame([("a", 1)], "not_url string, x int").write.parquet(f"{out}/results")
+    with pytest.raises(AnalysisException):
+        run_extraction(spark, pages_df(spark, 20, seed=SEED), out, run_id="r2", num_buckets=4)

@@ -178,3 +178,26 @@ def test_resize_and_frames_use_real_metadata(spark):
     assert (rs["img"]["out_w"], rs["img"]["out_h"]) == (256, 128)    # aspect kept
     frames = sample_frames(df.filter("media_id = 'aud'"), "media_id", "payload", every_ms=5000)
     assert [r["ts_ms"] for r in frames.collect()] == [0, 5000, 10000]  # real 12s duration
+
+
+def test_resize_survives_zero_dimension_header(spark):
+    """A malformed GIF header declaring width=0 flows through status='probe';
+    resize must record-and-continue (stub-dim fallback), never raise
+    ZeroDivisionError inside the task (ADVICE r4)."""
+    import numpy as np
+
+    from batch_doc_vqa_spark.operators.multimodal import resize_media
+
+    bad_gif = b"GIF89a" + (0).to_bytes(2, "little") + (240).to_bytes(2, "little") + b"\x00" * 8
+    df = spark.createDataFrame([("bad", bad_gif)], "media_id string, payload binary")
+    rows = {r["media_id"]: r for r in resize_media(df, "media_id", "payload", 256, 256).collect()}
+    assert rows["bad"]["width"] > 0 and rows["bad"]["height"] > 0  # stub fallback dims
+    assert rows["bad"]["out_w"] > 0 and rows["bad"]["out_h"] > 0
+
+
+def test_resize_box_zero_dim_array_is_noop():
+    import numpy as np
+
+    empty = np.zeros((0, 0, 3), dtype=np.uint8)
+    out = md.resize_box(empty, 64, 64)
+    assert out.shape == (0, 0, 3)
