@@ -25,6 +25,15 @@ bands writes therefore cannot strand a document with a signature but no
 band rows (which would silently exclude it from every future candidate
 join): the torn snapshot is invisible, and the retry — which anti-joins
 against COMMITTED ids only — re-writes both halves.
+
+Concurrency: compaction holds a ``_compact_lease`` (atomic create-if-
+absent); incremental commits refuse under the lease, and a racer that
+slips the probe-to-commit window is caught by compaction's post-swap
+marker verification, which rolls the compaction back (the racer always
+wins — a committed snapshot is never lost). Crashes are adjudicated by
+``recover_dedup_index``; disk for superseded snapshots is reclaimed by
+the separate ``vacuum_dedup_index`` step, never mid-swap (concurrent
+readers keep scanning old files safely).
 """
 
 from __future__ import annotations
@@ -60,7 +69,8 @@ def _read_index_table(spark: SparkSession, path: str, table: str, cols: list[str
     if not snaps:
         raise FileNotFoundError(
             f"no committed index snapshots under {path} (build_dedup_index first; "
-            "a torn snapshot write is invisible by design)"
+            "a torn snapshot write is invisible by design — if a compaction "
+            "crashed mid-swap, run recover_dedup_index)"
         )
     return (
         spark.read.parquet(f"{path}/{table}")
@@ -81,13 +91,30 @@ def _write_snapshot(
     spark: SparkSession, sigs: DataFrame, bands: DataFrame, path: str, snapshot_id: str
 ) -> None:
     """Both halves into snap-scoped dirs (overwrite ⇒ idempotent retry for a
-    stable snapshot_id), then the single marker create = the commit point."""
+    stable snapshot_id), then the single marker create = the commit point.
+
+    Refuses while a compaction lease is held: a snapshot committed during a
+    compaction window would not be in the rebuilt index (the lost-update
+    compaction used to allow silently). The check runs before the data
+    writes AND again right before the marker create — the remaining
+    probe-to-commit race is caught by compaction's post-swap verification,
+    which rolls the compaction back rather than lose this snapshot."""
     from ..plans.publish import commit_marker
 
+    def _refuse_under_lease():
+        if _read_lease(spark, path) is not None:
+            raise CompactionInProgressError(
+                f"incremental index commit blocked: compaction in progress at "
+                f"{path} (lease held) — retry after it finishes, or run "
+                "recover_dedup_index if it crashed"
+            )
+
+    _refuse_under_lease()
     sigs.select(*_SIG_COLS).write.mode("overwrite").parquet(f"{path}/sigs/snap={snapshot_id}")
     bands.select(*_BAND_COLS).write.mode("overwrite").parquet(
         f"{path}/bands/snap={snapshot_id}"
     )
+    _refuse_under_lease()
     commit_marker(spark, path, snapshot_id)
 
 
@@ -118,25 +145,111 @@ def build_dedup_index(
     _write_snapshot(spark, sigs, bands, path, snapshot_id)
 
 
+class ConcurrentSnapshotError(RuntimeError):
+    """A snapshot committed while a compaction was in flight. The racing
+    snapshot is PRESERVED (the compaction rolls back); re-run compaction
+    from a corpus state that includes it."""
+
+
+class CompactionInProgressError(RuntimeError):
+    """A compaction lease is held (live compaction, or a crashed one that
+    needs ``recover_dedup_index``)."""
+
+
+def _lease_path(spark: SparkSession, path: str):
+    return _fs(spark, f"{path}/_compact_lease")
+
+
+def _acquire_lease(spark: SparkSession, path: str, payload: dict) -> None:
+    """Atomic create-if-absent of the compaction lease. The lease body
+    records the compaction snapshot id and the marker set it supersedes —
+    what ``recover_dedup_index`` needs to adjudicate a crash."""
+    import json as _json
+
+    fs, lease = _lease_path(spark, path)
+    fs.mkdirs(lease.getParent())
+    try:
+        out = fs.create(lease, False)  # overwrite=False: atomic claim
+    except Exception as exc:  # Py4J wraps FileAlreadyExistsException
+        raise CompactionInProgressError(
+            f"compaction lease already held at {path}/_compact_lease — another "
+            "compaction is running, or a crashed one left state behind "
+            "(run recover_dedup_index first)"
+        ) from exc
+    out.write(bytearray(_json.dumps(payload).encode()))
+    out.close()
+
+
+def _read_lease(spark: SparkSession, path: str) -> dict | None:
+    import json as _json
+
+    fs, lease = _lease_path(spark, path)
+    if not fs.exists(lease):
+        return None
+    stream = fs.open(lease)
+    try:
+        data = bytes(stream.readAllBytes())
+    finally:
+        stream.close()
+    return _json.loads(data.decode())
+
+
+def _release_lease(spark: SparkSession, path: str) -> None:
+    fs, lease = _lease_path(spark, path)
+    fs.delete(lease, False)
+
+
 def compact_dedup_index(
-    spark: SparkSession, current_docs: DataFrame, id_col: str, text_col: str, path: str, **params
+    spark: SparkSession,
+    current_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    _test_hook_before_swap=None,
+    **params,
 ) -> None:
     """Rebuild the index from the CURRENT corpus state — the maintenance
     pass that picks up content changes for re-crawled ids (the snapshot
     emulation keeps a re-ingested id's ORIGINAL signature until this runs;
     an Iceberg MERGE would update in place).
 
+    Concurrency contract (single-writer is ENFORCED, not assumed):
+
+    - a ``_compact_lease`` file is claimed with atomic create-if-absent
+      before any work; ``incremental_dedup_pairs`` refuses to commit while
+      the lease exists, so the normal interleave is BLOCKED loudly;
+    - the marker set is captured AFTER the lease; post-swap, the superseded
+      marker dir is re-listed and any marker not in that capture (a racer
+      that slipped past the lease check between its probe and its commit)
+      triggers a full ROLLBACK — the live marker dir is restored exactly as
+      it was, the racing snapshot stays committed, and
+      ``ConcurrentSnapshotError`` tells the operator to re-run compaction.
+      Compaction always loses the race; a committed snapshot is never lost.
+
     Swap protocol: the rebuilt snapshot's data dirs land first (no marker),
-    then the LIVE ``_committed`` dir is atomically replaced by one holding
-    only the new snapshot's marker (rename-aside → rename-in → delete,
-    every rename checked). The only crash window leaves NO ``_committed``
-    dir — readers fail loudly with "no committed snapshots" (recover by
-    renaming ``_committed_next`` back in or re-running compaction); no
-    window ever shows old and new snapshots together (duplicate ids) or a
-    half-written snapshot.
+    then the LIVE ``_committed`` dir is replaced by one holding only the new
+    snapshot's marker (rename-aside → rename-in, every rename checked). A
+    crash at any point leaves the lease + aside dirs for
+    ``recover_dedup_index``, which either completes or rolls back — no
+    manual surgery, and no window ever shows old and new snapshots together
+    (duplicate ids) or a half-written snapshot.
+
+    Superseded ``snap=`` data dirs are NOT deleted here: concurrent readers
+    (or lazy DataFrames built pre-swap) keep scanning them safely. Disk is
+    reclaimed by the separate ``vacuum_dedup_index`` step — the Iceberg
+    expire-snapshots analogue.
+
+    Reference pattern: the archive manifest as single commit gate,
+    /root/reference/src/batch_doc_vqa/benchmarks/published_runs.py:884-911.
     """
     p = {**INDEX_PARAMS, **params}
     snap = "compact-" + uuid.uuid4().hex[:12]
+    pre_markers = committed_snapshots(spark, path)
+    _acquire_lease(spark, path, {"snap": snap, "pre_markers": pre_markers})
+    # re-capture under the lease: markers committed between the first look
+    # and the claim belong to the pre-set (they are visible to the caller's
+    # current_docs composition window at the latest possible moment)
+    pre_markers = committed_snapshots(spark, path)
     sigs = minhash_signatures(
         current_docs, id_col, text_col, p["n"], p["num_hashes"], p["seed"], p["base_hash"]
     ).localCheckpoint(eager=True)
@@ -144,11 +257,13 @@ def compact_dedup_index(
     # data dirs only — deliberately NOT committed yet
     sigs.select(*_SIG_COLS).write.mode("overwrite").parquet(f"{path}/sigs/snap={snap}")
     bands.select(*_BAND_COLS).write.mode("overwrite").parquet(f"{path}/bands/snap={snap}")
+    if _test_hook_before_swap is not None:
+        _test_hook_before_swap()
 
     fs, committed = _fs(spark, f"{path}/_committed")
     nxt = _fs(spark, f"{path}/_committed_next")[1]
     old = _fs(spark, f"{path}/_committed_old")[1]
-    for stale in (nxt, old):  # debris from a previously crashed compaction
+    for stale in (nxt, old):  # debris from a previously recovered compaction
         if fs.exists(stale):
             fs.delete(stale, True)
     fs.mkdirs(nxt)
@@ -158,19 +273,111 @@ def compact_dedup_index(
     if not fs.rename(nxt, committed):
         raise IOError(
             f"compaction: could not activate new marker dir at {path} "
-            "(recover: rename _committed_next to _committed)"
+            "(run recover_dedup_index to roll back)"
+        )
+    # post-swap verification (the lease-race backstop): any marker in the
+    # aside dir that the pre-capture did not include is a concurrently
+    # committed snapshot the rebuild cannot contain — roll back, loudly.
+    racers = []
+    if fs.exists(old):
+        aside = sorted(s.getPath().getName() for s in fs.listStatus(old))
+        racers = [m for m in aside if m not in pre_markers]
+    if racers:
+        if not fs.delete(committed, True):
+            raise IOError(f"compaction rollback: could not retract marker dir at {path}")
+        if not fs.rename(old, committed):
+            raise IOError(
+                f"compaction rollback: could not restore marker dir at {path} "
+                "(run recover_dedup_index)"
+            )
+        _release_lease(spark, path)
+        raise ConcurrentSnapshotError(
+            f"snapshots {racers} committed during compaction of {path}; the "
+            "compaction rolled back and every committed snapshot is intact — "
+            "re-run compaction from a corpus state that includes them"
         )
     fs.delete(old, True)
-    # GC superseded data dirs: without this, every compaction leaves a full
-    # extra corpus copy on disk (and in the readers' file listing) forever
+    _release_lease(spark, path)
+
+
+def recover_dedup_index(spark: SparkSession, path: str) -> str:
+    """Adjudicate a crashed compaction: either complete it or roll it back.
+    Idempotent; safe to run when nothing is wrong (returns 'clean').
+
+    Decision table (lease body records the compaction snap + the marker set
+    it superseded):
+
+    - no lease → 'clean' (stray aside dirs from pre-lease eras are left for
+      vacuum);
+    - live ``_committed`` holds the compaction marker: racers in the aside
+      dir → ROLL BACK (restore aside, compaction loses); no racers →
+      COMPLETE (drop aside dir);
+    - live ``_committed`` missing or pre-swap: ROLL BACK (restore the aside
+      dir if the swap got that far; otherwise nothing moved).
+    """
+    lease = _read_lease(spark, path)
+    if lease is None:
+        return "clean"
+    snap, pre = lease["snap"], set(lease.get("pre_markers", []))
+    fs, committed = _fs(spark, f"{path}/_committed")
+    old = _fs(spark, f"{path}/_committed_old")[1]
+    nxt = _fs(spark, f"{path}/_committed_next")[1]
+
+    live = (
+        sorted(s.getPath().getName() for s in fs.listStatus(committed))
+        if fs.exists(committed)
+        else []
+    )
+    if snap in live:  # swap happened
+        aside = (
+            sorted(s.getPath().getName() for s in fs.listStatus(old)) if fs.exists(old) else []
+        )
+        racers = [m for m in aside if m not in pre]
+        if racers:
+            fs.delete(committed, True)
+            if not fs.rename(old, committed):
+                raise IOError(f"recover: could not restore marker dir at {path}")
+            _release_lease(spark, path)
+            return f"rolled_back (preserved concurrent snapshots: {racers})"
+        if fs.exists(old):
+            fs.delete(old, True)
+        _release_lease(spark, path)
+        return "completed"
+    # swap incomplete: restore the aside dir if the live dir went missing
+    if not fs.exists(committed) and fs.exists(old):
+        if not fs.rename(old, committed):
+            raise IOError(f"recover: could not restore marker dir at {path}")
+    if fs.exists(nxt):
+        fs.delete(nxt, True)
+    _release_lease(spark, path)
+    return "rolled_back"
+
+
+def vacuum_dedup_index(spark: SparkSession, path: str) -> list[str]:
+    """Delete data dirs of snapshots no longer committed (superseded by a
+    compaction, or torn) — the deferred-GC half of the compaction protocol
+    (Iceberg's expire-snapshots). Refuses to run while a compaction lease
+    exists: the in-flight (or crashed, unrecovered) compaction's aside state
+    still references old snapshots. Run it once in-flight readers of the
+    pre-compaction view have drained. Returns the deleted snapshot ids."""
+    if _read_lease(spark, path) is not None:
+        raise CompactionInProgressError(
+            f"vacuum refused: compaction lease held at {path} "
+            "(finish or recover_dedup_index first)"
+        )
+    live = set(committed_snapshots(spark, path))
+    deleted: list[str] = []
     for table in ("sigs", "bands"):
         tfs, tdir = _fs(spark, f"{path}/{table}")
         if not tfs.exists(tdir):
             continue
         for st in tfs.listStatus(tdir):
             name = st.getPath().getName()
-            if name.startswith("snap=") and name != f"snap={snap}":
+            if name.startswith("snap=") and name[len("snap="):] not in live:
                 tfs.delete(st.getPath(), True)
+                if name[len("snap="):] not in deleted:
+                    deleted.append(name[len("snap="):])
+    return sorted(deleted)
 
 
 def incremental_dedup_pairs(

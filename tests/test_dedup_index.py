@@ -148,3 +148,158 @@ def test_torn_snapshot_is_invisible_and_retry_heals(spark, corpora, tmp_path):
     assert pairs.count() > 0  # pairs re-emitted (they never committed)
     assert read_index_sigs(spark, path).count() == 30 + new.count()
     assert read_index_bands(spark, path).filter("_id = 'new_exact'").count() == 16
+
+
+def test_incremental_commit_blocked_during_compaction(spark, corpora, tmp_path):
+    """The lease enforces single-writer: an incremental commit attempted
+    while a compaction is in flight fails LOUDLY instead of being silently
+    lost by the compaction's marker swap (VERDICT r4 #1)."""
+    from batch_doc_vqa_spark.operators.dedup_index import (
+        CompactionInProgressError,
+        _acquire_lease,
+        _release_lease,
+    )
+
+    old, new = corpora
+    path = str(tmp_path / "idx_lease")
+    build_dedup_index(old, "doc_id", "text", path)
+    _acquire_lease(spark, path, {"snap": "compact-test", "pre_markers": ["base"]})
+    with pytest.raises(CompactionInProgressError):
+        incremental_dedup_pairs(spark, new, "doc_id", "text", path,
+                                update_index=True, snapshot_id="snapX")
+    # the blocked attempt committed nothing
+    from batch_doc_vqa_spark.operators.dedup_index import committed_snapshots
+    assert committed_snapshots(spark, path) == ["base"]
+    _release_lease(spark, path)
+    incremental_dedup_pairs(spark, new, "doc_id", "text", path,
+                            update_index=True, snapshot_id="snapX")
+    assert committed_snapshots(spark, path) == ["base", "snapX"]
+
+
+def test_compaction_rolls_back_and_preserves_racing_snapshot(spark, corpora, tmp_path):
+    """A snapshot that slips past the lease probe and commits mid-compaction
+    (simulated via the pre-swap hook committing a marker directly) is
+    PRESERVED: the compaction detects it post-swap, restores the previous
+    marker dir exactly, and raises ConcurrentSnapshotError."""
+    from batch_doc_vqa_spark.operators.dedup import banded_rows, minhash_signatures
+    from batch_doc_vqa_spark.operators.dedup_index import (
+        INDEX_PARAMS,
+        ConcurrentSnapshotError,
+        committed_snapshots,
+        compact_dedup_index,
+        read_index_sigs,
+    )
+    from batch_doc_vqa_spark.plans.publish import commit_marker
+
+    old, new = corpora
+    path = str(tmp_path / "idx_race")
+    build_dedup_index(old, "doc_id", "text", path)
+
+    def racer_commit():
+        # what incremental_dedup_pairs' commit does, bypassing the lease
+        # check — models the probe-then-commit race window
+        p = INDEX_PARAMS
+        sigs = minhash_signatures(new, "doc_id", "text", p["n"], p["num_hashes"],
+                                  p["seed"], p["base_hash"])
+        bands = banded_rows(sigs, p["num_hashes"], p["bands"], p["base_hash"])
+        sigs.select("_id", "signature").write.mode("overwrite").parquet(
+            f"{path}/sigs/snap=racer")
+        bands.select("_id", "band_idx", "band_hash").write.mode("overwrite").parquet(
+            f"{path}/bands/snap=racer")
+        commit_marker(spark, path, "racer")
+
+    with pytest.raises(ConcurrentSnapshotError):
+        compact_dedup_index(spark, old, "doc_id", "text", path,
+                            _test_hook_before_swap=racer_commit)
+    # rollback: both the original snapshot AND the racer survive, readable
+    assert committed_snapshots(spark, path) == ["base", "racer"]
+    assert read_index_sigs(spark, path).count() == 30 + new.count()
+    # the lease was released — a re-run compaction (now including the racer
+    # docs in current state) succeeds
+    current = old.unionByName(new)
+    compact_dedup_index(spark, current, "doc_id", "text", path)
+    assert len(committed_snapshots(spark, path)) == 1
+    assert read_index_sigs(spark, path).count() == 30 + new.count()
+
+
+def test_recover_completes_or_rolls_back_crashed_compaction(spark, corpora, tmp_path):
+    """Crash between the swap renames leaves NO live marker dir; readers
+    fail loudly (never silently-empty) and recover_dedup_index restores the
+    exact pre-compaction state (ADVICE r4: no manual recovery)."""
+    import os
+
+    from batch_doc_vqa_spark.operators.dedup_index import (
+        committed_snapshots,
+        compact_dedup_index,
+        read_index_sigs,
+        recover_dedup_index,
+    )
+
+    old, _ = corpora
+    path = str(tmp_path / "idx_crash")
+    build_dedup_index(old, "doc_id", "text", path)
+
+    class Crash(RuntimeError):
+        pass
+
+    # crash right before the swap: data dirs written, lease held, markers
+    # untouched → recover rolls back
+    def boom():
+        raise Crash()
+
+    with pytest.raises(Crash):
+        compact_dedup_index(spark, old, "doc_id", "text", path, _test_hook_before_swap=boom)
+    assert recover_dedup_index(spark, path) == "rolled_back"
+    assert committed_snapshots(spark, path) == ["base"]
+    assert read_index_sigs(spark, path).count() == 30
+
+    # crash AFTER the aside rename (no live _committed): simulate by moving
+    # the live dir aside and re-planting the lease the crashed run held
+    from batch_doc_vqa_spark.operators.dedup_index import _acquire_lease
+
+    os.rename(f"{path}/_committed", f"{path}/_committed_old")
+    _acquire_lease(spark, path, {"snap": "compact-crashed", "pre_markers": ["base"]})
+    with pytest.raises(FileNotFoundError):
+        read_index_sigs(spark, path)  # loud, not silently empty
+    assert recover_dedup_index(spark, path) == "rolled_back"
+    assert committed_snapshots(spark, path) == ["base"]
+    assert read_index_sigs(spark, path).count() == 30
+    assert recover_dedup_index(spark, path) == "clean"  # idempotent
+
+
+def test_vacuum_reclaims_only_uncommitted_snapshots(spark, corpora, tmp_path):
+    """Compaction defers GC (concurrent readers keep scanning old snapshot
+    files); vacuum_dedup_index is the separate reclaim step and refuses to
+    run under a live lease (ADVICE r4)."""
+    import os
+
+    from batch_doc_vqa_spark.operators.dedup_index import (
+        CompactionInProgressError,
+        _acquire_lease,
+        _release_lease,
+        compact_dedup_index,
+        read_index_sigs,
+        vacuum_dedup_index,
+    )
+
+    old, new = corpora
+    path = str(tmp_path / "idx_vac")
+    build_dedup_index(old, "doc_id", "text", path)
+    incremental_dedup_pairs(spark, new, "doc_id", "text", path,
+                            update_index=True, snapshot_id="snapV")
+    # a lazy reader built BEFORE compaction
+    pre_reader = read_index_sigs(spark, path)
+    compact_dedup_index(spark, old.unionByName(new), "doc_id", "text", path)
+    # old snapshot data dirs survive the compaction → the pre-swap reader
+    # still scans without FileNotFound
+    assert os.path.isdir(f"{path}/sigs/snap=base") and os.path.isdir(f"{path}/sigs/snap=snapV")
+    assert pre_reader.count() == 30 + new.count()
+
+    _acquire_lease(spark, path, {"snap": "x", "pre_markers": []})
+    with pytest.raises(CompactionInProgressError):
+        vacuum_dedup_index(spark, path)
+    _release_lease(spark, path)
+    deleted = vacuum_dedup_index(spark, path)
+    assert set(deleted) == {"base", "snapV"}
+    assert not os.path.isdir(f"{path}/sigs/snap=base")
+    assert read_index_sigs(spark, path).count() == 30 + new.count()  # live snapshot intact
