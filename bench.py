@@ -8,6 +8,11 @@ The headline metric is the BASELINE.json one — extracted docs/sec over the
 synthetic Common-Crawl-style pages table — plus wall-clock for the
 representative relational/dedup/similarity queries on the driver's tables.
 Run scripts/scaling_bench.py for the N-vs-4N parallelism evidence.
+
+Methodology: every query's reps are INTERLEAVED across the suite (rep 0 of
+all queries, then rep 1, …) with a spread-triggered outlier guard, so a
+CPU-steal burst on this shared box cannot land in the committed record —
+see run_interleaved.
 """
 
 from __future__ import annotations
@@ -82,18 +87,49 @@ BENCH_QUERIES = [
 
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+# a query whose median/min spread exceeds this after the interleaved rounds
+# gets extra reps — the outlier guard that keeps a single steal burst from
+# landing in the committed record (VERDICT r4: pdf_text_extract recorded
+# 4.82 s when the real warm cost was ~0.9 s because best-of-3 ran its reps
+# back-to-back inside one burst)
+NOISE_GUARD = float(os.environ.get("SPARK_GRAFT_BENCH_NOISE_GUARD", "3.0"))
+EXTRA_REPS = 2
 
 
-def best_of(fn, reps: int = REPS) -> float:
-    """Min over reps — this sandbox is a shared box with bursty CPU steal
-    (single timings swing 2-3×, see .claude/skills/verify/SKILL.md); the min
-    is the least-contended estimate of the actual plan cost."""
-    best = float("inf")
+def run_interleaved(entries: list[tuple[str, callable]], reps: int = REPS):
+    """Time the suite in interleaved ROUNDS (rep 0 of every query, then rep
+    1 of every query, …) instead of back-to-back per-query reps.
+
+    This sandbox is a shared box with bursty CPU steal (single timings swing
+    2-3×, see .claude/skills/verify/SKILL.md). Back-to-back reps all sample
+    the same noise window, so min-of-3 can still record a burst; interleaving
+    separates a query's reps by a full suite pass (~1 min), so the min is
+    taken across independent noise windows — the same methodology
+    scripts/scaling_bench.py uses for the efficiency pairs.
+
+    Returns ({name: min_sec}, {name: median/min noise band}). Queries whose
+    spread still exceeds NOISE_GUARD after the rounds get EXTRA_REPS more
+    samples before the min is taken.
+    """
+    samples: dict[str, list[float]] = {name: [] for name, _ in entries}
     for _ in range(reps):
-        t0 = time.perf_counter()
-        fn()
-        best = min(best, time.perf_counter() - t0)
-    return best
+        for name, fn in entries:
+            t0 = time.perf_counter()
+            fn()
+            samples[name].append(time.perf_counter() - t0)
+    for name, fn in entries:  # outlier guard
+        ts = sorted(samples[name])
+        if ts[len(ts) // 2] / ts[0] > NOISE_GUARD:
+            for _ in range(EXTRA_REPS):
+                t0 = time.perf_counter()
+                fn()
+                samples[name].append(time.perf_counter() - t0)
+    timings, noise = {}, {}
+    for name, _ in entries:
+        ts = sorted(samples[name])
+        timings[name] = round(ts[0], 3)
+        noise[name] = round(ts[len(ts) // 2] / ts[0], 2) if ts[0] > 0 else 1.0
+    return timings, noise
 
 
 def main() -> None:
@@ -101,8 +137,6 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = entrymod._sf_of(sf_dir)
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
-
-    timings: dict[str, float] = {}
 
     # headline: extraction throughput on the seeded pages table at this sf.
     # Input is materialized (a real job reads parquet) and UDF workers are
@@ -116,15 +150,15 @@ def main() -> None:
         F.length("_ex.text").alias("n"), F.col("_ex.status")
     )
     n_rows = extracted.agg(F.count(F.lit(1)), F.sum("n")).collect()[0][0]
-    t_extract = best_of(lambda: extracted.agg(F.count(F.lit(1)), F.sum("n")).collect())
-    timings["extract_pages"] = round(t_extract, 3)
-    docs_per_sec = round(n_rows / t_extract, 1)
-    pages.unpersist()
+
+    entries: list[tuple[str, callable]] = [
+        ("extract_pages", lambda: extracted.agg(F.count(F.lit(1)), F.sum("n")).collect())
+    ]
 
     qs = entrymod.queries()
-    for name in BENCH_QUERIES:
 
-        def run(name=name):
+    def make_run(name):
+        def run():
             df = qs[name](spark, sf_dir)
             # force evaluation of EVERY output column: a bare count(1) lets
             # Catalyst prune unused projections, so projection-only queries
@@ -133,7 +167,9 @@ def main() -> None:
             # plan; try_sum because summing int64 hashes overflows under ANSI.
             df.agg(F.try_sum(F.xxhash64(*[F.col(c).cast("string") for c in df.columns]))).collect()
 
-        timings[name] = round(best_of(run), 3)
+        return run
+
+    entries += [(name, make_run(name)) for name in BENCH_QUERIES]
 
     # SimHash impl costing (VERDICT r3 #2): the oracle-checked simhash_pairs
     # entry above is the SQL+md5 verification tier; time the production
@@ -142,15 +178,22 @@ def main() -> None:
     from batch_doc_vqa_spark.operators import dedup as _dedup
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    for label, kwargs in [
-        ("simhash_pairs_udf", dict(impl="udf")),
-        ("simhash_pairs_sql_xxh", dict(impl="sql", base_hash="xxhash64")),
-    ]:
-        def run_impl(kwargs=kwargs):
+
+    def make_impl_run(kwargs):
+        def run():
             df = _dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3, **kwargs)
             df.agg(F.try_sum(F.xxhash64(*[F.col(c).cast("string") for c in df.columns]))).collect()
 
-        timings[label] = round(best_of(run_impl), 3)
+        return run
+
+    entries += [
+        ("simhash_pairs_udf", make_impl_run(dict(impl="udf"))),
+        ("simhash_pairs_sql_xxh", make_impl_run(dict(impl="sql", base_hash="xxhash64"))),
+    ]
+
+    timings, noise = run_interleaved(entries)
+    docs_per_sec = round(n_rows / timings["extract_pages"], 1)
+    pages.unpersist()
 
     total = round(sum(timings.values()), 3)
     print(
@@ -160,6 +203,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # per-query noise band: median/min across the interleaved
+                # reps — >1.5 means the box was contended while this query
+                # sampled; the committed value is the least-contended rep
+                "noise_band": noise,
                 "sf": sf,
                 "docs_per_sec": docs_per_sec,
                 "extract_docs": n_rows,
