@@ -711,6 +711,20 @@ def _q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_contamination_report_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination through the NON-broadcast tier (shuffle hash join on
+    the n-gram hash) — the fallback for eval suites whose n-gram set exceeds
+    the broadcast budget. Must be value-identical to the broadcast tier;
+    same oracle SQL."""
+    from batch_doc_vqa_spark.operators import decontam
+
+    docs, bench = _bench_fixture(spark, sf_dir)
+    return decontam.contamination_report(
+        docs, "doc_id", "text", bench, "bench_id", "bench_text",
+        n=8, base_hash="md5", strategy="shuffle",
+    )
+
+
 def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination, drop tier: corpus minus docs covering ≥80% of any
     benchmark item's n-grams."""
@@ -1923,6 +1937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- not driver-signed in r03 (incl. new-this-round): sampled first --
         "validate_strict": _q_validate_strict,
         "contamination_report": _q_contamination_report,
+        "contamination_report_shuffle": _q_contamination_report_shuffle,
         "decontaminate": _q_decontaminate,
         "pii_report": _q_pii_report,
         "pii_redact": _q_pii_redact,
@@ -2645,6 +2660,13 @@ def oracle_sql() -> dict[str, str]:
                   FROM laid)
         """,
         "contamination_report": f"""
+            WITH {_decontam_ctes()}
+            SELECT doc_id, bench_id, matched_ngrams, bench_ngrams, coverage
+            FROM contam
+        """,
+        # tier-invariance IS the contract: the shuffle fallback shares the
+        # broadcast tier's oracle verbatim
+        "contamination_report_shuffle": f"""
             WITH {_decontam_ctes()}
             SELECT doc_id, bench_id, matched_ngrams, bench_ngrams, coverage
             FROM contam

@@ -26,16 +26,25 @@ value-checkable against a DuckDB oracle; production uses xxhash64.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import _base_hash, exploded_shingles
+
+log = logging.getLogger(__name__)
 
 DEFAULT_NGRAM = 8  # GPT-3 uses 13-grams at full web scale; 8 suits fixtures
 # one drop policy shared by the batch op and the streaming screener — a
 # silent threshold divergence between the two would ship docs the batch
 # pass drops
 DEFAULT_DROP_THRESHOLD = 0.5
+# above this many bench-side n-gram rows the broadcast tier is refused:
+# a frontier eval suite (millions of items × 13-grams) can exceed executor
+# memory as a broadcast table. ~20M longs ≈ 160 MB serialized — conservative
+# against the default 8 GB driver / broadcast memory budget.
+DEFAULT_BROADCAST_LIMIT = 20_000_000
 
 
 def _ngram_hashes(df: DataFrame, id_col: str, text_col: str, n: int, base_hash: str) -> DataFrame:
@@ -53,23 +62,55 @@ def contamination_report(
     bench_text: str,
     n: int = DEFAULT_NGRAM,
     base_hash: str = "xxhash64",
+    strategy: str = "auto",
+    broadcast_limit: int = DEFAULT_BROADCAST_LIMIT,
 ) -> DataFrame:
     """(doc_id, bench_id, matched_ngrams, bench_ngrams, coverage) per
     contaminated (doc, benchmark-item) pair — rows only where ≥1 n-gram
     matches. ``coverage`` is the fraction of the benchmark item's distinct
-    n-grams found in the document (rounded 6)."""
+    n-grams found in the document (rounded 6).
+
+    ``strategy`` selects the join tier (both produce identical output):
+
+    - ``'broadcast'`` — bench n-gram hashes ship to every executor; the
+      corpus pass is map-only (zero corpus shuffle). Right whenever the
+      bench side fits in executor memory — every reference-scale eval set.
+    - ``'shuffle'`` — a plain hash join on the n-gram hash: the corpus
+      shuffles once on ``h``, the bench side shuffles fully. The fallback
+      for frontier eval suites whose n-gram set is itself too big to
+      broadcast; Spark's runtime bloom-filter join
+      (``spark.sql.optimizer.runtime.bloomFilter.enabled``) prunes most
+      non-colliding corpus rows before the exchange.
+    - ``'auto'`` (default) — counts the bench-side n-gram rows (one cheap
+      aggregate over the SMALL side only) and picks: broadcast when ≤
+      ``broadcast_limit``, else shuffle. The choice is logged loudly —
+      a silent tier flip would be an unexplained 1-shuffle regression in
+      any plan audit.
+    """
     doc_h = _ngram_hashes(docs, doc_id, doc_text, n, base_hash).withColumnRenamed(
         "_id", "doc_id"
     )
     bench_h = _ngram_hashes(bench, bench_id, bench_text, n, base_hash).withColumnRenamed(
         "_id", "bench_id"
     )
+    if strategy == "auto":
+        n_bench_rows = bench_h.count()
+        strategy = "broadcast" if n_bench_rows <= broadcast_limit else "shuffle"
+        log.warning(
+            "decontam: bench side has %d n-gram rows (limit %d) -> %s join tier",
+            n_bench_rows, broadcast_limit, strategy,
+        )
+    if strategy not in ("broadcast", "shuffle"):
+        raise ValueError(f"unknown decontamination strategy: {strategy!r}")
     bench_sizes = bench_h.groupBy("bench_id").agg(F.count(F.lit(1)).alias("bench_ngrams"))
+    joined_bench = F.broadcast(bench_h) if strategy == "broadcast" else bench_h
     matches = (
-        doc_h.join(F.broadcast(bench_h), "h")
+        doc_h.join(joined_bench, "h")
         .groupBy("doc_id", "bench_id")
         .agg(F.count(F.lit(1)).alias("matched_ngrams"))
     )
+    # bench_sizes is one row per benchmark ITEM (not per n-gram) — small in
+    # both tiers, so the enrichment join always broadcasts
     return matches.join(F.broadcast(bench_sizes), "bench_id").select(
         "doc_id",
         "bench_id",
@@ -89,11 +130,18 @@ def decontaminate(
     n: int = DEFAULT_NGRAM,
     threshold: float = DEFAULT_DROP_THRESHOLD,
     base_hash: str = "xxhash64",
+    strategy: str = "auto",
+    broadcast_limit: int = DEFAULT_BROADCAST_LIMIT,
 ) -> DataFrame:
     """Corpus minus documents whose coverage of ANY benchmark item reaches
     ``threshold`` — the drop-the-collision policy. The flagged-id frame is a
-    tiny aggregate of the report, so the anti-join broadcasts."""
-    report = contamination_report(docs, doc_id, doc_text, bench, bench_id, bench_text, n, base_hash)
+    tiny aggregate of the report, so the anti-join broadcasts.
+    ``strategy``/``broadcast_limit`` select the report's join tier (see
+    ``contamination_report``)."""
+    report = contamination_report(
+        docs, doc_id, doc_text, bench, bench_id, bench_text, n, base_hash,
+        strategy=strategy, broadcast_limit=broadcast_limit,
+    )
     flagged = (
         report.filter(F.col("coverage") >= threshold).select(F.col("doc_id").alias(doc_id)).distinct()
     )
