@@ -151,52 +151,37 @@ class ConcurrentSnapshotError(RuntimeError):
     from a corpus state that includes it."""
 
 
+# one lease protocol for every marker-committed store (publish archive and
+# this index) — the machinery lives with the marker protocol in
+# plans/publish; this module adds only the index-specific error type
 class CompactionInProgressError(RuntimeError):
     """A compaction lease is held (live compaction, or a crashed one that
     needs ``recover_dedup_index``)."""
 
 
-def _lease_path(spark: SparkSession, path: str):
-    return _fs(spark, f"{path}/_compact_lease")
-
-
 def _acquire_lease(spark: SparkSession, path: str, payload: dict) -> None:
-    """Atomic create-if-absent of the compaction lease. The lease body
-    records the compaction snapshot id and the marker set it supersedes —
-    what ``recover_dedup_index`` needs to adjudicate a crash."""
-    import json as _json
+    from ..plans.publish import MaintenanceInProgressError, acquire_maintenance_lease
 
-    fs, lease = _lease_path(spark, path)
-    fs.mkdirs(lease.getParent())
     try:
-        out = fs.create(lease, False)  # overwrite=False: atomic claim
-    except Exception as exc:  # Py4J wraps FileAlreadyExistsException
+        acquire_maintenance_lease(spark, path, payload)
+    except MaintenanceInProgressError as exc:
         raise CompactionInProgressError(
             f"compaction lease already held at {path}/_compact_lease — another "
             "compaction is running, or a crashed one left state behind "
             "(run recover_dedup_index first)"
         ) from exc
-    out.write(bytearray(_json.dumps(payload).encode()))
-    out.close()
 
 
 def _read_lease(spark: SparkSession, path: str) -> dict | None:
-    import json as _json
+    from ..plans.publish import read_maintenance_lease
 
-    fs, lease = _lease_path(spark, path)
-    if not fs.exists(lease):
-        return None
-    stream = fs.open(lease)
-    try:
-        data = bytes(stream.readAllBytes())
-    finally:
-        stream.close()
-    return _json.loads(data.decode())
+    return read_maintenance_lease(spark, path)
 
 
 def _release_lease(spark: SparkSession, path: str) -> None:
-    fs, lease = _lease_path(spark, path)
-    fs.delete(lease, False)
+    from ..plans.publish import release_maintenance_lease
+
+    release_maintenance_lease(spark, path)
 
 
 def compact_dedup_index(
@@ -244,12 +229,17 @@ def compact_dedup_index(
     """
     p = {**INDEX_PARAMS, **params}
     snap = "compact-" + uuid.uuid4().hex[:12]
+    _acquire_lease(spark, path, {"snap": snap, "pre_markers": []})
+    # capture under the lease (markers committed between the first look and
+    # the claim belong to the pre-set), then overwrite the held lease body
+    # in place so recover adjudicates from the SAME set the live path uses
     pre_markers = committed_snapshots(spark, path)
-    _acquire_lease(spark, path, {"snap": snap, "pre_markers": pre_markers})
-    # re-capture under the lease: markers committed between the first look
-    # and the claim belong to the pre-set (they are visible to the caller's
-    # current_docs composition window at the latest possible moment)
-    pre_markers = committed_snapshots(spark, path)
+    import json as _json
+
+    fs_l, lease = _fs(spark, f"{path}/_compact_lease")
+    out_l = fs_l.create(lease, True)
+    out_l.write(bytearray(_json.dumps({"snap": snap, "pre_markers": pre_markers}).encode()))
+    out_l.close()
     sigs = minhash_signatures(
         current_docs, id_col, text_col, p["n"], p["num_hashes"], p["seed"], p["base_hash"]
     ).localCheckpoint(eager=True)

@@ -189,15 +189,15 @@ def test_compaction_rolls_back_and_preserves_racing_snapshot(spark, corpora, tmp
         compact_dedup_index,
         read_index_sigs,
     )
-    from batch_doc_vqa_spark.plans.publish import commit_marker
 
     old, new = corpora
     path = str(tmp_path / "idx_race")
     build_dedup_index(old, "doc_id", "text", path)
 
     def racer_commit():
-        # what incremental_dedup_pairs' commit does, bypassing the lease
-        # check — models the probe-then-commit race window
+        # what incremental_dedup_pairs' commit does, with the marker file
+        # created RAW (the racer's lease probe passed before the lease
+        # appeared) — models the probe-then-commit race window
         p = INDEX_PARAMS
         sigs = minhash_signatures(new, "doc_id", "text", p["n"], p["num_hashes"],
                                   p["seed"], p["base_hash"])
@@ -206,7 +206,7 @@ def test_compaction_rolls_back_and_preserves_racing_snapshot(spark, corpora, tmp
             f"{path}/sigs/snap=racer")
         bands.select("_id", "band_idx", "band_hash").write.mode("overwrite").parquet(
             f"{path}/bands/snap=racer")
-        commit_marker(spark, path, "racer")
+        open(f"{path}/_committed/racer", "w").close()
 
     with pytest.raises(ConcurrentSnapshotError):
         compact_dedup_index(spark, old, "doc_id", "text", path,

@@ -1,0 +1,170 @@
+"""Marker-set compaction for committed publish stores (VERDICT r4 #5):
+consolidate old runs into one partition so the live marker set stays small,
+with read output IDENTICAL before/after, plus the commit-time schema store
+that replaces per-read mergeSchema."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from batch_doc_vqa_spark.plans.publish import (
+    ConcurrentCommitError,
+    MaintenanceInProgressError,
+    acquire_maintenance_lease,
+    committed_publish_ids,
+    compact_published_store,
+    publish_run,
+    read_published,
+    read_quarantine,
+    read_schema_store,
+    recover_published_store,
+    release_maintenance_lease,
+    vacuum_published_store,
+)
+
+
+def _rows(df):
+    return sorted(
+        tuple(r[c] for c in sorted(df.columns)) for r in df.collect()
+    )
+
+
+def _publish_three_runs(spark, out):
+    """r1 plain, r2 with scrub_pii (adds the n_redactions audit column —
+    exercises the schema union), r3 plain; each with one quarantine row."""
+    mk = lambda i: spark.createDataFrame(  # noqa: E731
+        [(f"d{i}a", f"clean text {i}"), (f"d{i}b", f"contact a@b{i}.com now"), (f"d{i}c", "")],
+        "doc_id string, text string",
+    )
+    publish_run(spark, mk(1), out, text_col="text", run_id="r1")
+    publish_run(spark, mk(2), out, text_col="text", run_id="r2", scrub_pii=True)
+    publish_run(spark, mk(3), out, text_col="text", run_id="r3")
+
+
+def test_compaction_preserves_output_and_shrinks_markers(spark, tmp_path):
+    out = str(tmp_path / "store")
+    _publish_three_runs(spark, out)
+    pub_before = _rows(read_published(spark, out))
+    quar_before = _rows(read_quarantine(spark, out))
+    assert committed_publish_ids(spark, out) == ["r1", "r2", "r3"]
+
+    cid = compact_published_store(spark, out, run_ids=["r1", "r2"])
+    assert committed_publish_ids(spark, out) == sorted(["r3", cid])
+    # output identical — including the ORIGINAL run_id values
+    assert _rows(read_published(spark, out)) == pub_before
+    assert _rows(read_quarantine(spark, out)) == quar_before
+    run_ids = {r["run_id"] for r in read_published(spark, out).collect()}
+    assert run_ids == {"r1", "r2", "r3"}
+
+    # vacuum reclaims the superseded run dirs; output still identical
+    deleted = vacuum_published_store(spark, out)
+    assert set(deleted) == {"r1", "r2"}
+    assert not os.path.isdir(f"{out}/published/run_id=r1")
+    assert _rows(read_published(spark, out)) == pub_before
+    assert _rows(read_quarantine(spark, out)) == quar_before
+
+    # a full re-compaction (everything incl. the prior compact partition)
+    cid2 = compact_published_store(spark, out)
+    vacuum_published_store(spark, out)
+    assert committed_publish_ids(spark, out) == [cid2]
+    assert _rows(read_published(spark, out)) == pub_before
+
+
+def test_schema_store_serves_union_without_mergeschema(spark, tmp_path):
+    """The commit-time schema store carries the column union (n_redactions
+    appears only in the scrubbed run) so reads never pay the per-run footer
+    fetch; additive-only evolution is enforced."""
+    out = str(tmp_path / "schema")
+    _publish_three_runs(spark, out)
+    stored = read_schema_store(spark, out, "published")
+    assert stored is not None and "n_redactions" in stored.fieldNames()
+    pub = read_published(spark, out)
+    assert "n_redactions" in pub.columns
+    by_run = {(r["run_id"], r["doc_id"]): r["n_redactions"] for r in pub.collect()}
+    assert by_run[("r2", "d2b")] == 1      # scrubbed run carries the audit count
+    assert by_run[("r1", "d1a")] is None   # plain runs NULL-fill
+
+    from batch_doc_vqa_spark.plans.publish import update_schema_store
+
+    with pytest.raises(ValueError):  # type change refused
+        bad = spark.createDataFrame([(1,)], "n_redactions string").schema
+        update_schema_store(spark, out, "published", bad)
+
+
+def test_commit_blocked_during_store_compaction(spark, tmp_path):
+    out = str(tmp_path / "lease")
+    _publish_three_runs(spark, out)
+    acquire_maintenance_lease(spark, out, {"compact_id": "c", "pre_markers": []})
+    with pytest.raises(MaintenanceInProgressError):
+        publish_run(
+            spark,
+            spark.createDataFrame([("dx", "text")], "doc_id string, text string"),
+            out, text_col="text", run_id="r4",
+        )
+    assert committed_publish_ids(spark, out) == ["r1", "r2", "r3"]
+    release_maintenance_lease(spark, out)
+    publish_run(
+        spark,
+        spark.createDataFrame([("dx", "text")], "doc_id string, text string"),
+        out, text_col="text", run_id="r4",
+    )
+    assert "r4" in committed_publish_ids(spark, out)
+
+
+def test_store_compaction_rolls_back_on_racing_run(spark, tmp_path):
+    """A run whose commit slipped the probe-to-commit window is PRESERVED:
+    the compaction rolls back and raises; a re-run then succeeds."""
+    out = str(tmp_path / "race")
+    _publish_three_runs(spark, out)
+    pub_before = _rows(read_published(spark, out))
+
+    def racer():
+        spark.createDataFrame([("dr", "racer text")], "doc_id string, text string") \
+            .write.mode("overwrite").parquet(f"{out}/published/run_id=racer")
+        spark.createDataFrame([], "doc_id string, text string, reject_reason string") \
+            .write.mode("overwrite").parquet(f"{out}/quarantine/run_id=racer")
+        open(f"{out}/_committed/racer", "w").close()  # raw: probe passed pre-lease
+
+    with pytest.raises(ConcurrentCommitError):
+        compact_published_store(spark, out, _test_hook_before_swap=racer)
+    assert committed_publish_ids(spark, out) == ["r1", "r2", "r3", "racer"]
+    pub = read_published(spark, out)
+    assert {r["doc_id"] for r in pub.filter("run_id = 'racer'").collect()} == {"dr"}
+    assert _rows(pub.filter("run_id != 'racer'")) == pub_before
+
+    cid = compact_published_store(spark, out)
+    vacuum_published_store(spark, out)
+    assert committed_publish_ids(spark, out) == [cid]
+    assert {r["doc_id"] for r in read_published(spark, out).collect()} >= {"dr", "d1a"}
+
+
+def test_recover_store_after_crashes(spark, tmp_path):
+    out = str(tmp_path / "crash")
+    _publish_three_runs(spark, out)
+    pub_before = _rows(read_published(spark, out))
+
+    class Crash(RuntimeError):
+        pass
+
+    def boom():
+        raise Crash()
+
+    with pytest.raises(Crash):  # crash before the swap
+        compact_published_store(spark, out, _test_hook_before_swap=boom)
+    assert recover_published_store(spark, out) == "rolled_back"
+    assert committed_publish_ids(spark, out) == ["r1", "r2", "r3"]
+    assert _rows(read_published(spark, out)) == pub_before
+
+    # crash between the swap renames: no live marker dir + held lease
+    os.rename(f"{out}/_committed", f"{out}/_committed_old")
+    acquire_maintenance_lease(spark, out, {"compact_id": "cX", "pre_markers": ["r1", "r2", "r3"]})
+    with pytest.raises(FileNotFoundError):
+        read_published(spark, out)  # loud, never silently empty
+    with pytest.raises(MaintenanceInProgressError):
+        vacuum_published_store(spark, out)  # vacuum refuses mid-crash
+    assert recover_published_store(spark, out) == "rolled_back"
+    assert committed_publish_ids(spark, out) == ["r1", "r2", "r3"]
+    assert _rows(read_published(spark, out)) == pub_before
+    assert recover_published_store(spark, out) == "clean"
