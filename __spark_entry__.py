@@ -1707,6 +1707,20 @@ def _validate_fixture(spark: SparkSession, sf_dir: str):
         .when(k % 41 == 0, F.lit('{"not":"array"}'))
         .otherwise(F.lit('["t1","t2"]'))
         .alias("tags"),
+        # round 5 (VERDICT r4 #6): anyOf / oneOf composition + multi-level
+        # nested paths
+        F.when(k % 43 == 0, F.lit("bad!"))
+        .when(k % 2 == 0, F.format_string("u%d@ex.com", k))
+        .otherwise(id8)
+        .alias("contact"),
+        F.when(k % 37 == 0, F.lit("1234"))   # matches BOTH oneOf branches
+        .when(k % 47 == 0, F.lit("abc"))     # matches neither
+        .otherwise(F.lit("123456"))          # exactly one
+        .alias("payload"),
+        F.when(k % 53 == 0, F.lit('{"user": {"address": {}, "age": 30}}'))
+        .when(k % 59 == 0, F.lit('{"user": {"address": {"city": "ny"}, "age": "x"}}'))
+        .otherwise(F.lit('{"user": {"address": {"city": "ny"}, "age": 30}}'))
+        .alias("profile"),
     )
     rules = [
         FieldRule("student_id", "string", r"^[0-9]{8}$", required=True),
@@ -1717,13 +1731,26 @@ def _validate_fixture(spark: SparkSession, sf_dir: str):
         FieldRule("comment_short", max_length=20),
         FieldRule("meta", required_keys=("id", "ts")),
         FieldRule("tags", min_items=1, max_items=5),
+        FieldRule("contact", any_of=(
+            FieldRule("contact", pattern=r"^u[0-9]+@ex\.com$"),
+            FieldRule("contact", pattern=r"^[0-9]{8}$"),
+        )),
+        FieldRule("payload", one_of=(
+            FieldRule("payload", pattern=r"^[0-9]+$"),
+            FieldRule("payload", pattern=r"^[0-9]{4}$"),
+        )),
+        FieldRule("profile", nested=(
+            ("user.address.city", FieldRule("city", required=True)),
+            ("user.age", FieldRule("age", dtype="bigint")),
+        )),
     ]
     return dirty, rules
 
 
 _VALIDATE_OUT_COLS = [
     "c_custkey", "student_id", "score", "name", "grade", "pct",
-    "comment_short", "meta", "tags", "first_violation", "valid",
+    "comment_short", "meta", "tags", "contact", "payload", "profile",
+    "first_violation", "valid",
 ]
 
 # Shared CTE body for the validate_coerce / validate_strict oracles: the
@@ -1743,7 +1770,12 @@ _VALIDATE_ORACLE_BASE = """
                 WHEN c_custkey % 23 = 0 THEN 'meta:required.id' END AS v7,
            CASE WHEN c_custkey % 29 = 0 THEN 'tags:minItems'
                 WHEN c_custkey % 31 = 0 THEN 'tags:maxItems'
-                WHEN c_custkey % 41 = 0 THEN 'tags:minItems' END AS v8
+                WHEN c_custkey % 41 = 0 THEN 'tags:minItems' END AS v8,
+           CASE WHEN c_custkey % 43 = 0 THEN 'contact:anyOf' END AS v9,
+           CASE WHEN c_custkey % 37 = 0 THEN 'payload:oneOf'
+                WHEN c_custkey % 47 = 0 THEN 'payload:oneOf' END AS v10,
+           CASE WHEN c_custkey % 53 = 0 THEN 'profile:user.address.city.required'
+                WHEN c_custkey % 59 = 0 THEN 'profile:user.age.type' END AS v11
     FROM (
         SELECT c_custkey, c_name, id8, grade_clean, meta_clean,
                CASE WHEN c_custkey % 7 = 0 THEN 'X' || id8 ELSE id8 END AS student_id_raw,
@@ -1759,7 +1791,16 @@ _VALIDATE_ORACLE_BASE = """
                CASE WHEN c_custkey % 29 = 0 THEN '[]'
                     WHEN c_custkey % 31 = 0 THEN '["a","b","c","d","e","f"]'
                     WHEN c_custkey % 41 = 0 THEN '{"not":"array"}'
-                    ELSE '["t1","t2"]' END AS tags_raw
+                    ELSE '["t1","t2"]' END AS tags_raw,
+               CASE WHEN c_custkey % 43 = 0 THEN 'bad!'
+                    WHEN c_custkey % 2 = 0 THEN 'u' || CAST(c_custkey AS VARCHAR) || '@ex.com'
+                    ELSE id8 END AS contact_raw,
+               CASE WHEN c_custkey % 37 = 0 THEN '1234'
+                    WHEN c_custkey % 47 = 0 THEN 'abc'
+                    ELSE '123456' END AS payload_raw,
+               CASE WHEN c_custkey % 53 = 0 THEN '{"user": {"address": {}, "age": 30}}'
+                    WHEN c_custkey % 59 = 0 THEN '{"user": {"address": {"city": "ny"}, "age": "x"}}'
+                    ELSE '{"user": {"address": {"city": "ny"}, "age": 30}}' END AS profile_raw
         FROM (
             SELECT c_custkey, c_name,
                    lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS id8,
@@ -1780,7 +1821,7 @@ def _q_validate_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
     dirty, rules = _validate_fixture(spark, sf_dir)
     out = validate_coerce(dirty, rules, strict=False)
     return out.select(
-        *_VALIDATE_OUT_COLS[:9],
+        *_VALIDATE_OUT_COLS[:-2],  # every field column, sans the verdict pair
         F.array_join("corrections", ";").alias("corrections_csv"),
         "first_violation",
         "valid",
@@ -2583,10 +2624,13 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN v6 IS NOT NULL THEN NULL ELSE comment_raw END AS comment_short,
                    CASE WHEN v7 IS NOT NULL THEN NULL ELSE meta_clean END AS meta,
                    CASE WHEN v8 IS NOT NULL THEN NULL ELSE tags_raw END AS tags,
+                   CASE WHEN v9 IS NOT NULL THEN NULL ELSE contact_raw END AS contact,
+                   CASE WHEN v10 IS NOT NULL THEN NULL ELSE payload_raw END AS payload,
+                   CASE WHEN v11 IS NOT NULL THEN NULL ELSE profile_raw END AS profile,
                    COALESCE(array_to_string(list_filter(
-                       [v1, v2, v3, v4, v5, v6, v7, v8], x -> x IS NOT NULL), ';'), '')
+                       [v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11], x -> x IS NOT NULL), ';'), '')
                        AS corrections_csv,
-                   COALESCE(v1, v2, v3, v4, v5, v6, v7, v8) AS first_violation,
+                   COALESCE(v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11) AS first_violation,
                    TRUE AS valid
             FROM v
         """,
@@ -2683,9 +2727,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, student_id_raw AS student_id, score_raw AS score,
                    name_raw AS name, grade_raw AS grade, pct_raw AS pct,
                    comment_raw AS comment_short, meta_raw AS meta,
-                   tags_raw AS tags,
-                   COALESCE(v1, v2, v3, v4, v5, v6, v7, v8) AS first_violation,
-                   COALESCE(v1, v2, v3, v4, v5, v6, v7, v8) IS NULL AS valid
+                   tags_raw AS tags, contact_raw AS contact,
+                   payload_raw AS payload, profile_raw AS profile,
+                   COALESCE(v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11) AS first_violation,
+                   COALESCE(v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11) IS NULL AS valid
             FROM v
         """,
         "split_pages": _split_pages_oracle(),

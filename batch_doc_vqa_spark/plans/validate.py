@@ -25,7 +25,8 @@ Violation precedence per field is fixed by the ladder (jsonschema leaves
 sibling-keyword ordering undefined; pinning one makes the corrections log
 deterministic): required (missing) → type → enum → minimum → maximum →
 maxLength → pattern → required.<key> (one level of nested-object
-required-ness) → minItems → maxItems; first match wins.
+required-ness) → nested.<path> (multi-level, recursive) → anyOf → oneOf →
+minItems → maxItems; first match wins.
 """
 
 from __future__ import annotations
@@ -59,6 +60,17 @@ class FieldRule:
       SQL-oracle note: DuckDB's json_array_length returns 0 for non-array
       JSON where Spark returns NULL — guard with
       ``json_type(x) = 'ARRAY'`` on the SQL side.
+    - ``nested``: multi-level object validation — (dotted JSON path,
+      sub-rule) pairs; the sub-rule's full ladder runs on the value
+      ``get_json_object`` extracts at ``$.<path>`` (recursive rule expansion
+      to column paths). Violation label ``<path>.<sub-rule>``; a missing
+      intermediate object reports the leaf rule (the extracted value is
+      NULL → the sub-rule's ``required``/``minItems`` fires).
+    - ``any_of`` / ``one_of``: Draft 2020-12 composition — branch rules run
+      on THIS field's raw value (their ``field`` name is ignored). ``anyOf``
+      violates when every branch violates; ``oneOf`` when the number of
+      passing branches ≠ 1. Branches compose the full ladder recursively
+      (a branch may itself carry ``nested``/``any_of``).
     """
 
     field: str
@@ -72,11 +84,20 @@ class FieldRule:
     required_keys: tuple[str, ...] = ()
     min_items: int | None = None
     max_items: int | None = None
+    nested: tuple = ()  # ((dotted_path, FieldRule), ...)
+    any_of: tuple = ()  # (FieldRule, ...) — ≥1 branch must pass
+    one_of: tuple = ()  # (FieldRule, ...) — exactly 1 branch must pass
 
 
 def _violation(rule: FieldRule) -> Column:
-    """First violated sub-rule for this field, or NULL when conformant."""
-    raw = F.col(rule.field)
+    return _violation_on(F.col(rule.field), rule)
+
+
+def _violation_on(raw: Column, rule: FieldRule) -> Column:
+    """First violated sub-rule for this value, or NULL when conformant.
+    ``raw`` is the value under test — the field column at top level, a
+    ``get_json_object`` extraction for ``nested`` paths, the same field
+    column for ``any_of``/``one_of`` branches."""
     blank = raw.isNull() | (F.trim(raw.cast("string")) == "")
     checks: list[tuple[Column, str]] = []
     if rule.required:
@@ -105,6 +126,26 @@ def _violation(rule: FieldRule) -> Column:
                 f"required.{key}",
             )
         )
+    for path, sub in rule.nested:
+        # recursive expansion to a column path: the sub-rule's whole ladder
+        # runs on the extracted value; the label carries the path + which
+        # sub-rule fired (a Column, not a literal)
+        sub_v = _violation_on(F.get_json_object(raw.cast("string"), f"$.{path}"), sub)
+        checks.append(
+            (~blank & sub_v.isNotNull(), F.concat(F.lit(f"{path}."), sub_v))
+        )
+    if rule.any_of:
+        branch_vs = [_violation_on(raw, b) for b in rule.any_of]
+        all_violate = branch_vs[0].isNotNull()
+        for v in branch_vs[1:]:
+            all_violate = all_violate & v.isNotNull()
+        checks.append((~blank & all_violate, "anyOf"))
+    if rule.one_of:
+        branch_vs = [_violation_on(raw, b) for b in rule.one_of]
+        n_pass = branch_vs[0].isNull().cast("int")
+        for v in branch_vs[1:]:
+            n_pass = n_pass + v.isNull().cast("int")
+        checks.append((~blank & (n_pass != 1), "oneOf"))
     if rule.min_items is not None or rule.max_items is not None:
         arr_len = F.json_array_length(raw.cast("string"))
         if rule.min_items is not None:
@@ -117,7 +158,8 @@ def _violation(rule: FieldRule) -> Column:
             )
     out = F.lit(None).cast("string")
     for cond, label in reversed(checks):
-        out = F.when(cond, F.lit(label)).otherwise(out)
+        lab = F.lit(label) if isinstance(label, str) else label
+        out = F.when(cond, lab).otherwise(out)
     return out
 
 
