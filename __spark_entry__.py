@@ -886,6 +886,20 @@ def _q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF×PQ composition (VERDICT r4 #2): coarse cells prune (nprobe=4 of
+    16), residual PQ compresses (16 sub-spaces × 16 codes), 40-deep ADC
+    shortlist, exact squared-L2 re-rank to top-5. The ADC join is keyed on
+    cent_id — probe-bounded, never a per-query corpus scan."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return similarity.ivfpq_topk(
+        emb, queries, n_centroids=16, nprobe=4, m=16, n_codes=16, k=5, dim=64, rerank=40
+    ).select("q_id", "neighbor_id", "approx_dist", "exact_dist", "rank")
+
+
 def _q_embedding_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.4)
 
@@ -1993,6 +2007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": _q_incremental_dedup,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_pq_topk": _q_ann_pq,
+        "ann_ivfpq_topk": _q_ann_ivfpq,
         "embedding_dup_pairs": _q_embedding_dup,
         "embedding_dup_pairs_lsh": _q_embedding_dup_lsh,
         "doc_quality": _q_doc_quality,
@@ -2996,6 +3011,97 @@ def oracle_sql() -> dict[str, str]:
                            i -> qd[CAST((i-1)*16 + codes[CAST(i AS INT)] AS INT)]),
                            (a, b) -> a + b), 6) AS approx_dist
                 FROM carr CROSS JOIN qarr WHERE carr.vec_id != qarr.q_id),
+            short AS (
+                SELECT q_id, neighbor_id, approx_dist FROM (
+                    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                        ORDER BY approx_dist ASC, neighbor_id ASC) AS rn
+                    FROM adc) WHERE rn <= 40),
+            ex AS (
+                SELECT s.q_id, s.neighbor_id, s.approx_dist,
+                       ROUND(list_reduce(list_transform(range(1, 65),
+                           i -> (e.v[CAST(i AS INT)] - q.qv[CAST(i AS INT)])
+                                * (e.v[CAST(i AS INT)] - q.qv[CAST(i AS INT)])),
+                           (a, b) -> a + b), 6) AS exact_dist
+                FROM short s
+                JOIN emb e ON e.vec_id = s.neighbor_id
+                JOIN q ON q.q_id = s.q_id)
+            SELECT q_id, neighbor_id, approx_dist, exact_dist, rank FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY exact_dist ASC, neighbor_id ASC) AS rank
+                FROM ex
+            ) WHERE rank <= 5
+        """,
+        "ann_ivfpq_topk": """
+            WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            cent AS (
+                SELECT vec_id AS cent_id, v AS cv FROM emb
+                ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+            assign AS (
+                SELECT vec_id, cent_id,
+                       list_transform(range(1, 65),
+                           i -> v[CAST(i AS INT)] - cv[CAST(i AS INT)]) AS r
+                FROM (
+                    SELECT e.vec_id, e.v, c.cent_id, c.cv,
+                           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                               ROUND(list_reduce(list_transform(range(1, 65),
+                                   i -> (e.v[CAST(i AS INT)] - c.cv[CAST(i AS INT)])
+                                        * (e.v[CAST(i AS INT)] - c.cv[CAST(i AS INT)])),
+                                   (a, b) -> a + b), 6) ASC, c.cent_id ASC) AS rn
+                    FROM emb e CROSS JOIN cent c) WHERE rn = 1),
+            cb AS (
+                SELECT r, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS code
+                FROM (SELECT a.vec_id, a.r FROM assign a
+                      ANTI JOIN cent ON a.vec_id = cent.cent_id
+                      ORDER BY md5(CAST(a.vec_id AS VARCHAR)) LIMIT 16)),
+            mm AS (SELECT CAST(unnest(range(0, 16)) AS INT) AS m),
+            cbm AS (SELECT code, m, list_slice(r, m*4 + 1, m*4 + 4) AS cs
+                    FROM cb CROSS JOIN mm),
+            ce AS (
+                SELECT a.vec_id, a.cent_id, c.m, c.code,
+                       list_slice(a.r, c.m*4 + 1, c.m*4 + 4) AS es,
+                       ROUND(list_reduce(list_transform(range(1, 5),
+                           i -> (es[CAST(i AS INT)] - c.cs[CAST(i AS INT)])
+                                * (es[CAST(i AS INT)] - c.cs[CAST(i AS INT)])),
+                           (a2, b) -> a2 + b), 6) AS dist
+                FROM assign a CROSS JOIN cbm c),
+            codes AS (
+                SELECT vec_id, cent_id, m, code FROM (
+                    SELECT vec_id, cent_id, m, code,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                               ORDER BY dist, code) AS rn
+                    FROM ce) WHERE rn = 1),
+            carr AS (SELECT vec_id, cent_id, list(code ORDER BY m) AS codes
+                     FROM codes GROUP BY vec_id, cent_id),
+            q AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id % 50 = 0),
+            probe AS (
+                SELECT q_id, cent_id,
+                       list_transform(range(1, 65),
+                           i -> qv[CAST(i AS INT)] - cv[CAST(i AS INT)]) AS qr
+                FROM (
+                    SELECT q.q_id, q.qv, c.cent_id, c.cv,
+                           ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+                               ROUND(list_reduce(list_transform(range(1, 65),
+                                   i -> (q.qv[CAST(i AS INT)] - c.cv[CAST(i AS INT)])
+                                        * (q.qv[CAST(i AS INT)] - c.cv[CAST(i AS INT)])),
+                                   (a, b) -> a + b), 6) ASC, c.cent_id ASC) AS rn
+                    FROM q CROSS JOIN cent c) WHERE rn <= 4),
+            qe AS (
+                SELECT p.q_id, p.cent_id, c.m, c.code,
+                       list_slice(p.qr, c.m*4 + 1, c.m*4 + 4) AS qs,
+                       ROUND(list_reduce(list_transform(range(1, 5),
+                           i -> (qs[CAST(i AS INT)] - c.cs[CAST(i AS INT)])
+                                * (qs[CAST(i AS INT)] - c.cs[CAST(i AS INT)])),
+                           (a2, b) -> a2 + b), 6) AS dist
+                FROM probe p CROSS JOIN cbm c),
+            qarr AS (SELECT q_id, cent_id, list(dist ORDER BY m, code) AS qd
+                     FROM qe GROUP BY q_id, cent_id),
+            adc AS (
+                SELECT qa.q_id, ca.vec_id AS neighbor_id,
+                       ROUND(list_reduce(list_transform(range(1, 17),
+                           i -> qd[CAST((i-1)*16 + codes[CAST(i AS INT)] AS INT)]),
+                           (a, b) -> a + b), 6) AS approx_dist
+                FROM carr ca JOIN qarr qa USING (cent_id)
+                WHERE ca.vec_id != qa.q_id),
             short AS (
                 SELECT q_id, neighbor_id, approx_dist FROM (
                     SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id

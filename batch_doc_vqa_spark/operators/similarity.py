@@ -236,6 +236,187 @@ def ivf_cosine_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    k: int = 3,
+    dim: int = 64,
+    rerank: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """IVF×PQ — the standard billion-to-trillion-scale ANN index (IVFADC,
+    Jégou et al. 2011): coarse cells prune the search, residual product
+    quantization compresses what remains. This composition removes the last
+    scale-killer the flat tiers carry: ``pq_topk``'s ADC scans EVERY code
+    row per query; here a query's ADC touches only the codes of its
+    ``nprobe`` probed cells — cost is probe-bounded (nprobe/n_centroids of
+    the corpus per query), and the per-doc footprint stays ``m`` small ints.
+
+    Deterministic, engine-portable model (the discipline of
+    ``ivf_cosine_topk``/``pq_topk``): centroids are the ``n_centroids``
+    corpus vectors with smallest md5(vec_id); the ONE shared PQ codebook is
+    the residuals of the ``n_codes`` smallest-md5 docs (k-means refinement
+    of either drops in without changing the plan). Assignment and probing
+    use squared-L2 (the residual metric); every distance rounds to 6 before
+    each argmin/rank; ADC folds in fixed m-order.
+
+    Scale shape — all joins are keyed or broadcast, nothing scans the
+    corpus per query:
+
+    - assignment: one corpus pass against the broadcast centroid set;
+      persisted state is (vec_id, cent_id, m codes) — the inverted lists;
+    - query side: probe table is queries × nprobe rows; the per-(query,
+      cell) distance tables (m·n_codes lookups each) BROADCAST;
+    - ADC: ``codes ⋈ qtab on cent_id`` — the cell-restricted scan. With the
+      codes table bucketed/partitioned by cent_id this join is
+      exchange-free on the big side;
+    - ``rerank=R`` fetches true vectors for R rows per query (never the
+      corpus) and re-ranks by exact squared-L2, exactly as ``pq_topk``.
+
+    Output: (q_id, neighbor_id, approx_dist[, exact_dist], rank).
+    """
+    if dim % m:
+        raise ValueError("dim must divide into m sub-spaces")
+    sub = dim // m
+    dbl = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    corpus_d = corpus.select(id_col, dbl(F.col(vec_col)).alias("_v"))
+    md5_id = F.md5(F.col(id_col).cast("string"))
+    cent = (
+        corpus_d.orderBy(md5_id)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cent_id"), F.col("_v").alias("_cv"))
+        .localCheckpoint(eager=True)  # ≤ n_centroids rows, two consumers
+    )
+    # assignment + residuals: one corpus pass, broadcast argmin
+    w_assign = Window.partitionBy(id_col).orderBy("_cd", "cent_id")
+    assign = (
+        corpus_d.crossJoin(F.broadcast(cent))
+        .withColumn("_cd", F.round(_sq_l2(F.col("_v"), F.col("_cv")), 6))
+        .withColumn("_rn", F.row_number().over(w_assign))
+        .filter(F.col("_rn") == 1)
+        .select(
+            id_col,
+            "cent_id",
+            F.zip_with(F.col("_v"), F.col("_cv"), lambda x, y: x - y).alias("_r"),
+        )
+        .localCheckpoint(eager=True)  # residuals feed codebook + encoding
+    )
+    # shared residual codebook (sample; k-means would train it). Centroid
+    # docs are excluded: each is its own nearest centroid, so its residual
+    # is the ZERO vector — and the smallest-md5 docs are exactly the
+    # centroid picks (same ordering), which would collapse the whole
+    # codebook to zeros and every doc to one code
+    cb = (
+        assign.join(
+            F.broadcast(cent.select(F.col("cent_id").alias(id_col))), id_col, "left_anti"
+        )
+        .orderBy(md5_id)
+        .limit(n_codes)
+        .withColumn("code", F.row_number().over(Window.orderBy(md5_id)))
+        .localCheckpoint(eager=True)
+    )
+    n_codes = cb.count()  # degrade gracefully when the corpus is tiny
+    ms = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("m")
+
+    def subvec(col):
+        return F.slice(col, F.col("m") * sub + 1, sub)
+
+    cbm = cb.select("code", F.col("_r").alias("_cr"), ms).select(
+        "code", "m", subvec(F.col("_cr")).alias("_cs")
+    )
+    # encode: corpus residual sub-vectors → nearest code per (doc, m)
+    w_enc = Window.partitionBy(id_col, "m").orderBy("dist", "code")
+    codes = (
+        assign.select(id_col, "cent_id", F.col("_r").alias("_rv"), ms)
+        .select(id_col, "cent_id", "m", subvec(F.col("_rv")).alias("_vs"))
+        .join(F.broadcast(cbm), "m")
+        .withColumn("dist", F.round(_sq_l2(F.col("_vs"), F.col("_cs")), 6))
+        .withColumn("_rn", F.row_number().over(w_enc))
+        .filter(F.col("_rn") == 1)
+        .groupBy(id_col, "cent_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("m", "code"))), lambda s: s["code"]
+            ).alias("_codes")
+        )
+    )
+    # probe: nprobe nearest cells per query, with per-cell query residuals
+    qd = queries.select(q_id_col, dbl(F.col(q_vec_col)).alias("_q"))
+    w_probe = Window.partitionBy(q_id_col).orderBy("_cd", "cent_id")
+    probe = (
+        qd.crossJoin(F.broadcast(cent))
+        .withColumn("_cd", F.round(_sq_l2(F.col("_q"), F.col("_cv")), 6))
+        .withColumn("_rn", F.row_number().over(w_probe))
+        .filter(F.col("_rn") <= nprobe)
+        .select(
+            q_id_col,
+            "cent_id",
+            F.zip_with(F.col("_q"), F.col("_cv"), lambda x, y: x - y).alias("_qr"),
+        )
+    )
+    # per-(query, cell) ADC lookup table, packed in (m, code) order
+    qtab = (
+        probe.select(q_id_col, "cent_id", F.col("_qr").alias("_qrv"), ms)
+        .select(q_id_col, "cent_id", "m", subvec(F.col("_qrv")).alias("_qs"))
+        .join(F.broadcast(cbm), "m")
+        .withColumn("dist", F.round(_sq_l2(F.col("_qs"), F.col("_cs")), 6))
+        .groupBy(q_id_col, "cent_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("m", "code", "dist"))),
+                lambda s: s["dist"],
+            ).alias("_qd")
+        )
+    )
+    # cell-restricted ADC: the join key IS the pruning — a query only meets
+    # the codes of its probed cells (contrast pq_topk's full crossJoin)
+    adc = (
+        codes.join(F.broadcast(qtab), "cent_id")
+        .filter(F.col(id_col) != F.col(q_id_col))
+        .select(
+            q_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            F.round(
+                F.aggregate(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    F.lit(0.0),
+                    lambda acc, i: acc
+                    + F.element_at(
+                        F.col("_qd"),
+                        (i * n_codes + F.element_at(F.col("_codes"), i + 1)).cast("int"),
+                    ),
+                ),
+                6,
+            ).alias("approx_dist"),
+        )
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.asc("approx_dist"), F.asc("neighbor_id"))
+    if not rerank:
+        return adc.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    shortlist = (
+        adc.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= rerank).drop("_rn")
+    )
+    vecs = corpus_d.select(F.col(id_col).alias("neighbor_id"), F.col("_v").alias("_nv"))
+    exact = (
+        shortlist.join(vecs, "neighbor_id")
+        .join(F.broadcast(qd), q_id_col)
+        .withColumn("exact_dist", F.round(_sq_l2(F.col("_nv"), F.col("_q")), 6))
+    )
+    w2 = Window.partitionBy(q_id_col).orderBy(F.asc("exact_dist"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, "neighbor_id", "approx_dist", "exact_dist", "rank")
+    )
+
+
 def _sq_l2(a, b):
     """Squared-L2 between two equal-length double arrays — elementwise
     (x−y)² then a LEFT fold, the IEEE-identical form a SQL oracle must use

@@ -83,6 +83,10 @@ BENCH_QUERIES = [
     "training_recipe_v2",
     "snapshot_diff",
     "ann_pq_topk",
+    # round 5: cell-restricted residual PQ (the probe-bounded ANN tier),
+    # decontamination shuffle fallback
+    "ann_ivfpq_topk",
+    "contamination_report_shuffle",
 ]
 
 

@@ -450,3 +450,59 @@ def test_pq_topk_small_corpus_degrades_gracefully(spark):
     out = similarity.pq_topk(emb, q, m=4, n_codes=16, k=3, dim=16).collect()
     assert len(out) == 6  # 2 queries × top-3, no INVALID_ARRAY_INDEX
     assert all(r["approx_dist"] >= 0 for r in out)
+
+
+def test_ivfpq_topk_capture_and_cell_restriction(vectors):
+    """IVF×PQ (VERDICT r4 #2): the composed index is probe-bounded — a
+    query's ADC touches only its nprobe cells' codes — while shortlist
+    capture tracks flat PQ at equal R, approaching it as nprobe grows and
+    matching it at full probe."""
+    emb = vectors
+    q = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    from pyspark.sql import Window as W
+
+    exact = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("d", similarity._sq_l2("embedding", "q_vec"))
+        .withColumn(
+            "r", F.row_number().over(W.partitionBy("q_id").orderBy(F.asc("d"), F.asc("vec_id")))
+        )
+        .filter("r <= 5")
+    )
+    true_top = {(r["q_id"], r["vec_id"]) for r in exact.collect()}
+
+    def capture(df):
+        got = {(r["q_id"], r["neighbor_id"]) for r in df.collect()}
+        return len(true_top & got) / len(true_top)
+
+    kw = dict(n_centroids=8, m=8, n_codes=16, k=5, dim=16, rerank=30)
+    flat = capture(similarity.pq_topk(emb, q, m=8, n_codes=16, k=5, dim=16, rerank=30))
+    caps = {
+        npb: capture(similarity.ivfpq_topk(emb, q, nprobe=npb, **kw)) for npb in (2, 4, 8)
+    }
+    assert caps[2] >= 0.6 and caps[4] >= 0.8 and caps[8] >= 0.9
+    assert caps[2] <= caps[4] <= caps[8]          # capture grows with probes
+    assert caps[8] >= flat - 1e-9                 # full probe matches flat PQ
+
+    out = similarity.ivfpq_topk(emb, q, nprobe=4, **kw)
+    rows = out.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["q_id"], []).append(r)
+    for lst in per_q.values():
+        srt = sorted(lst, key=lambda r: r["rank"])
+        assert [r["rank"] for r in srt] == [1, 2, 3, 4, 5]
+        ds = [r["exact_dist"] for r in srt]
+        assert ds == sorted(ds)  # re-ranked output is exact-L2 ordered
+    # determinism under partitioning (seeds/orders are data-derived)
+    again = similarity.ivfpq_topk(emb.repartition(7), q, nprobe=4, **kw)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+    # the scale contract: no per-query corpus scan — every join is keyed or
+    # broadcast, never a Cartesian product
+    plan = out.sparkSession._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
