@@ -506,3 +506,73 @@ def test_ivfpq_topk_capture_and_cell_restriction(vectors):
         out._jdf.queryExecution(), "formatted"
     )
     assert "CartesianProduct" not in plan
+
+
+def test_trained_pq_codebook_capture_and_determinism(vectors):
+    """K-means-trained codebooks (VERDICT r4 #7) drop into pq_topk with zero
+    plan change: capture >= 0.9 at the committed R=30 config, ADC-only
+    ranking strictly improves on the md5-sample codebook, and the model is
+    bit-identical under repartitioning (seeds/orders are data-derived)."""
+    from pyspark.sql import Window as W
+
+    emb = vectors
+    q = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("d", similarity._sq_l2("embedding", "q_vec"))
+        .withColumn(
+            "r", F.row_number().over(W.partitionBy("q_id").orderBy(F.asc("d"), F.asc("vec_id")))
+        )
+        .filter("r <= 5")
+    )
+    true_top = {(r["q_id"], r["vec_id"]) for r in exact.collect()}
+
+    def capture(df):
+        got = {(r["q_id"], r["neighbor_id"]) for r in df.collect()}
+        return len(true_top & got) / len(true_top)
+
+    cbk = similarity.train_pq_codebook(
+        emb, m=8, n_codes=16, dim=16, iters=20, seed=11
+    ).localCheckpoint(eager=True)
+    assert cbk.count() == 8 * 16  # m sub-spaces × n_codes centers
+
+    # the committed R=30 bound, now with the trained model
+    trained_r30 = capture(
+        similarity.pq_topk(emb, q, m=8, n_codes=16, k=5, dim=16, rerank=30, codebook=cbk)
+    )
+    assert trained_r30 >= 0.9
+    # training must beat the sample codebook where codebook quality shows:
+    # pure-ADC ranking (no exact re-rank to hide code distortion)
+    sample_adc = capture(similarity.pq_topk(emb, q, m=8, n_codes=16, k=5, dim=16))
+    trained_adc = capture(
+        similarity.pq_topk(emb, q, m=8, n_codes=16, k=5, dim=16, codebook=cbk)
+    )
+    assert trained_adc > sample_adc, (trained_adc, sample_adc)
+
+    # model determinism under partitioning (k-means rows re-sorted by the
+    # md5 key inside each group; per-sub-space seed is data-shape-derived)
+    cbk2 = similarity.train_pq_codebook(
+        emb.repartition(7), m=8, n_codes=16, dim=16, iters=20, seed=11
+    )
+    assert sorted(map(tuple, cbk.collect())) == sorted(map(tuple, cbk2.collect()))
+
+
+def test_kmeans_kernel_degenerate_inputs():
+    import numpy as np
+
+    from batch_doc_vqa_spark.functions.kmeans import kmeans_fit
+
+    # k > n degrades to n centers
+    X = np.array([[0.0, 0.0], [1.0, 1.0]])
+    C = kmeans_fit(X, 5, seed=1)
+    assert len(C) == 2
+    # all-identical points: no division by zero, single effective center
+    X2 = np.ones((10, 3))
+    C2 = kmeans_fit(X2, 4, seed=2)
+    assert np.allclose(C2, 1.0)
+    # determinism for fixed seed
+    X3 = np.random.RandomState(5).standard_normal((50, 4))
+    assert np.array_equal(kmeans_fit(X3, 8, seed=3), kmeans_fit(X3, 8, seed=3))
