@@ -1751,6 +1751,9 @@ def _validate_fixture(spark: SparkSession, sf_dir: str):
         .when(k % 59 == 0, F.lit('{"user": {"address": {"city": "ny"}, "age": "x"}}'))
         .otherwise(F.lit('{"user": {"address": {"city": "ny"}, "age": 30}}'))
         .alias("profile"),
+        F.when(k % 61 == 0, F.lit("not-a-time"))
+        .otherwise(F.lit("2024-03-15T10:30:00Z"))
+        .alias("event_ts"),
     )
     rules = [
         FieldRule("student_id", "string", r"^[0-9]{8}$", required=True),
@@ -1773,6 +1776,7 @@ def _validate_fixture(spark: SparkSession, sf_dir: str):
             ("user.address.city", FieldRule("city", required=True)),
             ("user.age", FieldRule("age", dtype="bigint")),
         )),
+        FieldRule("event_ts", format="date-time"),
     ]
     return dirty, rules
 
@@ -1780,7 +1784,7 @@ def _validate_fixture(spark: SparkSession, sf_dir: str):
 _VALIDATE_OUT_COLS = [
     "c_custkey", "student_id", "score", "name", "grade", "pct",
     "comment_short", "meta", "tags", "contact", "payload", "profile",
-    "first_violation", "valid",
+    "event_ts", "first_violation", "valid",
 ]
 
 # Shared CTE body for the validate_coerce / validate_strict oracles: the
@@ -1805,7 +1809,8 @@ _VALIDATE_ORACLE_BASE = """
            CASE WHEN c_custkey % 37 = 0 THEN 'payload:oneOf'
                 WHEN c_custkey % 47 = 0 THEN 'payload:oneOf' END AS v10,
            CASE WHEN c_custkey % 53 = 0 THEN 'profile:user.address.city.required'
-                WHEN c_custkey % 59 = 0 THEN 'profile:user.age.type' END AS v11
+                WHEN c_custkey % 59 = 0 THEN 'profile:user.age.type' END AS v11,
+           CASE WHEN c_custkey % 61 = 0 THEN 'event_ts:format' END AS v12
     FROM (
         SELECT c_custkey, c_name, id8, grade_clean, meta_clean,
                CASE WHEN c_custkey % 7 = 0 THEN 'X' || id8 ELSE id8 END AS student_id_raw,
@@ -1830,7 +1835,9 @@ _VALIDATE_ORACLE_BASE = """
                     ELSE '123456' END AS payload_raw,
                CASE WHEN c_custkey % 53 = 0 THEN '{"user": {"address": {}, "age": 30}}'
                     WHEN c_custkey % 59 = 0 THEN '{"user": {"address": {"city": "ny"}, "age": "x"}}'
-                    ELSE '{"user": {"address": {"city": "ny"}, "age": 30}}' END AS profile_raw
+                    ELSE '{"user": {"address": {"city": "ny"}, "age": 30}}' END AS profile_raw,
+               CASE WHEN c_custkey % 61 = 0 THEN 'not-a-time'
+                    ELSE '2024-03-15T10:30:00Z' END AS event_ts_raw
         FROM (
             SELECT c_custkey, c_name,
                    lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS id8,
@@ -2659,10 +2666,11 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN v9 IS NOT NULL THEN NULL ELSE contact_raw END AS contact,
                    CASE WHEN v10 IS NOT NULL THEN NULL ELSE payload_raw END AS payload,
                    CASE WHEN v11 IS NOT NULL THEN NULL ELSE profile_raw END AS profile,
+                   CASE WHEN v12 IS NOT NULL THEN NULL ELSE event_ts_raw END AS event_ts,
                    COALESCE(array_to_string(list_filter(
-                       [v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11], x -> x IS NOT NULL), ';'), '')
+                       [v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12], x -> x IS NOT NULL), ';'), '')
                        AS corrections_csv,
-                   COALESCE(v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11) AS first_violation,
+                   COALESCE(v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12) AS first_violation,
                    TRUE AS valid
             FROM v
         """,
@@ -2761,8 +2769,9 @@ def oracle_sql() -> dict[str, str]:
                    comment_raw AS comment_short, meta_raw AS meta,
                    tags_raw AS tags, contact_raw AS contact,
                    payload_raw AS payload, profile_raw AS profile,
-                   COALESCE(v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11) AS first_violation,
-                   COALESCE(v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11) IS NULL AS valid
+                   event_ts_raw AS event_ts,
+                   COALESCE(v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12) AS first_violation,
+                   COALESCE(v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12) IS NULL AS valid
             FROM v
         """,
         "split_pages": _split_pages_oracle(),

@@ -24,7 +24,7 @@ maximum, max_length, required_keys). All checks are pure column predicates
 Violation precedence per field is fixed by the ladder (jsonschema leaves
 sibling-keyword ordering undefined; pinning one makes the corrections log
 deterministic): required (missing) → type → enum → minimum → maximum →
-maxLength → pattern → required.<key> (one level of nested-object
+maxLength → pattern → format → required.<key> (one level of nested-object
 required-ness) → nested.<path> (multi-level, recursive) → anyOf → oneOf →
 minItems → maxItems; first match wins.
 """
@@ -35,6 +35,23 @@ from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# Draft 2020-12 `format` validators, as anchored regexes (the assertion
+# subset a column engine can express; semantic checks like leap-day
+# validity are out of scope — same stance as most JSON Schema validators'
+# default format-assertion mode). Pinned here so the Spark predicate and
+# any SQL oracle share one definition.
+FORMAT_PATTERNS = {
+    "date": r"^\d{4}-(0[1-9]|1[0-2])-(0[1-9]|[12]\d|3[01])$",
+    "date-time": (
+        r"^\d{4}-(0[1-9]|1[0-2])-(0[1-9]|[12]\d|3[01])"
+        r"[Tt]\d{2}:\d{2}:\d{2}(\.\d+)?([Zz]|[+-]\d{2}:\d{2})$"
+    ),
+    "time": r"^\d{2}:\d{2}:\d{2}(\.\d+)?([Zz]|[+-]\d{2}:\d{2})?$",
+    "email": r"^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$",
+    "uuid": r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$",
+    "ipv4": r"^((25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)$",
+}
 
 
 @dataclass(frozen=True)
@@ -87,6 +104,7 @@ class FieldRule:
     nested: tuple = ()  # ((dotted_path, FieldRule), ...)
     any_of: tuple = ()  # (FieldRule, ...) — ≥1 branch must pass
     one_of: tuple = ()  # (FieldRule, ...) — exactly 1 branch must pass
+    format: str | None = None  # Draft `format` assertion, see FORMAT_PATTERNS
 
 
 def _violation(rule: FieldRule) -> Column:
@@ -119,6 +137,14 @@ def _violation_on(raw: Column, rule: FieldRule) -> Column:
         )
     if rule.pattern is not None:
         checks.append((~blank & ~raw.cast("string").rlike(rule.pattern), "pattern"))
+    if rule.format is not None:
+        if rule.format not in FORMAT_PATTERNS:
+            raise ValueError(
+                f"unknown format {rule.format!r} (known: {sorted(FORMAT_PATTERNS)})"
+            )
+        checks.append(
+            (~blank & ~raw.cast("string").rlike(FORMAT_PATTERNS[rule.format]), "format")
+        )
     for key in rule.required_keys:
         checks.append(
             (

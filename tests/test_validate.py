@@ -202,3 +202,37 @@ def test_multi_level_nested_rules(spark):
     out2 = {r["id"]: r for r in validate_coerce(df2, shape_rules, strict=True).collect()}
     assert out2[1]["valid"] and out2[2]["valid"]
     assert out2[3]["first_violation"] == "doc:anyOf"
+
+
+def test_format_validators(spark):
+    """Draft 2020-12 `format` assertions (date/date-time/email/uuid/ipv4):
+    the anchored-regex assertion subset, pinned in FORMAT_PATTERNS so the
+    Spark predicate and any SQL oracle share one definition."""
+    import pytest as _pytest
+
+    from batch_doc_vqa_spark.plans.validate import FORMAT_PATTERNS
+
+    rules = [
+        FieldRule("d", format="date"),
+        FieldRule("ts", format="date-time"),
+        FieldRule("mail", format="email"),
+        FieldRule("uid", format="uuid"),
+        FieldRule("ip", format="ipv4"),
+    ]
+    rows = [
+        (1, "2024-03-15", "2024-03-15T10:30:00Z", "a@b.com",
+         "123e4567-e89b-12d3-a456-426614174000", "192.168.0.1"),
+        (2, "2024-13-01", "2024-03-15 10:30:00", "not-mail", "nope", "999.1.1.1"),
+        (3, None, None, None, None, None),  # optional blanks pass
+    ]
+    df = spark.createDataFrame(rows, "id int, d string, ts string, mail string, uid string, ip string")
+    out = {r["id"]: r for r in validate_coerce(df, rules, strict=True).collect()}
+    assert out[1]["valid"] and out[3]["valid"]
+    assert not out[2]["valid"] and out[2]["first_violation"] == "d:format"
+    lenient = {r["id"]: r for r in validate_coerce(df, rules, strict=False).collect()}
+    assert lenient[2]["corrections"] == [
+        "d:format", "ts:format", "mail:format", "uid:format", "ip:format"
+    ]
+    with _pytest.raises(ValueError):
+        validate_coerce(df, [FieldRule("d", format="hostname")], strict=True)
+    assert "date-time" in FORMAT_PATTERNS  # the registry is the public contract
