@@ -236,51 +236,23 @@ def ivf_cosine_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def ivfpq_topk(
+def ivfpq_build(
     corpus: DataFrame,
-    queries: DataFrame,
     n_centroids: int = 16,
-    nprobe: int = 4,
     m: int = 8,
     n_codes: int = 16,
-    k: int = 3,
     dim: int = 64,
-    rerank: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    q_id_col: str = "q_id",
-    q_vec_col: str = "q_vec",
-) -> DataFrame:
-    """IVF×PQ — the standard billion-to-trillion-scale ANN index (IVFADC,
-    Jégou et al. 2011): coarse cells prune the search, residual product
-    quantization compresses what remains. This composition removes the last
-    scale-killer the flat tiers carry: ``pq_topk``'s ADC scans EVERY code
-    row per query; here a query's ADC touches only the codes of its
-    ``nprobe`` probed cells — cost is probe-bounded (nprobe/n_centroids of
-    the corpus per query), and the per-doc footprint stays ``m`` small ints.
-
-    Deterministic, engine-portable model (the discipline of
-    ``ivf_cosine_topk``/``pq_topk``): centroids are the ``n_centroids``
-    corpus vectors with smallest md5(vec_id); the ONE shared PQ codebook is
-    the residuals of the ``n_codes`` smallest-md5 docs (k-means refinement
-    of either drops in without changing the plan). Assignment and probing
-    use squared-L2 (the residual metric); every distance rounds to 6 before
-    each argmin/rank; ADC folds in fixed m-order.
-
-    Scale shape — all joins are keyed or broadcast, nothing scans the
-    corpus per query:
-
-    - assignment: one corpus pass against the broadcast centroid set;
-      persisted state is (vec_id, cent_id, m codes) — the inverted lists;
-    - query side: probe table is queries × nprobe rows; the per-(query,
-      cell) distance tables (m·n_codes lookups each) BROADCAST;
-    - ADC: ``codes ⋈ qtab on cent_id`` — the cell-restricted scan. With the
-      codes table bucketed/partitioned by cent_id this join is
-      exchange-free on the big side;
-    - ``rerank=R`` fetches true vectors for R rows per query (never the
-      corpus) and re-ranks by exact squared-L2, exactly as ``pq_topk``.
-
-    Output: (q_id, neighbor_id, approx_dist[, exact_dist], rank).
+) -> dict:
+    """Build the IVF×PQ index state — the ONE-TIME cost a production
+    deployment pays offline and persists: the centroid table, the shared
+    residual codebook, and the inverted lists ``(vec_id, cent_id, m
+    codes)``. Returns a dict of DataFrames + parameters for
+    ``ivfpq_query``; persist ``index['codes']`` (ideally partitioned or
+    bucketed by ``cent_id``) and every later query batch pays only the
+    probe-bounded search cost — the build/query split is the operational
+    point of the index (the 1M-vector probe measures them separately).
     """
     if dim % m:
         raise ValueError("dim must divide into m sub-spaces")
@@ -347,6 +319,40 @@ def ivfpq_topk(
             ).alias("_codes")
         )
     )
+    return {
+        "cent": cent,
+        "cbm": cbm,
+        "codes": codes,
+        "corpus_d": corpus_d,
+        "m": m,
+        "n_codes": n_codes,
+        "sub": sub,
+        "id_col": id_col,
+    }
+
+
+def ivfpq_query(
+    index: dict,
+    queries: DataFrame,
+    nprobe: int = 4,
+    k: int = 3,
+    rerank: int = 0,
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """The per-batch search half of IVF×PQ: probe ``nprobe`` cells, build
+    per-(query, cell) ADC lookup tables (broadcast), and rank ONLY the codes
+    of the probed cells — the cell-restricted join on ``cent_id`` is the
+    pruning. ``rerank=R`` fetches R true vectors per query for exact
+    re-ranking. Cost is probe-bounded: nothing here scans the corpus."""
+    cent, cbm, codes = index["cent"], index["cbm"], index["codes"]
+    m, n_codes, sub, id_col = index["m"], index["n_codes"], index["sub"], index["id_col"]
+    dbl = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    ms = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("m")
+
+    def subvec(col):
+        return F.slice(col, F.col("m") * sub + 1, sub)
+
     # probe: nprobe nearest cells per query, with per-cell query residuals
     qd = queries.select(q_id_col, dbl(F.col(q_vec_col)).alias("_q"))
     w_probe = Window.partitionBy(q_id_col).orderBy("_cd", "cent_id")
@@ -403,9 +409,13 @@ def ivfpq_topk(
     shortlist = (
         adc.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= rerank).drop("_rn")
     )
-    vecs = corpus_d.select(F.col(id_col).alias("neighbor_id"), F.col("_v").alias("_nv"))
+    vecs = index["corpus_d"].select(
+        F.col(id_col).alias("neighbor_id"), F.col("_v").alias("_nv")
+    )
+    # broadcast the R×Q shortlist (small by construction) so the corpus
+    # vector fetch is a map-side semi-join — never a corpus shuffle
     exact = (
-        shortlist.join(vecs, "neighbor_id")
+        vecs.join(F.broadcast(shortlist), "neighbor_id")
         .join(F.broadcast(qd), q_id_col)
         .withColumn("exact_dist", F.round(_sq_l2(F.col("_nv"), F.col("_q")), 6))
     )
@@ -415,6 +425,60 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select(q_id_col, "neighbor_id", "approx_dist", "exact_dist", "rank")
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    k: int = 3,
+    dim: int = 64,
+    rerank: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """IVF×PQ — the standard billion-to-trillion-scale ANN index (IVFADC,
+    Jégou et al. 2011): coarse cells prune the search, residual product
+    quantization compresses what remains. This composition removes the last
+    scale-killer the flat tiers carry: ``pq_topk``'s ADC scans EVERY code
+    row per query; here a query's ADC touches only the codes of its
+    ``nprobe`` probed cells — cost is probe-bounded (nprobe/n_centroids of
+    the corpus per query), and the per-doc footprint stays ``m`` small ints.
+
+    One-shot convenience over the production pair ``ivfpq_build`` (one-time,
+    persist the inverted lists) + ``ivfpq_query`` (per batch,
+    probe-bounded) — composing them is plan-identical to this call.
+
+    Deterministic, engine-portable model (the discipline of
+    ``ivf_cosine_topk``/``pq_topk``): centroids are the ``n_centroids``
+    corpus vectors with smallest md5(vec_id); the ONE shared PQ codebook is
+    the residuals of the ``n_codes`` smallest-md5 docs (k-means refinement
+    of either drops in without changing the plan). Assignment and probing
+    use squared-L2 (the residual metric); every distance rounds to 6 before
+    each argmin/rank; ADC folds in fixed m-order.
+
+    Scale shape — all joins are keyed or broadcast, nothing scans the
+    corpus per query:
+
+    - assignment: one corpus pass against the broadcast centroid set;
+      persisted state is (vec_id, cent_id, m codes) — the inverted lists;
+    - query side: probe table is queries × nprobe rows; the per-(query,
+      cell) distance tables (m·n_codes lookups each) BROADCAST;
+    - ADC: ``codes ⋈ qtab on cent_id`` — the cell-restricted scan. With the
+      codes table bucketed/partitioned by cent_id this join is
+      exchange-free on the big side;
+    - ``rerank=R`` fetches true vectors for R rows per query (never the
+      corpus) and re-ranks by exact squared-L2, exactly as ``pq_topk``.
+
+    Output: (q_id, neighbor_id, approx_dist[, exact_dist], rank).
+    """
+    index = ivfpq_build(corpus, n_centroids, m, n_codes, dim, id_col, vec_col)
+    return ivfpq_query(index, queries, nprobe, k, rerank, q_id_col, q_vec_col)
 
 
 def _sq_l2(a, b):
@@ -651,8 +715,10 @@ def pq_topk(
     qv = queries.select(
         q_id_col, F.transform(F.col(q_vec_col), lambda x: x.cast("double")).alias("_qv")
     )
+    # broadcast the R×Q shortlist so the true-vector fetch is a map-side
+    # semi-join over the corpus — never a corpus shuffle
     exact = (
-        shortlist.join(vecs, "neighbor_id")
+        vecs.join(F.broadcast(shortlist), "neighbor_id")
         .join(F.broadcast(qv), q_id_col)
         .withColumn("exact_dist", F.round(_sq_l2(F.col("_nv"), F.col("_qv")), 6))
     )

@@ -47,6 +47,8 @@ INTERESTING = [
     "pack_sequences",
     "training_recipe_v2",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "contamination_report_shuffle",
     "snapshot_diff",
     "incremental_dedup",
 ]
