@@ -236,6 +236,105 @@ def ivf_cosine_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def train_ivfpq_model(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 4096,
+    iters: int = 20,
+    seed: int = 11,
+) -> tuple[DataFrame, DataFrame]:
+    """K-means-trained IVF×PQ model: (centroids, residual_codebook) for
+    ``ivfpq_build(centroids=..., codebook=...)`` — zero plan change
+    downstream, same discipline as ``train_pq_codebook`` (data-derived
+    sample + seeds, in-group re-sort, lexicographically stable labels).
+
+    Training runs entirely on the md5-smallest ``sample_size`` docs:
+    one single-group k-means over full vectors for the coarse centroids,
+    then an in-plan assignment of the SAME sample to those centroids, then
+    one k-means per sub-space over the sample residuals. Iterative ⇒ not
+    SQL-expressible; contracts are pytest-verified (capture + determinism).
+
+    Returns (centroids: (cent_id, cent_vec), codebook: (m, code, center)).
+    Trained centroids are synthetic points (cent_id = 1..K), so
+    ``ivfpq_build`` skips its centroid-doc codebook exclusion for them.
+    """
+    if dim % m:
+        raise ValueError("dim must divide into m sub-spaces")
+    sub = dim // m
+    md5_id = F.md5(F.col(id_col).cast("string"))
+    samp = (
+        corpus.select(
+            md5_id.alias("_ord"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+        )
+        .orderBy("_ord")
+        .limit(sample_size)
+        .localCheckpoint(eager=True)  # two consumers: centroid fit + residuals
+    )
+
+    def fit_cents(pdf):
+        import pandas as pd
+
+        from ..functions.kmeans import kmeans_fit
+
+        pdf = pdf.sort_values("_ord")
+        X = np.array(pdf["_v"].tolist(), dtype=np.float64)
+        C = kmeans_fit(X, n_centroids, iters, seed)
+        return pd.DataFrame(
+            {
+                "cent_id": np.arange(1, len(C) + 1),
+                "cent_vec": [[float(x) for x in c] for c in C],
+            }
+        )
+
+    cents = (
+        samp.withColumn("_g", F.lit(0))
+        .groupBy("_g")
+        .applyInPandas(fit_cents, "cent_id long, cent_vec array<double>")
+        .localCheckpoint(eager=True)
+    )
+    # assign the sample to the trained centroids (in-plan) → residuals
+    w_assign = Window.partitionBy("_ord").orderBy("_cd", "cent_id")
+    residuals = (
+        samp.crossJoin(F.broadcast(cents))
+        .withColumn("_cd", F.round(_sq_l2(F.col("_v"), F.col("cent_vec")), 6))
+        .withColumn("_rn", F.row_number().over(w_assign))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "_ord", F.zip_with(F.col("_v"), F.col("cent_vec"), lambda x, y: x - y).alias("_r")
+        )
+    )
+    ms = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("m")
+    rows = residuals.select("_ord", "_r", ms).select(
+        "_ord", "m", F.slice(F.col("_r"), F.col("m") * sub + 1, sub).alias("_vs")
+    )
+
+    def fit_cb(pdf):
+        import pandas as pd
+
+        from ..functions.kmeans import kmeans_fit
+
+        pdf = pdf.sort_values("_ord")
+        X = np.array(pdf["_vs"].tolist(), dtype=np.float64)
+        mm = int(pdf["m"].iloc[0])
+        C = kmeans_fit(X, n_codes, iters, seed * 1000 + mm)
+        return pd.DataFrame(
+            {
+                "m": mm,
+                "code": np.arange(1, len(C) + 1),
+                "center": [[float(x) for x in c] for c in C],
+            }
+        )
+
+    codebook = rows.groupBy("m").applyInPandas(fit_cb, "m int, code int, center array<double>")
+    return cents, codebook
+
+
 def ivfpq_build(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -244,6 +343,8 @@ def ivfpq_build(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    codebook: DataFrame | None = None,
 ) -> dict:
     """Build the IVF×PQ index state — the ONE-TIME cost a production
     deployment pays offline and persists: the centroid table, the shared
@@ -253,6 +354,10 @@ def ivfpq_build(
     bucketed by ``cent_id``) and every later query batch pays only the
     probe-bounded search cost — the build/query split is the operational
     point of the index (the 1M-vector probe measures them separately).
+
+    ``centroids``/``codebook`` accept a k-means model from
+    ``train_ivfpq_model`` — zero plan change; defaults stay the
+    deterministic md5-sample model (the SQL-oracle-checkable one).
     """
     if dim % m:
         raise ValueError("dim must divide into m sub-spaces")
@@ -260,12 +365,18 @@ def ivfpq_build(
     dbl = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
     corpus_d = corpus.select(id_col, dbl(F.col(vec_col)).alias("_v"))
     md5_id = F.md5(F.col(id_col).cast("string"))
-    cent = (
-        corpus_d.orderBy(md5_id)
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("cent_id"), F.col("_v").alias("_cv"))
-        .localCheckpoint(eager=True)  # ≤ n_centroids rows, two consumers
-    )
+    sampled_centroids = centroids is None
+    if sampled_centroids:
+        cent = (
+            corpus_d.orderBy(md5_id)
+            .limit(n_centroids)
+            .select(F.col(id_col).alias("cent_id"), F.col("_v").alias("_cv"))
+            .localCheckpoint(eager=True)  # ≤ n_centroids rows, two consumers
+        )
+    else:
+        cent = centroids.select(
+            "cent_id", F.col("cent_vec").alias("_cv")
+        ).localCheckpoint(eager=True)
     # assignment + residuals: one corpus pass, broadcast argmin
     w_assign = Window.partitionBy(id_col).orderBy("_cd", "cent_id")
     assign = (
@@ -280,29 +391,39 @@ def ivfpq_build(
         )
         .localCheckpoint(eager=True)  # residuals feed codebook + encoding
     )
-    # shared residual codebook (sample; k-means would train it). Centroid
-    # docs are excluded: each is its own nearest centroid, so its residual
-    # is the ZERO vector — and the smallest-md5 docs are exactly the
-    # centroid picks (same ordering), which would collapse the whole
-    # codebook to zeros and every doc to one code
-    cb = (
-        assign.join(
-            F.broadcast(cent.select(F.col("cent_id").alias(id_col))), id_col, "left_anti"
-        )
-        .orderBy(md5_id)
-        .limit(n_codes)
-        .withColumn("code", F.row_number().over(Window.orderBy(md5_id)))
-        .localCheckpoint(eager=True)
-    )
-    n_codes = cb.count()  # degrade gracefully when the corpus is tiny
     ms = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("m")
 
     def subvec(col):
         return F.slice(col, F.col("m") * sub + 1, sub)
 
-    cbm = cb.select("code", F.col("_r").alias("_cr"), ms).select(
-        "code", "m", subvec(F.col("_cr")).alias("_cs")
-    )
+    if codebook is not None:
+        cbm = codebook.select(
+            "code", "m", F.col("center").alias("_cs")
+        ).localCheckpoint(eager=True)
+        n_codes = cbm.agg(F.max("code")).collect()[0][0]
+    else:
+        # shared residual codebook (sample; train_ivfpq_model trains it).
+        # With SAMPLED centroids, centroid docs are excluded: each is its
+        # own nearest centroid, so its residual is the ZERO vector — and
+        # the smallest-md5 docs are exactly the centroid picks (same
+        # ordering), which would collapse the whole codebook to zeros and
+        # every doc to one code. Trained centroids are synthetic points
+        # (cent_id 1..K, no doc is its own centroid), so no exclusion.
+        cb_src = assign
+        if sampled_centroids:
+            cb_src = assign.join(
+                F.broadcast(cent.select(F.col("cent_id").alias(id_col))), id_col, "left_anti"
+            )
+        cb = (
+            cb_src.orderBy(md5_id)
+            .limit(n_codes)
+            .withColumn("code", F.row_number().over(Window.orderBy(md5_id)))
+            .localCheckpoint(eager=True)
+        )
+        n_codes = cb.count()  # degrade gracefully when the corpus is tiny
+        cbm = cb.select("code", F.col("_r").alias("_cr"), ms).select(
+            "code", "m", subvec(F.col("_cr")).alias("_cs")
+        )
     # encode: corpus residual sub-vectors → nearest code per (doc, m)
     w_enc = Window.partitionBy(id_col, "m").orderBy("dist", "code")
     codes = (

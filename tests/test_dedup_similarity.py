@@ -576,3 +576,57 @@ def test_kmeans_kernel_degenerate_inputs():
     # determinism for fixed seed
     X3 = np.random.RandomState(5).standard_normal((50, 4))
     assert np.array_equal(kmeans_fit(X3, 8, seed=3), kmeans_fit(X3, 8, seed=3))
+
+
+def test_trained_ivfpq_model_contracts(spark):
+    """train_ivfpq_model (k-means centroids + residual codebook) drops into
+    ivfpq_build with zero plan change, keeps high capture on clustered data
+    at a tight probe budget, and is bit-deterministic under repartitioning.
+
+    NOTE the honest scope: at toy scale, sampled centroids on tightly
+    clustered data are already near-optimal (any in-cluster doc ~is the
+    cluster center), so trained-beats-sample is NOT asserted for centroids
+    — that advantage appears with real scale/structure. The codebook-level
+    trained-beats-sample claim IS asserted (flat-PQ ADC test above)."""
+    import random as _r
+
+    from pyspark.sql import Window as W
+
+    rng = _r.Random(21)
+    centers = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(8)]
+    rows = []
+    i = 0
+    for ctr in centers:
+        for _ in range(15):
+            rows.append((i, [x + rng.gauss(0, 0.15) for x in ctr]))
+            i += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("d", similarity._sq_l2("embedding", "q_vec"))
+        .withColumn(
+            "r", F.row_number().over(W.partitionBy("q_id").orderBy(F.asc("d"), F.asc("vec_id")))
+        )
+        .filter("r <= 5")
+    )
+    true_top = {(r["q_id"], r["vec_id"]) for r in exact.collect()}
+    kw = dict(n_centroids=8, m=8, n_codes=16, dim=16)
+    cents, cbk = similarity.train_ivfpq_model(emb, **kw, iters=20, seed=11)
+    out = similarity.ivfpq_query(
+        similarity.ivfpq_build(emb, **kw, centroids=cents, codebook=cbk),
+        q, nprobe=2, k=5, rerank=30,
+    )
+    got = out.collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r["q_id"], []).append(r)
+    assert all(len(v) == 5 for v in per_q.values())  # zero-plan-change: full k
+    capture = len(true_top & {(r["q_id"], r["neighbor_id"]) for r in got}) / len(true_top)
+    assert capture >= 0.9, capture
+    c2, cb2 = similarity.train_ivfpq_model(emb.repartition(7), **kw, iters=20, seed=11)
+    assert sorted(map(tuple, cents.collect())) == sorted(map(tuple, c2.collect()))
+    assert sorted(map(tuple, cbk.collect())) == sorted(map(tuple, cb2.collect()))
