@@ -414,6 +414,28 @@ def incremental_dedup_pairs(
         eager=True
     )
 
+    pairs = _pairs_of_new_vs_old(
+        new_bands, old_bands, old_sigs.unionByName(new_sigs.select(*_SIG_COLS)),
+        threshold, p["num_hashes"],
+    ).localCheckpoint(eager=True)  # materialize BEFORE the index commit below
+    if update_index and new_sigs.limit(1).count() > 0:
+        _write_snapshot(
+            spark, new_sigs, new_bands, path, snapshot_id or "s" + uuid.uuid4().hex[:12]
+        )
+    return pairs
+
+
+def _pairs_of_new_vs_old(
+    new_bands: DataFrame,
+    old_bands: DataFrame,
+    all_sigs: DataFrame,
+    threshold: float,
+    num_hashes: int,
+) -> DataFrame:
+    """Candidate pairs touching at least one NEW doc (new⋈old on the band
+    key + new self-join), verified by signature agreement — one definition
+    shared by the batch incremental pass and the per-snapshot recompute
+    (``pairs_for_snapshot``), so the two cannot drift."""
     nb, ob = new_bands.alias("n"), old_bands.alias("o")
     vs_old = nb.join(
         ob,
@@ -432,11 +454,9 @@ def incremental_dedup_pairs(
         & (F.col("a._id") < F.col("b._id")),
     ).select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
     cand = vs_old.unionByName(vs_new).dropDuplicates(["id_a", "id_b"])
-
-    all_sigs = old_sigs.unionByName(new_sigs.select(*_SIG_COLS))
     sig_a = all_sigs.select(F.col("_id").alias("id_a"), F.col("signature").alias("_sa"))
     sig_b = all_sigs.select(F.col("_id").alias("id_b"), F.col("signature").alias("_sb"))
-    pairs = (
+    return (
         cand.join(sig_a, "id_a")
         .join(sig_b, "id_b")
         .select(
@@ -448,15 +468,44 @@ def incremental_dedup_pairs(
                     F.lit(0),
                     lambda acc, v: acc + v,
                 )
-                / F.lit(p["num_hashes"]),
+                / F.lit(num_hashes),
                 6,
             ).alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= threshold)
-        .localCheckpoint(eager=True)  # materialize BEFORE the index commit below
     )
-    if update_index and new_sigs.limit(1).count() > 0:
-        _write_snapshot(
-            spark, new_sigs, new_bands, path, snapshot_id or "s" + uuid.uuid4().hex[:12]
-        )
-    return pairs
+
+
+def pairs_for_snapshot(
+    spark: SparkSession,
+    path: str,
+    snapshot_id: str,
+    threshold: float = 0.5,
+    **params,
+) -> DataFrame:
+    """Recompute, FROM THE COMMITTED INDEX ALONE, the near-dup pairs a
+    snapshot produced when it was ingested: its band rows join against the
+    band rows of snapshots with lexicographically SMALLER ids (ingestion
+    order, when ids are ordered like the streaming twin's zero-padded
+    epoch ids — 'base' and 'compact-*' sort before 'e…') plus itself.
+
+    This is the crash-recovery read for the streaming twin: an epoch that
+    committed its index snapshot but died before writing its pairs output
+    gets bit-identical pairs without re-signaturing anything (signatures
+    are already in the index — comparability across runs is the pinned-
+    hash contract). Also an audit op: re-derive any epoch's verdicts.
+    """
+    p = {**INDEX_PARAMS, **params}
+    snaps = committed_snapshots(spark, path)
+    if snapshot_id not in snaps:
+        raise FileNotFoundError(f"snapshot {snapshot_id!r} not committed under {path}")
+    earlier = [s for s in snaps if s < snapshot_id]
+    bands = spark.read.parquet(f"{path}/bands").filter(F.col("snap").isin(snaps))
+    new_bands = bands.filter(F.col("snap") == snapshot_id).select(*_BAND_COLS)
+    old_bands = bands.filter(F.col("snap").isin(earlier)).select(*_BAND_COLS)
+    sigs = (
+        spark.read.parquet(f"{path}/sigs")
+        .filter(F.col("snap").isin(earlier + [snapshot_id]))
+        .select(*_SIG_COLS)
+    )
+    return _pairs_of_new_vs_old(new_bands, old_bands, sigs, threshold, p["num_hashes"])

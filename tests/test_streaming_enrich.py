@@ -225,3 +225,94 @@ def test_decontam_screen_stream_incremental(spark, tmp_path):
         .filter(f"coverage >= {DEFAULT_DROP_THRESHOLD}").collect()
     }
     assert batch_flagged == {2, 4}
+
+
+def test_dedup_index_stream_grows_index_and_heals_crash_window(spark, tmp_path):
+    """Streaming twin of the incremental dedup index: epochs commit pairs +
+    index snapshot exactly-once; the asymmetric crash window (index
+    committed, pairs not) heals via pairs_for_snapshot with bit-identical
+    output instead of a silently-empty replay."""
+    import os
+
+    import pytest
+
+    from batch_doc_vqa_spark.operators.dedup_index import (
+        build_dedup_index,
+        committed_snapshots,
+        incremental_dedup_pairs,
+        pairs_for_snapshot,
+        read_index_sigs,
+    )
+    from batch_doc_vqa_spark.streaming.dedup_index_stream import (
+        dedup_index_stream,
+        read_stream_pairs,
+    )
+
+    schema = "doc_id string, text string"
+    base_texts = {f"base{i}": " ".join(f"w{i}_{j}" for j in range(30)) for i in range(8)}
+    base = spark.createDataFrame(list(base_texts.items()), schema)
+    idx = str(tmp_path / "idx")
+    build_dedup_index(base, "doc_id", "text", idx)
+
+    src = tmp_path / "crawl_in"
+    out = str(tmp_path / "pairs_out")
+    ckpt = str(tmp_path / "pairs_ckpt")
+    # epoch 0: one exact dup of base0, one unique doc
+    spark.createDataFrame(
+        [("n0", base_texts["base0"]), ("n1", " ".join(f"u{j}" for j in range(30)))], schema
+    ).write.mode("append").parquet(str(src))
+    q = dedup_index_stream(spark, str(src), schema, idx, out, ckpt)
+    q.awaitTermination(120)
+    pairs0 = {(r["id_a"], r["id_b"]) for r in read_stream_pairs(spark, out).collect()}
+    assert pairs0 == {("base0", "n0")}
+    assert committed_snapshots(spark, idx) == ["base", "e00000000"]
+    assert read_index_sigs(spark, idx).count() == 10  # 8 base + 2 new
+
+    # epoch 1: dup of the EPOCH-0 doc — with a REAL injected crash in the
+    # asymmetric window (index snapshot committed, pairs output not): the
+    # query fails, the checkpoint does not advance
+    spark.createDataFrame([("m0", base_texts["base0"])], schema).write.mode("append").parquet(
+        str(src)
+    )
+    q2 = dedup_index_stream(spark, str(src), schema, idx, out, ckpt,
+                            _crash_after_index_commit={1})
+    with pytest.raises(Exception, match="fault injection"):
+        q2.awaitTermination(120)
+    # the window state: index grew, but epoch 1's pairs are uncommitted
+    assert "e00000001" in committed_snapshots(spark, idx)
+    assert not os.path.exists(f"{out}/_committed/e00000001")
+    pairs_now = {(r["id_a"], r["id_b"]) for r in read_stream_pairs(spark, out).collect()}
+    assert ("base0", "m0") not in pairs_now  # torn epoch invisible
+
+    # restart with the SAME checkpoint: batch 1 replays, its docs are
+    # already indexed, and the heal recomputes its pairs FROM THE INDEX —
+    # a naive replay would emit an empty set here (the silent-wrong case)
+    expected_e1 = {
+        (r["id_a"], r["id_b"], r["est_jaccard"])
+        for r in pairs_for_snapshot(spark, idx, "e00000001").collect()
+    }
+    q3 = dedup_index_stream(spark, str(src), schema, idx, out, ckpt)
+    q3.awaitTermination(120)
+    healed = {
+        (r["id_a"], r["id_b"], r["est_jaccard"])
+        for r in read_stream_pairs(spark, out)
+        .filter(F.col("run_id") == "e00000001").collect()
+    }
+    assert healed == expected_e1 and ("base0", "m0", 1.0) in healed and ("m0", "n0", 1.0) in healed
+    # the index never bloated across the replay
+    assert read_index_sigs(spark, idx).count() == 11
+    # streaming == batch: the union of epoch pairs equals running the batch
+    # incremental op over the same snapshots in order
+    idx2 = str(tmp_path / "idx2")
+    build_dedup_index(base, "doc_id", "text", idx2)
+    b0 = incremental_dedup_pairs(
+        spark, spark.createDataFrame(
+            [("n0", base_texts["base0"]), ("n1", " ".join(f"u{j}" for j in range(30)))], schema
+        ), "doc_id", "text", idx2, snapshot_id="e00000000")
+    b1 = incremental_dedup_pairs(
+        spark, spark.createDataFrame([("m0", base_texts["base0"])], schema),
+        "doc_id", "text", idx2, snapshot_id="e00000001")
+    batch_pairs = {(r["id_a"], r["id_b"]) for r in b0.collect()} | {
+        (r["id_a"], r["id_b"]) for r in b1.collect()}
+    stream_pairs = {(r["id_a"], r["id_b"]) for r in read_stream_pairs(spark, out).collect()}
+    assert stream_pairs == batch_pairs
