@@ -46,10 +46,15 @@ def kmeans_fit(X: np.ndarray, k: int, iters: int = 20, seed: int = 0) -> np.ndar
     for _ in range(iters):
         d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
         lab = d2.argmin(1)
+        # empty clusters reseed to the farthest points, each to a DISTINCT
+        # one: reseeding every empty cluster to the same argmax would fuse
+        # them into permanently duplicated centers (one lost code slot per
+        # collision)
+        far_order = iter(np.argsort(-d2.min(1)))
         moved = False
         for j in range(k):
             pts = X[lab == j]
-            nc = pts.mean(0) if len(pts) else X[d2.min(1).argmax()]
+            nc = pts.mean(0) if len(pts) else X[next(far_order)]
             if not np.array_equal(nc, C[j]):
                 C[j] = nc
                 moved = True

@@ -229,7 +229,7 @@ def compact_dedup_index(
     """
     p = {**INDEX_PARAMS, **params}
     snap = "compact-" + uuid.uuid4().hex[:12]
-    _acquire_lease(spark, path, {"snap": snap, "pre_markers": []})
+    _acquire_lease(spark, path, {"distinguished": snap, "pre_markers": []})
     # capture under the lease (markers committed between the first look and
     # the claim belong to the pre-set), then overwrite the held lease body
     # in place so recover adjudicates from the SAME set the live path uses
@@ -238,7 +238,9 @@ def compact_dedup_index(
 
     fs_l, lease = _fs(spark, f"{path}/_compact_lease")
     out_l = fs_l.create(lease, True)
-    out_l.write(bytearray(_json.dumps({"snap": snap, "pre_markers": pre_markers}).encode()))
+    out_l.write(
+        bytearray(_json.dumps({"distinguished": snap, "pre_markers": pre_markers}).encode())
+    )
     out_l.close()
     sigs = minhash_signatures(
         current_docs, id_col, text_col, p["n"], p["num_hashes"], p["seed"], p["base_hash"]
@@ -250,44 +252,18 @@ def compact_dedup_index(
     if _test_hook_before_swap is not None:
         _test_hook_before_swap()
 
-    fs, committed = _fs(spark, f"{path}/_committed")
-    nxt = _fs(spark, f"{path}/_committed_next")[1]
-    old = _fs(spark, f"{path}/_committed_old")[1]
-    for stale in (nxt, old):  # debris from a previously recovered compaction
-        if fs.exists(stale):
-            fs.delete(stale, True)
-    fs.mkdirs(nxt)
-    fs.create(_fs(spark, f"{path}/_committed_next/{snap}")[1], True).close()
-    if fs.exists(committed) and not fs.rename(committed, old):
-        raise IOError(f"compaction: could not move live marker dir aside at {path}")
-    if not fs.rename(nxt, committed):
-        raise IOError(
-            f"compaction: could not activate new marker dir at {path} "
-            "(run recover_dedup_index to roll back)"
-        )
-    # post-swap verification (the lease-race backstop): any marker in the
-    # aside dir that the pre-capture did not include is a concurrently
-    # committed snapshot the rebuild cannot contain — roll back, loudly.
-    racers = []
-    if fs.exists(old):
-        aside = sorted(s.getPath().getName() for s in fs.listStatus(old))
-        racers = [m for m in aside if m not in pre_markers]
-    if racers:
-        if not fs.delete(committed, True):
-            raise IOError(f"compaction rollback: could not retract marker dir at {path}")
-        if not fs.rename(old, committed):
-            raise IOError(
-                f"compaction rollback: could not restore marker dir at {path} "
-                "(run recover_dedup_index)"
-            )
-        _release_lease(spark, path)
+    from ..plans.publish import ConcurrentCommitError, swap_marker_dir
+
+    try:
+        # swap + post-swap racer verification + rollback: the shared
+        # maintenance-swap implementation (plans/publish.swap_marker_dir) —
+        # one definition for both marker-committed stores
+        swap_marker_dir(spark, path, [snap], pre_markers, "recover_dedup_index")
+    except ConcurrentCommitError as exc:
         raise ConcurrentSnapshotError(
-            f"snapshots {racers} committed during compaction of {path}; the "
-            "compaction rolled back and every committed snapshot is intact — "
-            "re-run compaction from a corpus state that includes them"
-        )
-    fs.delete(old, True)
-    _release_lease(spark, path)
+            f"{exc} — re-run compaction from a corpus state that includes "
+            "the preserved snapshots"
+        ) from exc
 
 
 def recover_dedup_index(spark: SparkSession, path: str) -> str:
@@ -303,59 +279,38 @@ def recover_dedup_index(spark: SparkSession, path: str) -> str:
       dir → ROLL BACK (restore aside, compaction loses); no racers →
       COMPLETE (drop aside dir);
     - live ``_committed`` missing or pre-swap: ROLL BACK (restore the aside
-      dir if the swap got that far; otherwise nothing moved).
+      dir, folding in any markers a mid-swap racer committed into a
+      recreated live dir; otherwise nothing moved).
+
+    Shared implementation: ``plans/publish.recover_marker_store``.
     """
-    lease = _read_lease(spark, path)
-    if lease is None:
-        return "clean"
-    snap, pre = lease["snap"], set(lease.get("pre_markers", []))
-    fs, committed = _fs(spark, f"{path}/_committed")
-    old = _fs(spark, f"{path}/_committed_old")[1]
-    nxt = _fs(spark, f"{path}/_committed_next")[1]
+    from ..plans.publish import recover_marker_store
 
-    live = (
-        sorted(s.getPath().getName() for s in fs.listStatus(committed))
-        if fs.exists(committed)
-        else []
-    )
-    if snap in live:  # swap happened
-        aside = (
-            sorted(s.getPath().getName() for s in fs.listStatus(old)) if fs.exists(old) else []
-        )
-        racers = [m for m in aside if m not in pre]
-        if racers:
-            fs.delete(committed, True)
-            if not fs.rename(old, committed):
-                raise IOError(f"recover: could not restore marker dir at {path}")
-            _release_lease(spark, path)
-            return f"rolled_back (preserved concurrent snapshots: {racers})"
-        if fs.exists(old):
-            fs.delete(old, True)
-        _release_lease(spark, path)
-        return "completed"
-    # swap incomplete: restore the aside dir if the live dir went missing
-    if not fs.exists(committed) and fs.exists(old):
-        if not fs.rename(old, committed):
-            raise IOError(f"recover: could not restore marker dir at {path}")
-    if fs.exists(nxt):
-        fs.delete(nxt, True)
-    _release_lease(spark, path)
-    return "rolled_back"
+    return recover_marker_store(spark, path)
 
 
-def vacuum_dedup_index(spark: SparkSession, path: str) -> list[str]:
+def vacuum_dedup_index(
+    spark: SparkSession, path: str, grace_seconds: int = 86400
+) -> list[str]:
     """Delete data dirs of snapshots no longer committed (superseded by a
     compaction, or torn) — the deferred-GC half of the compaction protocol
     (Iceberg's expire-snapshots). Refuses to run while a compaction lease
     exists: the in-flight (or crashed, unrecovered) compaction's aside state
     still references old snapshots. Run it once in-flight readers of the
-    pre-compaction view have drained. Returns the deleted snapshot ids."""
+    pre-compaction view have drained. Returns the deleted snapshot ids.
+
+    ``grace_seconds``: a marker-less snapshot dir modified within the
+    window is SKIPPED — it may be an in-flight ``_write_snapshot`` whose
+    marker has not landed yet (deleting it would commit a marker with no
+    data). Drop to 0 only when no writer can be active.
+    """
     if _read_lease(spark, path) is not None:
         raise CompactionInProgressError(
             f"vacuum refused: compaction lease held at {path} "
             "(finish or recover_dedup_index first)"
         )
     live = set(committed_snapshots(spark, path))
+    now_ms = spark._jvm.System.currentTimeMillis()
     deleted: list[str] = []
     for table in ("sigs", "bands"):
         tfs, tdir = _fs(spark, f"{path}/{table}")
@@ -363,10 +318,13 @@ def vacuum_dedup_index(spark: SparkSession, path: str) -> list[str]:
             continue
         for st in tfs.listStatus(tdir):
             name = st.getPath().getName()
-            if name.startswith("snap=") and name[len("snap="):] not in live:
-                tfs.delete(st.getPath(), True)
-                if name[len("snap="):] not in deleted:
-                    deleted.append(name[len("snap="):])
+            if not name.startswith("snap=") or name[len("snap="):] in live:
+                continue
+            if now_ms - st.getModificationTime() < grace_seconds * 1000:
+                continue  # possibly an in-flight commit — not torn, just young
+            tfs.delete(st.getPath(), True)
+            if name[len("snap="):] not in deleted:
+                deleted.append(name[len("snap="):])
     return sorted(deleted)
 
 
@@ -494,6 +452,14 @@ def pairs_for_snapshot(
     gets bit-identical pairs without re-signaturing anything (signatures
     are already in the index — comparability across runs is the pinned-
     hash contract). Also an audit op: re-derive any epoch's verdicts.
+
+    ORDERING CAVEAT: "earlier" is lexicographic on snapshot ids. That
+    matches ingestion order for the streaming twin's zero-padded epoch ids
+    (and 'base'/'compact-*' sort before 'e…'), but NOT for the batch op's
+    default random 's<uuid>' ids — an index mixing both schemes can make
+    this recompute diverge from what the original ingestion emitted (a
+    later-sorting batch snapshot is wrongly excluded). Use stable, sortable
+    snapshot_ids on any index the streaming twin serves.
     """
     p = {**INDEX_PARAMS, **params}
     snaps = committed_snapshots(spark, path)

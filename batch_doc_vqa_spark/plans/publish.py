@@ -103,7 +103,13 @@ def acquire_maintenance_lease(spark: SparkSession, root: str, payload: dict) -> 
     fs.mkdirs(lease.getParent())
     try:
         out = fs.create(lease, False)  # overwrite=False: atomic claim
-    except Exception as exc:  # Py4J wraps FileAlreadyExistsException
+    except Exception as exc:
+        # Py4J wraps the Java exception; only the already-exists condition
+        # means "lease held" — a permissions/IO fault must surface as
+        # itself, not as misleading recovery advice (the same blanket-catch
+        # mistake ADVICE r4 flagged on the resume path)
+        if "exist" not in str(exc).lower():
+            raise
         raise MaintenanceInProgressError(
             f"maintenance lease already held at {root}/_compact_lease — another "
             "compaction is running, or a crashed one left state behind "
@@ -152,70 +158,106 @@ def commit_marker(spark: SparkSession, out_dir: str, run_id: str) -> None:
     fs.create(marker, True).close()
 
 
-def _schema_store_path(out_dir: str, table: str) -> str:
-    return f"{out_dir}/_schema/{table}.json"
+def _schema_versions(spark: SparkSession, out_dir: str, table: str) -> list[tuple[int, str]]:
+    """Sorted (version, filename) of ``_schema/<table>.v<N>.json`` files."""
+    fs, sdir = _fs(spark, f"{out_dir}/_schema")
+    if not fs.exists(sdir):
+        return []
+    out = []
+    prefix = f"{table}.v"
+    for st in fs.listStatus(sdir):
+        name = st.getPath().getName()
+        if name.startswith(prefix) and name.endswith(".json"):
+            try:
+                out.append((int(name[len(prefix):-len(".json")]), name))
+            except ValueError:
+                continue
+    return sorted(out)
 
 
 def update_schema_store(spark: SparkSession, out_dir: str, table: str, schema) -> None:
-    """Persist the union of the store-level schema with ``schema``.
+    """Persist the union of the store-level schema with ``schema`` —
+    VERSIONED compare-and-swap, so concurrent publishers can never lose
+    each other's columns (a plain read-modify-write of one file would let
+    the last writer drop a column the other just committed — and an
+    explicit-schema read silently omits missing columns, unlike the old
+    per-read mergeSchema it replaces).
 
-    Maintained at commit time so reads never need ``mergeSchema`` (a
-    per-read parquet-footer fetch across EVERY run's files — O(runs) driver
-    work per read at many-run scale). The union is additive-only: a field
-    re-appearing with a different type raises — this emulation does not do
-    type-widening schema evolution (that is Iceberg's job). Written BEFORE
-    the run's marker: a torn run's extra nullable columns in the union are
-    harmless, while the reverse order could commit a run whose columns the
-    stored schema lacks."""
+    Protocol (the Iceberg metadata-versioning emulation): read the latest
+    ``_schema/<table>.v<N>.json``; if the union adds nothing, stop (no
+    version churn on ordinary publishes); else atomically create
+    ``v<N+1>`` with overwrite=False — a concurrent writer that claimed the
+    version first makes the create fail, and we re-read and retry on top
+    of ITS union. Old versions are pruned by vacuum.
+
+    The union is additive-only: a field re-appearing with a different type
+    raises — this emulation does not do type-widening evolution (that is
+    Iceberg's job). Written BEFORE the run's marker: a torn run's extra
+    nullable columns in the union are harmless, while the reverse order
+    could commit a run whose columns the stored schema lacks."""
     import json as _json
 
     from pyspark.sql.types import StructType
 
-    existing = read_schema_store(spark, out_dir, table)
-    if existing is not None:
-        by_name = {f.name: f for f in existing.fields}
-        for f in schema.fields:
-            prev = by_name.get(f.name)
-            if prev is None:
-                by_name[f.name] = f
-            elif prev.dataType != f.dataType:
-                raise ValueError(
-                    f"schema store {out_dir}/{table}: field {f.name!r} changed "
-                    f"type {prev.dataType} -> {f.dataType}; additive-only "
-                    "evolution is supported (use a new store or a real table "
-                    "format for type changes)"
-                )
-        merged = StructType(
-            [*existing.fields, *[f for f in schema.fields if f.name not in
-                                 {g.name for g in existing.fields}]]
-        )
-    else:
-        merged = schema
-    fs, jpath = _fs(spark, _schema_store_path(out_dir, table))
-    fs.mkdirs(jpath.getParent())
-    out = fs.create(jpath, True)
-    out.write(bytearray(_json.dumps(merged.jsonValue()).encode()))
-    out.close()
+    for _ in range(50):
+        versions = _schema_versions(spark, out_dir, table)
+        latest_n = versions[-1][0] if versions else 0
+        existing = read_schema_store(spark, out_dir, table)
+        if existing is not None:
+            by_name = {f.name: f for f in existing.fields}
+            for f in schema.fields:
+                prev = by_name.get(f.name)
+                if prev is not None and prev.dataType != f.dataType:
+                    raise ValueError(
+                        f"schema store {out_dir}/{table}: field {f.name!r} changed "
+                        f"type {prev.dataType} -> {f.dataType}; additive-only "
+                        "evolution is supported (use a new store or a real table "
+                        "format for type changes)"
+                    )
+            new_fields = [f for f in schema.fields if f.name not in by_name]
+            if not new_fields:
+                return  # union adds nothing — no new version
+            merged = StructType([*existing.fields, *new_fields])
+        else:
+            merged = schema
+        fs, jpath = _fs(spark, f"{out_dir}/_schema/{table}.v{latest_n + 1}.json")
+        fs.mkdirs(jpath.getParent())
+        try:
+            out = fs.create(jpath, False)  # overwrite=False: the CAS
+        except Exception as exc:
+            if "exist" not in str(exc).lower():
+                raise  # real IO fault — surface it, don't spin the loop
+            continue  # lost the version race — re-read and merge on top
+        out.write(bytearray(_json.dumps(merged.jsonValue()).encode()))
+        out.close()
+        return
+    raise IOError(
+        f"schema store {out_dir}/{table}: could not claim a version after 50 "
+        "attempts (pathological write contention)"
+    )
 
 
 def read_schema_store(spark: SparkSession, out_dir: str, table: str):
-    """The persisted store-level schema, or None (legacy store / first run)."""
+    """The latest READABLE persisted store-level schema, or None (no run
+    committed yet). A torn write of the newest version file falls back to
+    the version before it — never to None, which would make the next
+    update's union start from scratch and drop prior columns."""
     import json as _json
 
     from pyspark.sql.types import StructType
 
-    fs, jpath = _fs(spark, _schema_store_path(out_dir, table))
-    if not fs.exists(jpath):
-        return None
-    stream = fs.open(jpath)
-    try:
-        data = bytes(stream.readAllBytes())
-    finally:
-        stream.close()
-    try:
-        return StructType.fromJson(_json.loads(data.decode()))
-    except Exception:
-        return None  # corrupt store file → caller falls back to mergeSchema
+    for _, name in reversed(_schema_versions(spark, out_dir, table)):
+        fs, jpath = _fs(spark, f"{out_dir}/_schema/{name}")
+        stream = fs.open(jpath)
+        try:
+            data = bytes(stream.readAllBytes())
+        finally:
+            stream.close()
+        try:
+            return StructType.fromJson(_json.loads(data.decode()))
+        except Exception:
+            continue  # torn version file — try the one before it
+    return None
 
 
 def read_committed_table(spark: SparkSession, out_dir: str, table: str) -> DataFrame:
@@ -405,7 +447,7 @@ def compact_published_store(
     """
     compact_id = "compact" + uuid.uuid4().hex[:12]
     acquire_maintenance_lease(
-        spark, out_dir, {"compact_id": compact_id, "pre_markers": committed_publish_ids(spark, out_dir)}
+        spark, out_dir, {"distinguished": compact_id, "pre_markers": []}
     )
     pre = committed_publish_ids(spark, out_dir)  # re-capture under the lease
     # keep the lease body authoritative for recover: overwrite in place
@@ -415,7 +457,7 @@ def compact_published_store(
 
     fs_l, lease = _fs(spark, f"{out_dir}/_compact_lease")
     out_l = fs_l.create(lease, True)
-    out_l.write(bytearray(_json.dumps({"compact_id": compact_id, "pre_markers": pre}).encode()))
+    out_l.write(bytearray(_json.dumps({"distinguished": compact_id, "pre_markers": pre}).encode()))
     out_l.close()
     targets = list(run_ids) if run_ids is not None else list(pre)
     unknown = [r for r in targets if r not in pre]
@@ -446,63 +488,118 @@ def compact_published_store(
         _test_hook_before_swap()
 
     new_markers = sorted(set(pre) - set(targets)) + [compact_id]
-    fs, committed = _fs(spark, f"{out_dir}/_committed")
-    nxt = _fs(spark, f"{out_dir}/_committed_next")[1]
-    old = _fs(spark, f"{out_dir}/_committed_old")[1]
-    for stale in (nxt, old):
+    swap_marker_dir(spark, out_dir, new_markers, pre, "recover_published_store")
+    return compact_id
+
+
+def swap_marker_dir(
+    spark: SparkSession,
+    root: str,
+    new_markers: list[str],
+    pre_markers: list[str],
+    recover_name: str,
+) -> None:
+    """Replace ``{root}/_committed`` with ``new_markers`` — the ONE
+    maintenance-swap implementation every marker-committed store uses
+    (publish compaction here, index compaction in operators/dedup_index),
+    so the racer handling cannot drift between stores.
+
+    Caller must HOLD the maintenance lease with body
+    ``{"distinguished": <the new marker pre_markers lacks>, "pre_markers":
+    [...]}``; this function releases it on every exit path except a raised
+    IOError (crash-equivalent — ``recover_marker_store`` adjudicates).
+
+    Racer handling — a commit whose lease probe passed before the lease
+    landed can appear in THREE windows, all resolved as "the racer wins,
+    the maintenance pass rolls back, nothing is ever lost":
+
+    1. before the aside rename: its marker rides into ``_committed_old``
+       and the post-swap verification catches it (marker not in
+       ``pre_markers``) → rollback;
+    2. BETWEEN the two renames: ``commit_marker``'s mkdirs recreates the
+       live dir, so the activate rename fails → the racer's markers are
+       merged into the aside dir, the old set is restored, rollback;
+    3. after the activate rename: the marker lands in the NEW live dir —
+       visible, data intact, simply not part of the compacted partition
+       (for the publish store that is exactly right; the dedup index
+       additionally documents the possible duplicate-signature overlap).
+    """
+    fs, committed = _fs(spark, f"{root}/_committed")
+    nxt = _fs(spark, f"{root}/_committed_next")[1]
+    old = _fs(spark, f"{root}/_committed_old")[1]
+    for stale in (nxt, old):  # debris from a previously recovered pass
         if fs.exists(stale):
             fs.delete(stale, True)
     fs.mkdirs(nxt)
     for m in new_markers:
-        fs.create(_fs(spark, f"{out_dir}/_committed_next/{m}")[1], True).close()
-    if not fs.rename(committed, old):
-        raise IOError(f"compaction: could not move live marker dir aside at {out_dir}")
-    if not fs.rename(nxt, committed):
-        raise IOError(
-            f"compaction: could not activate new marker dir at {out_dir} "
-            "(run recover_published_store to roll back)"
-        )
-    racers = [
-        s.getPath().getName()
-        for s in fs.listStatus(old)
-        if s.getPath().getName() not in pre
-    ]
-    if racers:
-        if not fs.delete(committed, True):
-            raise IOError(f"compaction rollback: could not retract marker dir at {out_dir}")
+        fs.create(_fs(spark, f"{root}/_committed_next/{m}")[1], True).close()
+    if fs.exists(committed) and not fs.rename(committed, old):
+        raise IOError(f"maintenance swap: could not move live marker dir aside at {root}")
+
+    def _rollback(racers: list[str], where: str) -> None:
+        if fs.exists(committed) and not fs.delete(committed, True):
+            raise IOError(
+                f"maintenance rollback: could not retract marker dir at {root} "
+                f"(run {recover_name})"
+            )
         if not fs.rename(old, committed):
             raise IOError(
-                f"compaction rollback: could not restore marker dir at {out_dir} "
-                "(run recover_published_store)"
+                f"maintenance rollback: could not restore marker dir at {root} "
+                f"(run {recover_name})"
             )
-        release_maintenance_lease(spark, out_dir)
+        if fs.exists(nxt):
+            fs.delete(nxt, True)
+        release_maintenance_lease(spark, root)
         raise ConcurrentCommitError(
-            f"runs {sorted(racers)} committed during compaction of {out_dir}; "
-            "the compaction rolled back and every committed run is intact — "
-            "re-run compaction"
+            f"commits {sorted(racers)} landed {where} the maintenance swap of "
+            f"{root}; the pass rolled back and every committed marker is "
+            "intact — re-run it"
         )
-    fs.delete(old, True)
-    release_maintenance_lease(spark, out_dir)
-    return compact_id
+
+    if not fs.rename(nxt, committed):
+        if fs.exists(committed):
+            # window 2: a racer recreated the live dir mid-swap — fold its
+            # markers into the aside set so the rollback preserves them
+            racers = sorted(s.getPath().getName() for s in fs.listStatus(committed))
+            for m in racers:
+                fs.create(_fs(spark, f"{root}/_committed_old/{m}")[1], True).close()
+            _rollback(racers, "inside")
+        raise IOError(
+            f"maintenance swap: could not activate new marker dir at {root} "
+            f"(run {recover_name})"
+        )
+    aside = (
+        sorted(s.getPath().getName() for s in fs.listStatus(old)) if fs.exists(old) else []
+    )
+    racers = [m for m in aside if m not in pre_markers]
+    if racers:  # window 1
+        _rollback(racers, "before")
+    if fs.exists(old):
+        fs.delete(old, True)
+    release_maintenance_lease(spark, root)
 
 
-def recover_published_store(spark: SparkSession, out_dir: str) -> str:
-    """Adjudicate a crashed publish-store compaction: complete it or roll it
-    back, from the lease record. Idempotent; 'clean' when nothing is wrong.
-    Mirrors operators/dedup_index.recover_dedup_index."""
-    lease = read_maintenance_lease(spark, out_dir)
+def recover_marker_store(spark: SparkSession, root: str) -> str:
+    """Adjudicate a crashed maintenance swap from the lease record:
+    complete it or roll it back. Idempotent; 'clean' when nothing is wrong.
+    ONE implementation for every marker-committed store (publish archive,
+    dedup index). A mid-swap racer's markers found in a live dir the
+    distinguished marker never reached are merged into the restored set —
+    committed markers are never stranded in ``_committed_old``."""
+    lease = read_maintenance_lease(spark, root)
     if lease is None:
         return "clean"
-    compact_id, pre = lease["compact_id"], set(lease.get("pre_markers", []))
-    fs, committed = _fs(spark, f"{out_dir}/_committed")
-    old = _fs(spark, f"{out_dir}/_committed_old")[1]
-    nxt = _fs(spark, f"{out_dir}/_committed_next")[1]
+    dist = lease.get("distinguished") or lease.get("compact_id") or lease.get("snap")
+    pre = set(lease.get("pre_markers", []))
+    fs, committed = _fs(spark, f"{root}/_committed")
+    old = _fs(spark, f"{root}/_committed_old")[1]
+    nxt = _fs(spark, f"{root}/_committed_next")[1]
     live = (
         sorted(s.getPath().getName() for s in fs.listStatus(committed))
         if fs.exists(committed)
         else []
     )
-    if compact_id in live:  # swap happened
+    if dist in live:  # swap happened
         aside = (
             sorted(s.getPath().getName() for s in fs.listStatus(old)) if fs.exists(old) else []
         )
@@ -510,32 +607,54 @@ def recover_published_store(spark: SparkSession, out_dir: str) -> str:
         if racers:
             fs.delete(committed, True)
             if not fs.rename(old, committed):
-                raise IOError(f"recover: could not restore marker dir at {out_dir}")
-            release_maintenance_lease(spark, out_dir)
-            return f"rolled_back (preserved concurrent runs: {sorted(racers)})"
+                raise IOError(f"recover: could not restore marker dir at {root}")
+            release_maintenance_lease(spark, root)
+            return f"rolled_back (preserved concurrent commits: {sorted(racers)})"
         if fs.exists(old):
             fs.delete(old, True)
-        release_maintenance_lease(spark, out_dir)
+        release_maintenance_lease(spark, root)
         return "completed"
-    if not fs.exists(committed) and fs.exists(old):
+    # swap incomplete (or mid-swap racer crash): restore the aside set,
+    # folding in any markers a racer committed into a recreated live dir
+    if fs.exists(old):
+        for m in live:
+            fs.create(_fs(spark, f"{root}/_committed_old/{m}")[1], True).close()
+        if fs.exists(committed):
+            fs.delete(committed, True)
         if not fs.rename(old, committed):
-            raise IOError(f"recover: could not restore marker dir at {out_dir}")
+            raise IOError(f"recover: could not restore marker dir at {root}")
     if fs.exists(nxt):
         fs.delete(nxt, True)
-    release_maintenance_lease(spark, out_dir)
+    release_maintenance_lease(spark, root)
     return "rolled_back"
 
 
-def vacuum_published_store(spark: SparkSession, out_dir: str) -> list[str]:
+def recover_published_store(spark: SparkSession, out_dir: str) -> str:
+    """Adjudicate a crashed publish-store compaction (see
+    ``recover_marker_store`` — the shared implementation)."""
+    return recover_marker_store(spark, out_dir)
+
+
+def vacuum_published_store(
+    spark: SparkSession, out_dir: str, grace_seconds: int = 86400
+) -> list[str]:
     """Delete run directories whose marker is gone (compacted away, or torn
     runs that never committed) — the deferred-GC half of compaction. Refuses
-    under a live lease. Returns the removed run_ids."""
+    under a live lease. Returns the removed run_ids.
+
+    ``grace_seconds`` (Iceberg/Delta vacuum-retention analogue): a
+    marker-less directory modified within the window is SKIPPED — it may be
+    an IN-FLIGHT publish that has written data but not yet committed its
+    marker; deleting it would leave a committed run with missing data.
+    Only drop the grace (0) when no writer can be active.
+    """
     if read_maintenance_lease(spark, out_dir) is not None:
         raise MaintenanceInProgressError(
             f"vacuum refused: maintenance lease held at {out_dir} "
             "(finish or recover_published_store first)"
         )
     live = set(committed_publish_ids(spark, out_dir))
+    now_ms = spark._jvm.System.currentTimeMillis()
     deleted: list[str] = []
     for table in ("published", "quarantine"):
         tfs, tdir = _fs(spark, f"{out_dir}/{table}")
@@ -543,8 +662,37 @@ def vacuum_published_store(spark: SparkSession, out_dir: str) -> list[str]:
             continue
         for st in tfs.listStatus(tdir):
             name = st.getPath().getName()
-            if name.startswith("run_id=") and name[len("run_id="):] not in live:
-                tfs.delete(st.getPath(), True)
-                if name[len("run_id="):] not in deleted:
-                    deleted.append(name[len("run_id="):])
+            if not name.startswith("run_id=") or name[len("run_id="):] in live:
+                continue
+            if now_ms - st.getModificationTime() < grace_seconds * 1000:
+                continue  # possibly an in-flight commit — not torn, just young
+            tfs.delete(st.getPath(), True)
+            if name[len("run_id="):] not in deleted:
+                deleted.append(name[len("run_id="):])
+    # prune superseded schema versions: keep everything from the latest
+    # READABLE version up (a torn newest file must keep its predecessor)
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    for table in ("published", "quarantine"):
+        versions = _schema_versions(spark, out_dir, table)
+        keep_from = None
+        for n, name in reversed(versions):
+            fs, jpath = _fs(spark, f"{out_dir}/_schema/{name}")
+            stream = fs.open(jpath)
+            try:
+                data = bytes(stream.readAllBytes())
+            finally:
+                stream.close()
+            try:
+                StructType.fromJson(_json.loads(data.decode()))
+                keep_from = n
+                break
+            except Exception:
+                continue
+        for n, name in versions:
+            if keep_from is not None and n < keep_from:
+                fs, jpath = _fs(spark, f"{out_dir}/_schema/{name}")
+                fs.delete(jpath, False)
     return sorted(deleted)

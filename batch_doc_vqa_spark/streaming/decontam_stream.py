@@ -58,9 +58,12 @@ def decontam_screen_stream(
         if fs.exists(marker):  # replay of a committed epoch / stale archive
             return
         # materialized once: the report feeds both the anti-join build side
-        # and the contaminated-table write
+        # and the contaminated-table write. strategy pinned to 'broadcast':
+        # the eval set is localCheckpointed once for the whole run, and
+        # 'auto' would re-count its n-gram rows as an extra job EVERY epoch
         report = contamination_report(
-            batch, id_col, text_col, bench, "bench_id", "bench_text", n=n
+            batch, id_col, text_col, bench, "bench_id", "bench_text", n=n,
+            strategy="broadcast",
         ).localCheckpoint(eager=True)
         flagged = (
             report.filter(F.col("coverage") >= threshold)

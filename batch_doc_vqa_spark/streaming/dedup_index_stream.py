@@ -70,12 +70,37 @@ def dedup_index_stream(
         fs, marker = _fs(sess, f"{out_dir}/_committed/{run_id}")
         if fs.exists(marker):  # replay of a fully committed epoch
             return
-        if run_id in committed_snapshots(sess, index_path):
+        snaps = committed_snapshots(sess, index_path)
+        if run_id in snaps:
             # crashed between the index commit and the pairs write: the
             # docs are already indexed, so recompute the pairs from the
             # index (bit-identical — same signatures, same band joins)
             pairs = pairs_for_snapshot(sess, index_path, run_id, threshold, **params)
         else:
+            if any(s.startswith("compact") for s in snaps):
+                # a compaction folded snapshot history. If THIS epoch's
+                # docs were all absorbed by it (epoch crashed in the
+                # window, then someone compacted before restart), the
+                # incremental pass would anti-join them away and commit an
+                # EMPTY pair set — silently wrong. Detect and fail loudly:
+                # an uncommitted epoch whose docs are all already indexed
+                # under a compacted history is unrecoverable here.
+                from ..operators.dedup_index import read_index_sigs
+
+                n_batch = batch.count()
+                indexed_ids = read_index_sigs(sess, index_path).select("_id")
+                n_already = batch.join(
+                    indexed_ids, batch[id_col] == indexed_ids["_id"], "left_semi"
+                ).count()
+                if n_batch > 0 and n_already == n_batch:
+                    raise RuntimeError(
+                        f"epoch {run_id}: all {n_batch} docs are already in the "
+                        f"index, the epoch never committed its pairs, and the "
+                        "index history was compacted — the epoch's pairs cannot "
+                        "be recomputed. Do not compact the index while the "
+                        "stream has uncommitted epochs; reset the pairs store "
+                        "or re-ingest from a fresh source directory."
+                    )
             pairs = incremental_dedup_pairs(
                 sess, batch, id_col, text_col, index_path, threshold,
                 update_index=True, snapshot_id=run_id, **params,

@@ -55,3 +55,15 @@ def test_bench_suite_covers_only_registered_queries():
 
     missing = [q for q in BENCH_QUERIES if q not in entry.queries()]
     assert not missing, f"bench.py names unregistered queries: {missing}"
+
+
+def test_readme_counts_match_source():
+    """README's headline counts must not drift from the source either
+    (review r5: README said 228 while the machine-checked line said 230)."""
+    with open(os.path.join(REPO, "README.md")) as f:
+        doc = f.read()
+    actual = _source_totals()
+    m = re.search(r"(\d+) pytest\s+tests", doc)
+    assert m and int(m.group(1)) == actual["tests"], (m and m.group(1), actual["tests"])
+    m = re.search(r"Correctness: (\d+) driver-contract queries, \*\*(\d+) with", doc)
+    assert m and (int(m.group(1)), int(m.group(2))) == (actual["queries"], actual["oracles"])

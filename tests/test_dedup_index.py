@@ -299,7 +299,12 @@ def test_vacuum_reclaims_only_uncommitted_snapshots(spark, corpora, tmp_path):
     with pytest.raises(CompactionInProgressError):
         vacuum_dedup_index(spark, path)
     _release_lease(spark, path)
-    deleted = vacuum_dedup_index(spark, path)
+    # the default retention grace protects a marker-less dir that might be
+    # an IN-FLIGHT commit (data written, marker not yet landed): these dirs
+    # are seconds old, so the default-grace vacuum must not touch them
+    assert vacuum_dedup_index(spark, path) == []
+    assert os.path.isdir(f"{path}/sigs/snap=base")
+    deleted = vacuum_dedup_index(spark, path, grace_seconds=0)
     assert set(deleted) == {"base", "snapV"}
     assert not os.path.isdir(f"{path}/sigs/snap=base")
     assert read_index_sigs(spark, path).count() == 30 + new.count()  # live snapshot intact

@@ -630,3 +630,17 @@ def test_trained_ivfpq_model_contracts(spark):
     c2, cb2 = similarity.train_ivfpq_model(emb.repartition(7), **kw, iters=20, seed=11)
     assert sorted(map(tuple, cents.collect())) == sorted(map(tuple, c2.collect()))
     assert sorted(map(tuple, cbk.collect())) == sorted(map(tuple, cb2.collect()))
+
+
+def test_kmeans_recovers_all_clusters_from_duplicate_heavy_input():
+    """Empty clusters reseed to DISTINCT farthest points: duplicate-heavy
+    input with exactly k value groups must yield k distinct centers, never
+    fused duplicates (review r5: same-argmax reseeding lost code slots)."""
+    import numpy as np
+
+    from batch_doc_vqa_spark.functions.kmeans import kmeans_fit
+
+    X = np.array([[0.0, 0.0]] * 5 + [[10.0, 10.0]] * 5 + [[20.0, 20.0]] * 5)
+    for seed in range(8):
+        C = kmeans_fit(X, 3, seed=seed)
+        assert len(np.unique(np.round(C, 6), axis=0)) == 3, (seed, C)

@@ -59,7 +59,7 @@ def test_compaction_preserves_output_and_shrinks_markers(spark, tmp_path):
     assert run_ids == {"r1", "r2", "r3"}
 
     # vacuum reclaims the superseded run dirs; output still identical
-    deleted = vacuum_published_store(spark, out)
+    deleted = vacuum_published_store(spark, out, grace_seconds=0)
     assert set(deleted) == {"r1", "r2"}
     assert not os.path.isdir(f"{out}/published/run_id=r1")
     assert _rows(read_published(spark, out)) == pub_before
@@ -67,7 +67,7 @@ def test_compaction_preserves_output_and_shrinks_markers(spark, tmp_path):
 
     # a full re-compaction (everything incl. the prior compact partition)
     cid2 = compact_published_store(spark, out)
-    vacuum_published_store(spark, out)
+    vacuum_published_store(spark, out, grace_seconds=0)
     assert committed_publish_ids(spark, out) == [cid2]
     assert _rows(read_published(spark, out)) == pub_before
 
@@ -135,7 +135,7 @@ def test_store_compaction_rolls_back_on_racing_run(spark, tmp_path):
     assert _rows(pub.filter("run_id != 'racer'")) == pub_before
 
     cid = compact_published_store(spark, out)
-    vacuum_published_store(spark, out)
+    vacuum_published_store(spark, out, grace_seconds=0)
     assert committed_publish_ids(spark, out) == [cid]
     assert {r["doc_id"] for r in read_published(spark, out).collect()} >= {"dr", "d1a"}
 
@@ -163,8 +163,97 @@ def test_recover_store_after_crashes(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         read_published(spark, out)  # loud, never silently empty
     with pytest.raises(MaintenanceInProgressError):
-        vacuum_published_store(spark, out)  # vacuum refuses mid-crash
+        vacuum_published_store(spark, out, grace_seconds=0)  # vacuum refuses mid-crash
     assert recover_published_store(spark, out) == "rolled_back"
     assert committed_publish_ids(spark, out) == ["r1", "r2", "r3"]
     assert _rows(read_published(spark, out)) == pub_before
     assert recover_published_store(spark, out) == "clean"
+
+
+def test_schema_store_versioned_cas_never_loses_columns(spark, tmp_path):
+    """Interleaved updates (the concurrent-publishers shape): a writer that
+    reads the store BEFORE another writer's new column lands must not
+    clobber it — the versioned create-if-absent CAS forces the loser to
+    re-merge on top of the winner (review r5 finding: the plain
+    read-modify-write dropped committed columns from explicit-schema
+    reads)."""
+    from batch_doc_vqa_spark.plans.publish import update_schema_store
+
+    out = str(tmp_path / "cas")
+    base = spark.createDataFrame([("d", "t")], "doc_id string, text string").schema
+    update_schema_store(spark, out, "published", base)
+
+    # simulate the race: writer A claims the next version with column_a
+    # while writer B (who read the store before A) then writes column_b
+    a = spark.createDataFrame([("d", "t", 1)], "doc_id string, text string, column_a int").schema
+    b = spark.createDataFrame([("d", "t", 2)], "doc_id string, text string, column_b int").schema
+    # A wins the version race by writing first; B's create of the same
+    # version number fails and B retries on top of A's union
+    update_schema_store(spark, out, "published", a)
+    update_schema_store(spark, out, "published", b)
+    stored = read_schema_store(spark, out, "published")
+    assert {"column_a", "column_b"} <= set(stored.fieldNames())
+
+    # no-op unions create no version churn
+    from batch_doc_vqa_spark.plans.publish import _schema_versions
+
+    n_before = len(_schema_versions(spark, out, "published"))
+    update_schema_store(spark, out, "published", a)
+    assert len(_schema_versions(spark, out, "published")) == n_before
+
+    # a torn latest version falls back to its predecessor, and the union
+    # keeps building on the readable state
+    latest = _schema_versions(spark, out, "published")[-1]
+    with open(f"{out}/_schema/published.v{latest[0] + 1}.json", "w") as f:
+        f.write("{torn")
+    stored2 = read_schema_store(spark, out, "published")
+    assert set(stored2.fieldNames()) == set(stored.fieldNames())
+
+
+def test_vacuum_grace_protects_in_flight_runs(spark, tmp_path):
+    """A marker-less run directory younger than the retention grace is an
+    in-flight publish, not a torn run — default-grace vacuum must skip it
+    (review r5 finding: deleting it yields a committed run with no data)."""
+    out = str(tmp_path / "grace")
+    _publish_three_runs(spark, out)
+    # an in-flight run: data written, marker not yet committed
+    spark.createDataFrame([("dx", "inflight")], "doc_id string, text string") \
+        .write.parquet(f"{out}/published/run_id=rX")
+    assert vacuum_published_store(spark, out) == []  # default grace: skipped
+    assert os.path.isdir(f"{out}/published/run_id=rX")
+    # the writer then commits; the run reads back complete
+    spark.createDataFrame([], "doc_id string, text string, reject_reason string") \
+        .write.parquet(f"{out}/quarantine/run_id=rX")
+    from batch_doc_vqa_spark.plans.publish import commit_marker
+
+    commit_marker(spark, out, "rX")
+    assert {r["doc_id"] for r in read_published(spark, out).filter("run_id = 'rX'").collect()} == {"dx"}
+    # once genuinely torn (grace 0), vacuum reclaims
+    spark.createDataFrame([("dy", "torn")], "doc_id string, text string") \
+        .write.parquet(f"{out}/published/run_id=rY")
+    assert "rY" in vacuum_published_store(spark, out, grace_seconds=0)
+
+
+def test_recover_merges_mid_swap_racer_markers(spark, tmp_path):
+    """Window-2 crash state (review r5 finding 1): a racer's commit
+    recreated the live marker dir between the two swap renames, then the
+    compaction died. recover must fold the racer's marker into the restored
+    set — previously it skipped the restore because _committed existed,
+    stranding every pre-compaction marker in _committed_old."""
+    out = str(tmp_path / "midswap")
+    _publish_three_runs(spark, out)
+    os.rename(f"{out}/_committed", f"{out}/_committed_old")
+    os.makedirs(f"{out}/_committed")
+    spark.createDataFrame([("dr", "racer")], "doc_id string, text string") \
+        .write.parquet(f"{out}/published/run_id=racer")
+    spark.createDataFrame([], "doc_id string, text string, reject_reason string") \
+        .write.parquet(f"{out}/quarantine/run_id=racer")
+    open(f"{out}/_committed/racer", "w").close()
+    acquire_maintenance_lease(
+        spark, out, {"distinguished": "cZ", "pre_markers": ["r1", "r2", "r3"]}
+    )
+    assert recover_published_store(spark, out) == "rolled_back"
+    assert committed_publish_ids(spark, out) == ["r1", "r2", "r3", "racer"]
+    pub = read_published(spark, out)
+    assert {r["doc_id"] for r in pub.filter("run_id = 'racer'").collect()} == {"dr"}
+    assert pub.filter("run_id = 'r1'").count() == 1  # pre markers restored
