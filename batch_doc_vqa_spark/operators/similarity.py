@@ -452,6 +452,68 @@ def ivfpq_build(
     }
 
 
+def save_ivfpq_index(index: dict, path: str) -> None:
+    """Persist the index state (centroids, codebook, inverted lists) behind
+    the repo's marker-commit protocol: all three tables land, then one
+    ``_committed/index`` marker makes them visible — a torn write is
+    invisible to ``load_ivfpq_index``. The codes table is written
+    partitioned by ``cent_id`` so a loaded index's ADC join can prune at
+    the directory level (and a bucketed write would make it
+    exchange-free)."""
+    from ..plans.publish import _fs, commit_marker
+
+    spark = index["codes"].sparkSession
+    fs, jpath = _fs(spark, path)
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
+    index["cent"].write.parquet(f"{path}/cent")
+    index["cbm"].write.parquet(f"{path}/cbm")
+    index["codes"].write.partitionBy("cent_id").parquet(f"{path}/codes")
+    import json as _json
+
+    meta = {k: index[k] for k in ("m", "n_codes", "sub", "id_col")}
+    out = fs.create(_fs(spark, f"{path}/meta.json")[1], True)
+    out.write(bytearray(_json.dumps(meta).encode()))
+    out.close()
+    commit_marker(spark, path, "index")
+
+
+def load_ivfpq_index(spark: SparkSession, path: str, corpus: DataFrame | None = None,
+                     vec_col: str = "embedding") -> dict:
+    """Load a persisted IVF×PQ index for ``ivfpq_query``. Raises loudly if
+    the marker is missing (torn save). ``corpus`` re-attaches the true
+    vectors (same id column) — required only when querying with
+    ``rerank>0``; code-resolution-only search needs no corpus at all."""
+    import json as _json
+
+    from ..plans.publish import _fs, committed_publish_ids
+
+    if "index" not in committed_publish_ids(spark, path):
+        raise FileNotFoundError(
+            f"no committed IVF×PQ index under {path} (save_ivfpq_index first; "
+            "a torn save is invisible by design)"
+        )
+    fs, jpath = _fs(spark, f"{path}/meta.json")
+    stream = fs.open(jpath)
+    try:
+        meta = _json.loads(bytes(stream.readAllBytes()).decode())
+    finally:
+        stream.close()
+    index = {
+        "cent": spark.read.parquet(f"{path}/cent"),
+        "cbm": spark.read.parquet(f"{path}/cbm"),
+        "codes": spark.read.parquet(f"{path}/codes"),
+        "corpus_d": None,
+        **meta,
+    }
+    if corpus is not None:
+        index["corpus_d"] = corpus.select(
+            meta["id_col"],
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+        )
+    return index
+
+
 def ivfpq_query(
     index: dict,
     queries: DataFrame,
@@ -527,6 +589,11 @@ def ivfpq_query(
     w = Window.partitionBy(q_id_col).orderBy(F.asc("approx_dist"), F.asc("neighbor_id"))
     if not rerank:
         return adc.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    if index.get("corpus_d") is None:
+        raise ValueError(
+            "rerank>0 needs the true vectors: pass corpus= to load_ivfpq_index "
+            "(a loaded index carries only centroids/codebook/codes)"
+        )
     shortlist = (
         adc.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= rerank).drop("_rn")
     )

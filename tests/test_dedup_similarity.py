@@ -644,3 +644,37 @@ def test_kmeans_recovers_all_clusters_from_duplicate_heavy_input():
     for seed in range(8):
         C = kmeans_fit(X, 3, seed=seed)
         assert len(np.unique(np.round(C, 6), axis=0)) == 3, (seed, C)
+
+
+def test_ivfpq_index_save_load_roundtrip(vectors, tmp_path):
+    """The persisted build/query split: save commits atomically (torn saves
+    invisible), a loaded index answers queries identically to the in-memory
+    one, and rerank without re-attached vectors fails loudly."""
+    import os
+
+    emb = vectors
+    q = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    kw = dict(n_centroids=8, m=8, n_codes=16, dim=16)
+    index = similarity.ivfpq_build(emb, **kw)
+    path = str(tmp_path / "ivfpq")
+    similarity.save_ivfpq_index(index, path)
+    expected = sorted(
+        map(tuple, similarity.ivfpq_query(index, q, nprobe=4, k=5, rerank=30).collect())
+    )
+    spark = emb.sparkSession
+    loaded = similarity.load_ivfpq_index(spark, path, corpus=emb)
+    got = sorted(
+        map(tuple, similarity.ivfpq_query(loaded, q, nprobe=4, k=5, rerank=30).collect())
+    )
+    assert got == expected
+    # rerank without the corpus fails loudly, code-resolution search works
+    bare = similarity.load_ivfpq_index(spark, path)
+    with pytest.raises(ValueError, match="rerank"):
+        similarity.ivfpq_query(bare, q, nprobe=4, k=5, rerank=30).collect()
+    assert similarity.ivfpq_query(bare, q, nprobe=4, k=5).count() == q.count() * 5
+    # torn save invisible: drop the marker → load refuses
+    os.remove(f"{path}/_committed/index")
+    with pytest.raises(FileNotFoundError):
+        similarity.load_ivfpq_index(spark, path)
