@@ -135,11 +135,19 @@ def main() -> None:
     )
     path = f"{REPO}/BENCH/BASELINE.md"
     base = open(path).read() if os.path.exists(path) else "# BENCH — measured numbers\n"
+    # replace ONLY the existing sf1 section: cut from its header to the
+    # NEXT section header, keeping everything after (truncating to EOF
+    # destroyed every later section — round-5 incident)
     cut = base.find("\n## sf1")
     if cut >= 0:
-        base = base[:cut]
-    with open(path, "w") as f:
-        f.write(base.rstrip("\n") + "\n" + section)
+        nxt = base.find("\n## ", cut + 1)
+        tail = base[nxt:] if nxt >= 0 else ""
+        base = base[:cut] + "\n" + section.strip("\n") + "\n" + tail
+        with open(path, "w") as f:
+            f.write(base)
+    else:
+        with open(path, "w") as f:
+            f.write(base.rstrip("\n") + "\n" + section)
 
 
 if __name__ == "__main__":
