@@ -459,12 +459,24 @@ def save_ivfpq_index(index: dict, path: str) -> None:
     invisible to ``load_ivfpq_index``. The codes table is written
     partitioned by ``cent_id`` so a loaded index's ADC join can prune at
     the directory level (and a bucketed write would make it
-    exchange-free)."""
-    from ..plans.publish import _fs, commit_marker
+    exchange-free).
+
+    CREATE-ONLY: refuses a path holding a committed index. Deleting the
+    old index before a long rebuild would destroy the only good copy and
+    fail every concurrent reader mid-scan; refresh by saving to a NEW
+    versioned path and flipping the pointer your jobs read (or delete the
+    old path explicitly once its readers drain)."""
+    from ..plans.publish import _fs, commit_marker, committed_publish_ids
 
     spark = index["codes"].sparkSession
+    if "index" in committed_publish_ids(spark, path):
+        raise FileExistsError(
+            f"a committed IVF×PQ index already exists at {path} — save to a "
+            "new path (destructive-first overwrite would destroy the only "
+            "good copy mid-rebuild and break concurrent readers)"
+        )
     fs, jpath = _fs(spark, path)
-    if fs.exists(jpath):
+    if fs.exists(jpath):  # torn previous attempt (no marker) — safe to clear
         fs.delete(jpath, True)
     index["cent"].write.parquet(f"{path}/cent")
     index["cbm"].write.parquet(f"{path}/cbm")

@@ -75,11 +75,13 @@ def _fs(spark: SparkSession, path: str):
 
 
 def committed_publish_ids(spark: SparkSession, out_dir: str) -> list[str]:
-    """run_ids whose publish transaction fully committed (marker exists)."""
+    """run_ids whose publish transaction fully committed (marker exists).
+    Only FILES count — a stray subdirectory (e.g. a nested rename artifact
+    mid-maintenance-crash) must never read as a phantom run id."""
     fs, jpath = _fs(spark, f"{out_dir}/_committed")
     if not fs.exists(jpath):
         return []
-    return sorted(s.getPath().getName() for s in fs.listStatus(jpath))
+    return sorted(s.getPath().getName() for s in fs.listStatus(jpath) if s.isFile())
 
 
 class MaintenanceInProgressError(RuntimeError):
@@ -104,11 +106,13 @@ def acquire_maintenance_lease(spark: SparkSession, root: str, payload: dict) -> 
     try:
         out = fs.create(lease, False)  # overwrite=False: atomic claim
     except Exception as exc:
-        # Py4J wraps the Java exception; only the already-exists condition
-        # means "lease held" — a permissions/IO fault must surface as
+        # Py4J wraps the Java exception; only the ALREADY-exists condition
+        # means "lease held" — a permissions/IO fault (including
+        # 'does not exist' messages for a missing parent) must surface as
         # itself, not as misleading recovery advice (the same blanket-catch
         # mistake ADVICE r4 flagged on the resume path)
-        if "exist" not in str(exc).lower():
+        msg = str(exc).lower()
+        if not ("already exist" in msg or "filealreadyexists" in msg):
             raise
         raise MaintenanceInProgressError(
             f"maintenance lease already held at {root}/_compact_lease — another "
@@ -130,7 +134,15 @@ def read_maintenance_lease(spark: SparkSession, root: str) -> dict | None:
         data = bytes(stream.readAllBytes())
     finally:
         stream.close()
-    return _json.loads(data.decode())
+    try:
+        return _json.loads(data.decode())
+    except Exception:
+        # a crash mid-(re)write leaves an empty/torn lease body. The lease
+        # FILE existing is what matters: report it as held-with-empty-body
+        # so commit/vacuum still refuse and recover can still adjudicate
+        # (an unknown distinguished marker simply takes the rollback path)
+        # — raising here would brick every protocol entry point instead
+        return {}
 
 
 def release_maintenance_lease(spark: SparkSession, root: str) -> None:
@@ -220,17 +232,38 @@ def update_schema_store(spark: SparkSession, out_dir: str, table: str, schema) -
             merged = StructType([*existing.fields, *new_fields])
         else:
             merged = schema
-        fs, jpath = _fs(spark, f"{out_dir}/_schema/{table}.v{latest_n + 1}.json")
-        fs.mkdirs(jpath.getParent())
-        try:
-            out = fs.create(jpath, False)  # overwrite=False: the CAS
-        except Exception as exc:
-            if "exist" not in str(exc).lower():
-                raise  # real IO fault — surface it, don't spin the loop
-            continue  # lost the version race — re-read and merge on top
-        out.write(bytearray(_json.dumps(merged.jsonValue()).encode()))
+        # write-then-rename + nonce verify: the version file appears
+        # ATOMICALLY with its full content, so a reader/merger can never
+        # observe a claimed-but-empty version (which would make a
+        # concurrent writer merge from the version BEFORE it and silently
+        # drop this writer's columns). Rename-onto-existing fails on HDFS
+        # but silently REPLACES on a POSIX local fs — so after the rename
+        # we re-read and check our nonce: the loser (its content replaced,
+        # or its rename failed) retries on the next version, merging on
+        # top of the winner's union. No interleaving loses a column.
+        import uuid as _uuid
+
+        nonce = _uuid.uuid4().hex
+        payload = {"nonce": nonce, "schema": merged.jsonValue()}
+        fs, tmp = _fs(spark, f"{out_dir}/_schema/.tmp-{nonce}")
+        fs.mkdirs(tmp.getParent())
+        out = fs.create(tmp, True)
+        out.write(bytearray(_json.dumps(payload).encode()))
         out.close()
-        return
+        jpath = _fs(spark, f"{out_dir}/_schema/{table}.v{latest_n + 1}.json")[1]
+        if not fs.rename(tmp, jpath):
+            fs.delete(tmp, False)  # lost the version race — re-read, merge
+            continue
+        stream = fs.open(jpath)
+        try:
+            landed = _json.loads(bytes(stream.readAllBytes()).decode())
+        except Exception:
+            landed = {}
+        finally:
+            stream.close()
+        if landed.get("nonce") == nonce:
+            return
+        # a peer replaced our rename (POSIX semantics) — retry on top
     raise IOError(
         f"schema store {out_dir}/{table}: could not claim a version after 50 "
         "attempts (pathological write contention)"
@@ -254,7 +287,9 @@ def read_schema_store(spark: SparkSession, out_dir: str, table: str):
         finally:
             stream.close()
         try:
-            return StructType.fromJson(_json.loads(data.decode()))
+            d = _json.loads(data.decode())
+            # nonce-wrapped (current) or bare StructType json (early r5)
+            return StructType.fromJson(d["schema"] if "schema" in d else d)
         except Exception:
             continue  # torn version file — try the one before it
     return None
@@ -524,9 +559,22 @@ def swap_marker_dir(
        (for the publish store that is exactly right; the dedup index
        additionally documents the possible duplicate-signature overlap).
     """
+    import json as _json
+
     fs, committed = _fs(spark, f"{root}/_committed")
     nxt = _fs(spark, f"{root}/_committed_next")[1]
     old = _fs(spark, f"{root}/_committed_old")[1]
+    # record the full plan in the HELD lease so recover can tell racer
+    # markers from our own in every crash state
+    dist = sorted(set(new_markers) - set(pre_markers))
+    lease_body = {
+        "distinguished": dist[0] if dist else new_markers[-1],
+        "pre_markers": list(pre_markers),
+        "new_markers": list(new_markers),
+    }
+    out_l = fs.create(_fs(spark, f"{root}/_compact_lease")[1], True)
+    out_l.write(bytearray(_json.dumps(lease_body).encode()))
+    out_l.close()
     for stale in (nxt, old):  # debris from a previously recovered pass
         if fs.exists(stale):
             fs.delete(stale, True)
@@ -536,7 +584,28 @@ def swap_marker_dir(
     if fs.exists(committed) and not fs.rename(committed, old):
         raise IOError(f"maintenance swap: could not move live marker dir aside at {root}")
 
+    def _fold_live_racers_into_old() -> list[str]:
+        """Copy every FILE marker in the live dir that is not part of the
+        new set into the aside dir (racer commits must survive any
+        rollback); subdirectories (nested-rename artifacts) are skipped —
+        they contain only our own new markers."""
+        if not fs.exists(committed):
+            return []
+        racers = sorted(
+            s.getPath().getName()
+            for s in fs.listStatus(committed)
+            if s.isFile() and s.getPath().getName() not in new_markers
+        )
+        fs.mkdirs(old)
+        for m in racers:
+            fs.create(_fs(spark, f"{root}/_committed_old/{m}")[1], True).close()
+        return racers
+
     def _rollback(racers: list[str], where: str) -> None:
+        # fold window-3 racers (markers that landed in the NEW live dir
+        # after activation) into the aside set BEFORE retracting it — a
+        # bare delete would destroy their commits
+        racers = sorted(set(racers) | set(_fold_live_racers_into_old()))
         if fs.exists(committed) and not fs.delete(committed, True):
             raise IOError(
                 f"maintenance rollback: could not retract marker dir at {root} "
@@ -556,24 +625,39 @@ def swap_marker_dir(
             "intact — re-run it"
         )
 
+    # window 2 (pre-activation): a racer recreated the live dir in the gap
+    # after the aside rename — never rely on the activate rename failing
+    # (HDFS renames INTO an existing dir; POSIX replaces an empty one)
+    if fs.exists(committed):
+        _rollback([], "inside")
     if not fs.rename(nxt, committed):
-        if fs.exists(committed):
-            # window 2: a racer recreated the live dir mid-swap — fold its
-            # markers into the aside set so the rollback preserves them
-            racers = sorted(s.getPath().getName() for s in fs.listStatus(committed))
-            for m in racers:
-                fs.create(_fs(spark, f"{root}/_committed_old/{m}")[1], True).close()
-            _rollback(racers, "inside")
+        if fs.exists(committed):  # racer appeared between the check and the rename
+            _rollback([], "inside")
         raise IOError(
             f"maintenance swap: could not activate new marker dir at {root} "
             f"(run {recover_name})"
         )
-    aside = (
-        sorted(s.getPath().getName() for s in fs.listStatus(old)) if fs.exists(old) else []
+    # post-activation audit: unwind a nested move (the racer-dir-existed
+    # rename semantics that return true), then verify the live set
+    nested = _fs(spark, f"{root}/_committed/_committed_next")[1]
+    if fs.exists(nested):
+        for st in fs.listStatus(nested):
+            if st.isFile():
+                fs.rename(st.getPath(), _fs(spark, f"{root}/_committed/{st.getPath().getName()}")[1])
+        fs.delete(nested, True)
+    live_now = sorted(
+        s.getPath().getName() for s in fs.listStatus(committed) if s.isFile()
     )
-    racers = [m for m in aside if m not in pre_markers]
-    if racers:  # window 1
-        _rollback(racers, "before")
+    aside = (
+        sorted(s.getPath().getName() for s in fs.listStatus(old) if s.isFile())
+        if fs.exists(old)
+        else []
+    )
+    racers = [m for m in aside if m not in pre_markers] + [
+        m for m in live_now if m not in new_markers
+    ]
+    if racers:  # window 1 (rode the aside rename) or window 2/3 (in live)
+        _rollback(racers, "during")
     if fs.exists(old):
         fs.delete(old, True)
     release_maintenance_lease(spark, root)
@@ -591,34 +675,47 @@ def recover_marker_store(spark: SparkSession, root: str) -> str:
         return "clean"
     dist = lease.get("distinguished") or lease.get("compact_id") or lease.get("snap")
     pre = set(lease.get("pre_markers", []))
+    new = set(lease.get("new_markers", [dist] if dist else []))
     fs, committed = _fs(spark, f"{root}/_committed")
     old = _fs(spark, f"{root}/_committed_old")[1]
     nxt = _fs(spark, f"{root}/_committed_next")[1]
     live = (
-        sorted(s.getPath().getName() for s in fs.listStatus(committed))
+        sorted(s.getPath().getName() for s in fs.listStatus(committed) if s.isFile())
         if fs.exists(committed)
         else []
     )
-    if dist in live:  # swap happened
+    if dist is not None and dist in live:  # swap happened
         aside = (
-            sorted(s.getPath().getName() for s in fs.listStatus(old)) if fs.exists(old) else []
+            sorted(s.getPath().getName() for s in fs.listStatus(old) if s.isFile())
+            if fs.exists(old)
+            else []
         )
-        racers = [m for m in aside if m not in pre]
+        racers = sorted(
+            {m for m in aside if m not in pre} | {m for m in live if m not in new}
+        )
         if racers:
+            # fold racers that landed in the live dir into the aside set
+            # before retracting it — their commits must survive
+            fs.mkdirs(old)
+            for m in racers:
+                fs.create(_fs(spark, f"{root}/_committed_old/{m}")[1], True).close()
             fs.delete(committed, True)
             if not fs.rename(old, committed):
                 raise IOError(f"recover: could not restore marker dir at {root}")
             release_maintenance_lease(spark, root)
-            return f"rolled_back (preserved concurrent commits: {sorted(racers)})"
+            return f"rolled_back (preserved concurrent commits: {racers})"
         if fs.exists(old):
             fs.delete(old, True)
         release_maintenance_lease(spark, root)
         return "completed"
-    # swap incomplete (or mid-swap racer crash): restore the aside set,
-    # folding in any markers a racer committed into a recreated live dir
+    # swap incomplete (or mid-swap racer crash, or torn lease body):
+    # restore the aside set, folding in any FILE markers a racer committed
+    # into a recreated live dir (nested-rename artifact dirs hold only our
+    # own new markers — skipped)
     if fs.exists(old):
         for m in live:
-            fs.create(_fs(spark, f"{root}/_committed_old/{m}")[1], True).close()
+            if m not in new:
+                fs.create(_fs(spark, f"{root}/_committed_old/{m}")[1], True).close()
         if fs.exists(committed):
             fs.delete(committed, True)
         if not fs.rename(old, committed):

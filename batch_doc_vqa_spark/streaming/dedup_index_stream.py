@@ -63,8 +63,14 @@ def dedup_index_stream(
     batch ids' index snapshot committed but before their pairs landed —
     the exact window the ``pairs_for_snapshot`` heal exists for."""
     stream = spark.readStream.schema(schema).parquet(docs_dir)
+    # only the FIRST batch this stream instance processes can be a replay
+    # of a crashed epoch (later batches imply their predecessors committed)
+    # — scopes the compacted-away audit below to one batch per (re)start
+    first_processed = {"v": True}
 
     def ingest(batch: DataFrame, batch_id: int) -> None:
+        import logging
+
         sess = batch.sparkSession
         run_id = f"e{batch_id:08d}"
         fs, marker = _fs(sess, f"{out_dir}/_committed/{run_id}")
@@ -77,14 +83,16 @@ def dedup_index_stream(
             # index (bit-identical — same signatures, same band joins)
             pairs = pairs_for_snapshot(sess, index_path, run_id, threshold, **params)
         else:
-            if any(s.startswith("compact") for s in snaps):
-                # a compaction folded snapshot history. If THIS epoch's
-                # docs were all absorbed by it (epoch crashed in the
-                # window, then someone compacted before restart), the
-                # incremental pass would anti-join them away and commit an
-                # EMPTY pair set — silently wrong. Detect and fail loudly:
-                # an uncommitted epoch whose docs are all already indexed
-                # under a compacted history is unrecoverable here.
+            if first_processed["v"] and any(s.startswith("compact") for s in snaps):
+                # a compaction folded snapshot history, and this is the
+                # first batch after a (re)start — i.e. the only batch that
+                # can be a replay of a crashed epoch. If all its docs are
+                # already indexed, the original pairs may have been
+                # absorbed by the compaction and cannot be recomputed; it
+                # may equally be a routine fully-duplicate redelivery.
+                # Warn LOUDLY (the two cases are indistinguishable here —
+                # a hard failure would wedge legitimate streams forever)
+                # and proceed with the re-ingestion-safe semantics.
                 from ..operators.dedup_index import read_index_sigs
 
                 n_batch = batch.count()
@@ -93,13 +101,15 @@ def dedup_index_stream(
                     indexed_ids, batch[id_col] == indexed_ids["_id"], "left_semi"
                 ).count()
                 if n_batch > 0 and n_already == n_batch:
-                    raise RuntimeError(
-                        f"epoch {run_id}: all {n_batch} docs are already in the "
-                        f"index, the epoch never committed its pairs, and the "
-                        "index history was compacted — the epoch's pairs cannot "
-                        "be recomputed. Do not compact the index while the "
-                        "stream has uncommitted epochs; reset the pairs store "
-                        "or re-ingest from a fresh source directory."
+                    logging.getLogger(__name__).warning(
+                        "epoch %s: all %d docs already indexed, the epoch never "
+                        "committed its pairs, and the index history was "
+                        "compacted. If this epoch crashed pre-compaction its "
+                        "original pairs are unrecoverable (an empty set will "
+                        "commit); if it is a duplicate redelivery this is "
+                        "correct. Avoid compacting the index while the stream "
+                        "has uncommitted epochs.",
+                        run_id, n_batch,
                     )
             pairs = incremental_dedup_pairs(
                 sess, batch, id_col, text_col, index_path, threshold,
@@ -110,6 +120,7 @@ def dedup_index_stream(
         pairs.write.mode("overwrite").parquet(f"{out_dir}/pairs/run_id={run_id}")
         update_schema_store(sess, out_dir, "pairs", pairs.schema)
         commit_marker(sess, out_dir, run_id)
+        first_processed["v"] = False
 
     writer = stream.writeStream.foreachBatch(ingest).option(
         "checkpointLocation", checkpoint_dir

@@ -674,7 +674,14 @@ def test_ivfpq_index_save_load_roundtrip(vectors, tmp_path):
     with pytest.raises(ValueError, match="rerank"):
         similarity.ivfpq_query(bare, q, nprobe=4, k=5, rerank=30).collect()
     assert similarity.ivfpq_query(bare, q, nprobe=4, k=5).count() == q.count() * 5
-    # torn save invisible: drop the marker → load refuses
+    # create-only: re-saving over a committed index refuses (destructive-
+    # first overwrite would destroy the only good copy mid-rebuild)
+    with pytest.raises(FileExistsError):
+        similarity.save_ivfpq_index(index, path)
+    # torn save invisible: drop the marker → load refuses, and a retry
+    # save over the TORN state succeeds
     os.remove(f"{path}/_committed/index")
     with pytest.raises(FileNotFoundError):
         similarity.load_ivfpq_index(spark, path)
+    similarity.save_ivfpq_index(index, path)
+    assert similarity.load_ivfpq_index(spark, path)["m"] == 8

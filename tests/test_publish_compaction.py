@@ -257,3 +257,32 @@ def test_recover_merges_mid_swap_racer_markers(spark, tmp_path):
     pub = read_published(spark, out)
     assert {r["doc_id"] for r in pub.filter("run_id = 'racer'").collect()} == {"dr"}
     assert pub.filter("run_id = 'r1'").count() == 1  # pre markers restored
+
+
+def test_recover_preserves_window3_racer_in_live_dir(spark, tmp_path):
+    """A racer marker that landed in the NEW live dir after activation
+    (window 3) must survive a crash-time rollback: recover folds it into
+    the restored set instead of deleting it with the retracted dir
+    (review r5 pass 2, finding 2)."""
+    out = str(tmp_path / "w3")
+    _publish_three_runs(spark, out)
+    cid = compact_published_store(spark, out)
+    assert committed_publish_ids(spark, out) == [cid]
+    # fabricate the crash state: swap done, racer committed into live,
+    # aside dir still holding the pre set, lease (with recorded plan) held
+    os.makedirs(f"{out}/_committed_old")
+    for m in ("r1", "r2", "r3"):
+        open(f"{out}/_committed_old/{m}", "w").close()
+    spark.createDataFrame([("dr", "racer")], "doc_id string, text string") \
+        .write.parquet(f"{out}/published/run_id=racer3")
+    spark.createDataFrame([], "doc_id string, text string, reject_reason string") \
+        .write.parquet(f"{out}/quarantine/run_id=racer3")
+    open(f"{out}/_committed/racer3", "w").close()
+    acquire_maintenance_lease(spark, out, {
+        "distinguished": cid, "pre_markers": ["r1", "r2", "r3"], "new_markers": [cid],
+    })
+    res = recover_published_store(spark, out)
+    assert res.startswith("rolled_back")
+    assert committed_publish_ids(spark, out) == ["r1", "r2", "r3", "racer3"]
+    assert {r["doc_id"] for r in read_published(spark, out)
+            .filter("run_id = 'racer3'").collect()} == {"dr"}
