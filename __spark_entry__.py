@@ -725,6 +725,21 @@ def _q_contamination_report_shuffle(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def _q_contamination_report_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination through the bloom tier (broadcast Bloom bitmap
+    prefilter in front of the shuffle hash join — VERDICT r5 #7): prunes
+    non-colliding corpus n-grams map-side before the exchange at zero
+    recall loss. Must be value-identical to both other tiers; same oracle
+    SQL."""
+    from batch_doc_vqa_spark.operators import decontam
+
+    docs, bench = _bench_fixture(spark, sf_dir)
+    return decontam.contamination_report(
+        docs, "doc_id", "text", bench, "bench_id", "bench_text",
+        n=8, base_hash="md5", strategy="bloom",
+    )
+
+
 def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination, drop tier: corpus minus docs covering ≥80% of any
     benchmark item's n-grams."""
@@ -2016,6 +2031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_strict": _q_validate_strict,
         "contamination_report": _q_contamination_report,
         "contamination_report_shuffle": _q_contamination_report_shuffle,
+        "contamination_report_bloom": _q_contamination_report_bloom,
         "decontaminate": _q_decontaminate,
         "pii_report": _q_pii_report,
         "pii_redact": _q_pii_redact,
@@ -2748,9 +2764,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, bench_id, matched_ngrams, bench_ngrams, coverage
             FROM contam
         """,
-        # tier-invariance IS the contract: the shuffle fallback shares the
-        # broadcast tier's oracle verbatim
+        # tier-invariance IS the contract: the shuffle and bloom fallbacks
+        # share the broadcast tier's oracle verbatim
         "contamination_report_shuffle": f"""
+            WITH {_decontam_ctes()}
+            SELECT doc_id, bench_id, matched_ngrams, bench_ngrams, coverage
+            FROM contam
+        """,
+        "contamination_report_bloom": f"""
             WITH {_decontam_ctes()}
             SELECT doc_id, bench_id, matched_ngrams, bench_ngrams, coverage
             FROM contam

@@ -53,6 +53,62 @@ def _ngram_hashes(df: DataFrame, id_col: str, text_col: str, n: int, base_hash: 
     return sh.select("_id", _base_hash(F.col("sh"), base_hash).alias("h"))
 
 
+# Bloom prefilter sizing for the 'bloom' join tier: ~10 bits/item with 4
+# probe functions gives ~1.2% false-positive rate — prunes ≥98% of
+# non-colliding corpus n-grams before the exchange at ~1/6 the broadcast
+# footprint of the raw hash set (10 bits vs 64-bit hash + set overhead).
+BLOOM_BITS_PER_ITEM = 10
+BLOOM_K = 4
+
+
+def _bloom_prefilter(doc_h: DataFrame, bench_h: DataFrame, n_bench_rows: int) -> DataFrame:
+    """Corpus n-gram rows surviving a broadcast Bloom filter of the bench
+    n-gram hashes — near-hits plus ≤ ~fpp false positives, NEVER a false
+    negative (the exact join downstream eliminates the survivors' false
+    positives, so every tier stays value-identical).
+
+    Spark 4's runtime bloom-filter join expressions (``bloom_filter_agg`` /
+    ``might_contain``) are optimizer-internal, not in the public function
+    registry — so the filter is composed from public column expressions:
+    the bench side folds its ``k`` probe positions into a ``(word, bits)``
+    bitmap via ``bit_or`` (≤ mbits/64 rows — 1/6 the raw hash set), and the
+    corpus pass checks its probes through ``k`` broadcast hash joins on the
+    word index. Map-side only: the prefilter adds ZERO exchanges to the
+    corpus lineage; only survivors reach the shuffle join. All probe
+    positions derive from the data (``xxhash64(h, i)``), never from task
+    ids."""
+    mbits = max(64, n_bench_rows * BLOOM_BITS_PER_ITEM)
+    probes = bench_h.select(
+        F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("i"), "h"
+    ).select(F.pmod(F.xxhash64("h", "i"), F.lit(mbits)).alias("pos"))
+    bitmap = (
+        probes.select(
+            F.shiftright("pos", 6).alias("word"),
+            F.col("pos").bitwiseAND(F.lit(63)).cast("int").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or(F.expr("shiftleft(1L, bit)")).alias("bits"))
+        .localCheckpoint(eager=True)  # probed k times below — build once
+    )
+    pref = doc_h
+    for i in range(BLOOM_K):
+        pos = F.pmod(F.xxhash64(F.col("h"), F.lit(i)), F.lit(mbits))
+        pref = pref.withColumn(f"_w{i}", F.shiftright(pos, 6)).withColumn(
+            f"_bit{i}", pos.bitwiseAND(F.lit(63)).cast("int")
+        )
+        side = bitmap.select(
+            F.col("word").alias(f"_w{i}"), F.col("bits").alias(f"_b{i}")
+        )
+        pref = pref.join(F.broadcast(side), f"_w{i}", "left")
+    hit = F.lit(True)
+    for i in range(BLOOM_K):
+        hit = hit & F.col(f"_b{i}").isNotNull() & (
+            F.expr(f"shiftright(_b{i}, _bit{i}) & 1") == 1
+        )
+    drop = [c for i in range(BLOOM_K) for c in (f"_w{i}", f"_bit{i}", f"_b{i}")]
+    return pref.filter(hit).drop(*drop)
+
+
 def contamination_report(
     docs: DataFrame,
     doc_id: str,
@@ -81,11 +137,21 @@ def contamination_report(
       broadcast; Spark's runtime bloom-filter join
       (``spark.sql.optimizer.runtime.bloomFilter.enabled``) prunes most
       non-colliding corpus rows before the exchange.
+    - ``'bloom'`` — the shuffle tier behind an EXPLICIT broadcast Bloom
+      prefilter (``_bloom_prefilter``): a (word, bits) bitmap of the bench
+      n-gram hashes — ~1/6 the broadcast footprint of the raw hash set —
+      prunes non-colliding corpus n-grams map-side (~99% at the default
+      sizing) before they reach the exchange, at zero recall loss (no
+      false negatives; the exact join removes the false positives).
+      Right when the bench side exceeds the broadcast budget but its
+      Bloom bitmap does not — the middle tier between broadcast and
+      plain shuffle, and deterministic unlike the optimizer's
+      runtime filter (which is cost-model-gated).
     - ``'auto'`` (default) — counts the bench-side n-gram rows (one cheap
       aggregate over the SMALL side only) and picks: broadcast when ≤
-      ``broadcast_limit``, else shuffle. The choice is logged loudly —
-      a silent tier flip would be an unexplained 1-shuffle regression in
-      any plan audit.
+      ``broadcast_limit``, else bloom-prefiltered shuffle. The choice is
+      logged loudly — a silent tier flip would be an unexplained 1-shuffle
+      regression in any plan audit.
     """
     doc_h = _ngram_hashes(docs, doc_id, doc_text, n, base_hash).withColumnRenamed(
         "_id", "doc_id"
@@ -93,16 +159,24 @@ def contamination_report(
     bench_h = _ngram_hashes(bench, bench_id, bench_text, n, base_hash).withColumnRenamed(
         "_id", "bench_id"
     )
-    if strategy == "auto":
+    n_bench_rows = None
+    if strategy in ("auto", "bloom"):
+        # materialize once: without this each downstream use (the sizing
+        # count, the bloom bitmap build, the bench_sizes aggregate, and
+        # the match join) would redo the full bench-side hashing job
+        bench_h = bench_h.localCheckpoint(eager=True)
         n_bench_rows = bench_h.count()
-        strategy = "broadcast" if n_bench_rows <= broadcast_limit else "shuffle"
+    if strategy == "auto":
+        strategy = "broadcast" if n_bench_rows <= broadcast_limit else "bloom"
         log.warning(
             "decontam: bench side has %d n-gram rows (limit %d) -> %s join tier",
             n_bench_rows, broadcast_limit, strategy,
         )
-    if strategy not in ("broadcast", "shuffle"):
+    if strategy not in ("broadcast", "shuffle", "bloom"):
         raise ValueError(f"unknown decontamination strategy: {strategy!r}")
     bench_sizes = bench_h.groupBy("bench_id").agg(F.count(F.lit(1)).alias("bench_ngrams"))
+    if strategy == "bloom":
+        doc_h = _bloom_prefilter(doc_h, bench_h, n_bench_rows)
     joined_bench = F.broadcast(bench_h) if strategy == "broadcast" else bench_h
     matches = (
         doc_h.join(joined_bench, "h")

@@ -439,6 +439,7 @@ def pairs_for_snapshot(
     path: str,
     snapshot_id: str,
     threshold: float = 0.5,
+    allow_unsorted_ids: bool = False,
     **params,
 ) -> DataFrame:
     """Recompute, FROM THE COMMITTED INDEX ALONE, the near-dup pairs a
@@ -460,12 +461,33 @@ def pairs_for_snapshot(
     this recompute diverge from what the original ingestion emitted (a
     later-sorting batch snapshot is wrongly excluded). Use stable, sortable
     snapshot_ids on any index the streaming twin serves.
-    """
+
+    The caveat is ENFORCED, not just documented: a committed snapshot that
+    sorts after ``snapshot_id`` and carries the batch op's random
+    ``s<hex12>`` scheme raises — its ingestion order is unknowable from
+    the id, so the recompute could silently omit pairs (exactly the
+    streaming crash-heal hazard). ``allow_unsorted_ids=True`` overrides
+    for callers who know every later-sorting snapshot truly ingested
+    later."""
+    import re as _re
+
     p = {**INDEX_PARAMS, **params}
     snaps = committed_snapshots(spark, path)
     if snapshot_id not in snaps:
         raise FileNotFoundError(f"snapshot {snapshot_id!r} not committed under {path}")
     earlier = [s for s in snaps if s < snapshot_id]
+    unsorted_later = [
+        s for s in snaps if s > snapshot_id and _re.fullmatch(r"s[0-9a-f]{12}", s)
+    ]
+    if unsorted_later and not allow_unsorted_ids:
+        raise ValueError(
+            f"pairs_for_snapshot({snapshot_id!r}): committed snapshots "
+            f"{unsorted_later} sort after the target but use the batch op's "
+            "RANDOM id scheme — their ingestion order is unknowable, so the "
+            "recomputed pair set could silently miss pairs. Use stable "
+            "sortable snapshot_ids on indexes the streaming twin serves, or "
+            "pass allow_unsorted_ids=True if they genuinely ingested later."
+        )
     bands = spark.read.parquet(f"{path}/bands").filter(F.col("snap").isin(snaps))
     new_bands = bands.filter(F.col("snap") == snapshot_id).select(*_BAND_COLS)
     old_bands = bands.filter(F.col("snap").isin(earlier)).select(*_BAND_COLS)

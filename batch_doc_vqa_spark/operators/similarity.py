@@ -29,6 +29,43 @@ def cosine_sim(a, b, digits: int = 6):
     return F.round(_dot(a, b) / (_norm(a) * _norm(b)), digits)
 
 
+def _validate_codebook(cbm: DataFrame, m: int, where: str) -> int:
+    """The ADC position arithmetic (pos = i*n_codes + code, 1-based codes)
+    requires every sub-space to carry codes exactly 1..n_codes with the
+    same count per m — a user-supplied codebook with ragged per-m counts or
+    non-contiguous codes would silently shift the flattened ``_qd`` lookup
+    positions and produce wrong approximate distances. Checked at every
+    acceptance point (``pq_topk(codebook=)``, ``ivfpq_build(codebook=)``,
+    ``load_ivfpq_index``); the codebook is broadcast-size (m·n_codes rows)
+    so the one collect here costs the same as the old max(code) lookup it
+    replaces. Returns the validated n_codes."""
+    stats = (
+        cbm.groupBy("m")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("code").alias("lo"),
+            F.max("code").alias("hi"),
+            F.countDistinct("code").alias("nd"),
+        )
+        .collect()
+    )
+    if sorted(r["m"] for r in stats) != list(range(m)):
+        raise ValueError(
+            f"{where}: codebook must carry every sub-space m=0..{m - 1} "
+            f"(got m={sorted(r['m'] for r in stats)})"
+        )
+    counts = {r["n"] for r in stats}
+    if len(counts) != 1 or any(
+        r["lo"] != 1 or r["hi"] != r["n"] or r["nd"] != r["n"] for r in stats
+    ):
+        raise ValueError(
+            f"{where}: codebook codes must be contiguous 1..n_codes with the "
+            "same count in every sub-space (per-m (min, max, count): "
+            f"{sorted((r['m'], r['lo'], r['hi'], r['n']) for r in stats)})"
+        )
+    return counts.pop()
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -400,7 +437,7 @@ def ivfpq_build(
         cbm = codebook.select(
             "code", "m", F.col("center").alias("_cs")
         ).localCheckpoint(eager=True)
-        n_codes = cbm.agg(F.max("code")).collect()[0][0]
+        n_codes = _validate_codebook(cbm, m, "ivfpq_build")
     else:
         # shared residual codebook (sample; train_ivfpq_model trains it).
         # With SAMPLED centroids, centroid docs are excluded: each is its
@@ -518,6 +555,12 @@ def load_ivfpq_index(spark: SparkSession, path: str, corpus: DataFrame | None = 
         "corpus_d": None,
         **meta,
     }
+    # a hand-edited or foreign store must not silently corrupt ADC lookups
+    if _validate_codebook(index["cbm"], meta["m"], "load_ivfpq_index") != meta["n_codes"]:
+        raise ValueError(
+            f"load_ivfpq_index: meta.json n_codes={meta['n_codes']} does not "
+            f"match the stored codebook at {path}"
+        )
     if corpus is not None:
         index["corpus_d"] = corpus.select(
             meta["id_col"],
@@ -827,7 +870,7 @@ def pq_topk(
         cbm = codebook.select(
             "code", "m", F.col("center").alias("_cs")
         ).localCheckpoint(eager=True)
-        n_codes = cbm.agg(F.max("code")).collect()[0][0]
+        n_codes = _validate_codebook(cbm, m, "pq_topk")
     else:
         md5_order = F.md5(F.col(id_col).cast("string"))
         cb = (

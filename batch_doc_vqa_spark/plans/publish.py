@@ -693,6 +693,16 @@ def recover_marker_store(spark: SparkSession, root: str) -> str:
         racers = sorted(
             {m for m in aside if m not in pre} | {m for m in live if m not in new}
         )
+        if racers and not fs.exists(old):
+            # post-audit crash: the swap deletes the aside dir only AFTER
+            # its racer audit passed, so a missing aside means the swap
+            # fully completed — live racers are commits that landed after
+            # activation and are already visible. Rolling back here would
+            # rebuild the live set from the racers alone, dropping the
+            # distinguished marker and every pre marker (all compacted
+            # data would go invisible, then vacuum-deletable).
+            release_maintenance_lease(spark, root)
+            return f"completed (post-audit; concurrent commits already live: {racers})"
         if racers:
             # fold racers that landed in the live dir into the aside set
             # before retracting it — their commits must survive
@@ -783,7 +793,13 @@ def vacuum_published_store(
             finally:
                 stream.close()
             try:
-                StructType.fromJson(_json.loads(data.decode()))
+                # same dual-format parse as read_schema_store: current
+                # versions are nonce-wrapped {"nonce":…,"schema":…}; a raw
+                # StructType.fromJson on the wrapper always fails, which
+                # would anchor keep_from to a stale bare-format version
+                # (or never prune at all on current-format stores)
+                d = _json.loads(data.decode())
+                StructType.fromJson(d["schema"] if "schema" in d else d)
                 keep_from = n
                 break
             except Exception:

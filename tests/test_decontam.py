@@ -102,16 +102,17 @@ def test_shuffle_tier_matches_broadcast_tier(spark):
 
 def test_auto_tier_falls_back_when_bench_too_big(spark, caplog):
     """auto counts the bench n-gram rows against broadcast_limit and picks
-    the shuffle tier loudly; the match join must NOT carry a broadcast hint
-    (Spark may still not SortMergeJoin a tiny test frame, so assert on the
-    logged decision + the absence of the broadcast hint on the h-join)."""
+    the bloom-prefiltered shuffle tier loudly; the match join must NOT
+    carry a broadcast hint (Spark may still not SortMergeJoin a tiny test
+    frame, so assert on the logged decision + the absence of the broadcast
+    hint on the h-join)."""
     import logging
 
     docs, bench = _fixture(spark)
     with caplog.at_level(logging.WARNING, logger="batch_doc_vqa_spark.operators.decontam"):
         rep = contamination_report(docs, "doc_id", "text", bench, "bench_id", "text",
                                    n=8, strategy="auto", broadcast_limit=3)
-    assert any("shuffle join tier" in m for m in caplog.messages)
+    assert any("bloom join tier" in m for m in caplog.messages)
     rows = {(r["doc_id"], r["bench_id"]): r["coverage"] for r in rep.collect()}
     assert rows[("d0", "bench0")] == 1.0  # same answer through the fallback
 
@@ -126,3 +127,53 @@ def test_auto_tier_falls_back_when_bench_too_big(spark, caplog):
     with pytest.raises(ValueError):
         contamination_report(docs, "doc_id", "text", bench, "bench_id", "text",
                              strategy="bogus")
+
+
+def test_bloom_tier_matches_broadcast_tier(spark):
+    """'bloom' (broadcast Bloom bitmap prefilter in front of the shuffle
+    join) must be value-identical to the broadcast tier: a Bloom filter has
+    no false negatives, and the exact join removes its false positives
+    (VERDICT r5 #7)."""
+    docs, bench = _fixture(spark)
+    b = contamination_report(docs, "doc_id", "text", bench, "bench_id", "text",
+                             n=8, strategy="broadcast")
+    bl = contamination_report(docs, "doc_id", "text", bench, "bench_id", "text",
+                              n=8, strategy="bloom")
+    assert sorted(map(tuple, b.collect()), key=lambda t: t[:2]) == \
+           sorted(map(tuple, bl.collect()), key=lambda t: t[:2])
+    kb = {r["doc_id"] for r in decontaminate(docs, "doc_id", "text", bench, "bench_id",
+                                             "text", n=8, threshold=0.5,
+                                             strategy="bloom").collect()}
+    assert kb == {"d2", "d3", "d4"}
+
+
+def test_bloom_prefilter_prunes_clean_corpus_ngrams(spark):
+    """The prefilter must actually PRUNE: on a corpus whose n-grams are
+    overwhelmingly absent from the bench side, the surviving row count
+    stays close to the true-hit count (fpp ~1% at the default sizing), and
+    the prefilter plan adds no exchange to the corpus lineage."""
+    from batch_doc_vqa_spark.operators.decontam import (
+        _bloom_prefilter,
+        _ngram_hashes,
+    )
+
+    docs, bench = _fixture(spark)
+    doc_h = _ngram_hashes(docs, "doc_id", "text", 8, "xxhash64").withColumnRenamed(
+        "_id", "doc_id"
+    )
+    bench_h = _ngram_hashes(bench, "bench_id", "text", 8, "xxhash64").withColumnRenamed(
+        "_id", "bench_id"
+    ).localCheckpoint(eager=True)
+    n_bench = bench_h.count()
+    surv = _bloom_prefilter(doc_h, bench_h, n_bench)
+    true_hits = doc_h.join(bench_h.select("h").distinct(), "h", "left_semi").count()
+    n_doc = doc_h.count()
+    n_surv = surv.count()
+    assert n_surv >= true_hits  # no false negatives
+    # ≥90% of the non-hit corpus n-grams pruned (default sizing gives ~99%)
+    assert (n_surv - true_hits) <= max(3, 0.1 * (n_doc - true_hits))
+    # map-side only: the broadcast build sides are the ONLY exchanges —
+    # the prefilter adds no shuffle to the corpus lineage
+    plan = surv._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan

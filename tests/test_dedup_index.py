@@ -308,3 +308,36 @@ def test_vacuum_reclaims_only_uncommitted_snapshots(spark, corpora, tmp_path):
     assert set(deleted) == {"base", "snapV"}
     assert not os.path.isdir(f"{path}/sigs/snap=base")
     assert read_index_sigs(spark, path).count() == 30 + new.count()  # live snapshot intact
+
+
+def test_pairs_for_snapshot_rejects_random_ids_sorting_after_target(
+    spark, corpora, tmp_path
+):
+    """ADVICE r5 (low): 'earlier' is lexicographic on snapshot ids, so a
+    batch snapshot with the default RANDOM 's<hex12>' id that sorts after
+    the audited epoch has unknowable ingestion order — the recompute must
+    fail loudly instead of returning a silently incomplete pair set.
+    allow_unsorted_ids=True is the explicit override."""
+    from batch_doc_vqa_spark.operators.dedup_index import (
+        incremental_dedup_pairs,
+        pairs_for_snapshot,
+    )
+
+    old, new = corpora
+    path = str(tmp_path / "idx_mixed")
+    build_dedup_index(old, "doc_id", "text", path)
+    # an epoch-style snapshot (streaming twin scheme), then a batch append
+    # with the DEFAULT random id (which always sorts after 'e…')
+    incremental_dedup_pairs(
+        spark, new.limit(4), "doc_id", "text", path,
+        threshold=0.5, snapshot_id="e00000001",
+    ).collect()
+    incremental_dedup_pairs(
+        spark, new.filter(F.col("doc_id") == "new_unique"), "doc_id", "text", path,
+        threshold=0.5,  # default random 's<hex12>' snapshot id
+    ).collect()
+    with pytest.raises(ValueError, match="RANDOM id scheme"):
+        pairs_for_snapshot(spark, path, "e00000001")
+    # explicit override: the random snapshot genuinely ingested later here
+    healed = pairs_for_snapshot(spark, path, "e00000001", allow_unsorted_ids=True)
+    assert healed.count() >= 0

@@ -685,3 +685,36 @@ def test_ivfpq_index_save_load_roundtrip(vectors, tmp_path):
         similarity.load_ivfpq_index(spark, path)
     similarity.save_ivfpq_index(index, path)
     assert similarity.load_ivfpq_index(spark, path)["m"] == 8
+
+
+def test_codebook_shape_validated_at_every_acceptance_point(vectors, spark):
+    """ADVICE r5 (low): the ADC position arithmetic assumes every sub-space
+    carries codes 1..n_codes contiguously with equal counts — a ragged or
+    shifted user codebook must raise at acceptance, not silently corrupt
+    the flattened lookup positions."""
+    queries = vectors.filter(F.col("vec_id").isin(0, 1)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    good = similarity.train_pq_codebook(vectors, m=4, n_codes=4, dim=16)
+    # ragged: drop one code from sub-space m=0
+    ragged = good.filter(~((F.col("m") == 0) & (F.col("code") == 4)))
+    with pytest.raises(ValueError, match="contiguous"):
+        similarity.pq_topk(vectors, queries, m=4, n_codes=4, k=3, dim=16,
+                           codebook=ragged).collect()
+    # non-contiguous: codes shifted to 2..5 in one sub-space
+    shifted = good.withColumn(
+        "code",
+        F.when(F.col("m") == 1, F.col("code") + 1).otherwise(F.col("code")),
+    )
+    with pytest.raises(ValueError, match="contiguous"):
+        similarity.ivfpq_build(vectors, n_centroids=4, m=4, dim=16,
+                               codebook=shifted)
+    # missing sub-space entirely
+    missing = good.filter(F.col("m") != 2)
+    with pytest.raises(ValueError, match="every sub-space"):
+        similarity.pq_topk(vectors, queries, m=4, n_codes=4, k=3, dim=16,
+                           codebook=missing).collect()
+    # the valid model still flows through unchanged
+    ok = similarity.pq_topk(vectors, queries, m=4, n_codes=4, k=3, dim=16,
+                            codebook=good)
+    assert ok.count() > 0

@@ -286,3 +286,60 @@ def test_recover_preserves_window3_racer_in_live_dir(spark, tmp_path):
     assert committed_publish_ids(spark, out) == ["r1", "r2", "r3", "racer3"]
     assert {r["doc_id"] for r in read_published(spark, out)
             .filter("run_id = 'racer3'").collect()} == {"dr"}
+
+
+def test_recover_post_audit_crash_is_completed_not_rollback(spark, tmp_path):
+    """ADVICE r5 (medium): crash AFTER the post-swap audit deleted the
+    aside dir but BEFORE the lease release, with a racer marker now in the
+    live dir. recover must treat missing-aside as 'swap completed' — the
+    old behavior rebuilt the live set from the racer markers ALONE,
+    dropping the compacted marker and every pre marker (all compacted data
+    invisible, then vacuum-deletable)."""
+    out = str(tmp_path / "postaudit")
+    _publish_three_runs(spark, out)
+    cid = compact_published_store(spark, out)
+    pub_before = _rows(read_published(spark, out))
+    # fabricate the crash state: swap + audit done (no _committed_old),
+    # lease still held, and a racer marker that landed post-activation
+    spark.createDataFrame([("dr", "racer")], "doc_id string, text string") \
+        .write.parquet(f"{out}/published/run_id=racerP")
+    spark.createDataFrame([], "doc_id string, text string, reject_reason string") \
+        .write.parquet(f"{out}/quarantine/run_id=racerP")
+    open(f"{out}/_committed/racerP", "w").close()
+    acquire_maintenance_lease(spark, out, {
+        "distinguished": cid, "pre_markers": ["r1", "r2", "r3"], "new_markers": [cid],
+    })
+    res = recover_published_store(spark, out)
+    assert res.startswith("completed")
+    # compacted marker survived alongside the racer; data intact
+    assert committed_publish_ids(spark, out) == sorted([cid, "racerP"])
+    pub_after = read_published(spark, out)
+    assert _rows(pub_after.filter("run_id != 'racerP'")) == pub_before
+    # and vacuum must NOT reclaim the compacted data
+    vacuum_published_store(spark, out, grace_seconds=0)
+    assert _rows(read_published(spark, out).filter("run_id != 'racerP'")) == pub_before
+
+
+def test_vacuum_prunes_superseded_schema_versions(spark, tmp_path):
+    """ADVICE r5 (low): the vacuum schema prune must parse the CURRENT
+    nonce-wrapped version format — the old raw StructType.fromJson check
+    always failed on it, so superseded versions were never pruned."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from batch_doc_vqa_spark.plans.publish import _schema_versions, update_schema_store
+
+    out = str(tmp_path / "sprune")
+    _publish_three_runs(spark, out)
+    base = read_schema_store(spark, out, "published")
+    for extra in ("x1", "x2"):
+        update_schema_store(
+            spark, out, "published",
+            StructType([*base.fields, StructField(extra, StringType(), True)]),
+        )
+    versions = _schema_versions(spark, out, "published")
+    assert len(versions) >= 3
+    vacuum_published_store(spark, out, grace_seconds=0)
+    kept = _schema_versions(spark, out, "published")
+    assert kept == [versions[-1]]  # only the latest readable version survives
+    stored = read_schema_store(spark, out, "published")
+    assert {"x1", "x2"} <= {f.name for f in stored.fields}
