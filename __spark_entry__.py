@@ -901,20 +901,80 @@ def _q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TRAINER_KW = dict(m=16, n_codes=16, dim=64, iters=20, seed=11)
+
+
+def _trained_fixture_df(spark: SparkSession) -> DataFrame:
+    from batch_doc_vqa_spark.sources.vectors_fixture import trained_sample_df
+
+    return trained_sample_df(spark)
+
+
 def _q_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flat PQ with a k-means-TRAINED codebook (VERDICT r4 #7). k-means is
-    iterative — not SQL-expressible — so this entry has no oracle_sql and
-    the driver records the weaker rows-only check; the capture-improvement
-    and bit-determinism contracts are pytest-verified
-    (tests/test_dedup_similarity.py::test_trained_pq_codebook_*)."""
+    """Flat PQ with a k-means-TRAINED codebook (VERDICT r4 #7 / r5 #1).
+    k-means is iterative — not SQL-expressible — but the trained MODEL is a
+    deterministic function of the seeded fixture sample, so the oracle
+    embeds the kernel-mirror's centers as VALUES (the bootstrap_median_ci
+    precedent) and the whole downstream encode → ADC → re-rank pipeline is
+    hash-exact against DuckDB. The fixture (not the embeddings table)
+    trains the model so the oracle stays sf-independent; the REAL Spark
+    trainer (md5 sampling + applyInPandas + shared kmeans kernel) is in
+    the measured path, bit-identity with the mirror pytest-pinned."""
+    from batch_doc_vqa_spark.sources.vectors_fixture import TRAIN_SAMPLE
+
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    cbk = similarity.train_pq_codebook(emb, m=16, n_codes=16, dim=64)
+    cbk = similarity.train_pq_codebook(
+        _trained_fixture_df(spark), sample_size=TRAIN_SAMPLE, **_TRAINER_KW
+    )
     return similarity.pq_topk(
         emb, queries, m=16, n_codes=16, k=5, dim=64, rerank=40, codebook=cbk
     ).select("q_id", "neighbor_id", "approx_dist", "exact_dist", "rank")
+
+
+def _q_ann_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF×PQ with a fully TRAINED model (k-means centroids + residual
+    codebook from train_ivfpq_model) through the production build path —
+    same kernel-as-VALUES oracle treatment as ann_pq_trained_topk."""
+    from batch_doc_vqa_spark.sources.vectors_fixture import TRAIN_SAMPLE
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cents, cbk = similarity.train_ivfpq_model(
+        _trained_fixture_df(spark), n_centroids=16, sample_size=TRAIN_SAMPLE,
+        **_TRAINER_KW,
+    )
+    index = similarity.ivfpq_build(
+        emb, n_centroids=16, m=16, n_codes=16, dim=64, centroids=cents, codebook=cbk
+    )
+    return similarity.ivfpq_query(index, queries, nprobe=4, k=5, rerank=40).select(
+        "q_id", "neighbor_id", "approx_dist", "exact_dist", "rank"
+    )
+
+
+def _q_ann_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION ANN path end-to-end (VERDICT r5 #2): ivfpq_build →
+    save_ivfpq_index → load_ivfpq_index → ivfpq_query through a fresh
+    store — proves the persisted/loaded index (what a 10^12-doc deployment
+    actually queries) returns the same rows as the in-memory one-shot;
+    shares ann_ivfpq_topk's oracle verbatim."""
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    index = similarity.ivfpq_build(emb, n_centroids=16, m=16, n_codes=16, dim=64)
+    path = tempfile.mkdtemp(prefix="ivfpq_store_") + "/idx"
+    similarity.save_ivfpq_index(index, path)
+    loaded = similarity.load_ivfpq_index(spark, path, corpus=emb)
+    return similarity.ivfpq_query(loaded, queries, nprobe=4, k=5, rerank=40).select(
+        "q_id", "neighbor_id", "approx_dist", "exact_dist", "rank"
+    )
 
 
 def _q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -929,6 +989,196 @@ def _q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivfpq_topk(
         emb, queries, n_centroids=16, nprobe=4, m=16, n_codes=16, k=5, dim=64, rerank=40
     ).select("q_id", "neighbor_id", "approx_dist", "exact_dist", "rank")
+
+
+_TRAINED_MODEL_CACHE: dict = {}
+
+
+def _trained_models() -> dict:
+    """Kernel-mirror training of the quantizer models the trained-ANN
+    oracles embed as VALUES — pure Python, no Spark; bit-identity with the
+    Spark trainers is pytest-pinned
+    (test_trainer_kernels_mirror_spark_trainers_bit_exactly). Cached: the
+    models are a deterministic function of the committed fixture."""
+    if not _TRAINED_MODEL_CACHE:
+        from batch_doc_vqa_spark.functions.pq_train import (
+            train_ivfpq_model_kernel,
+            train_pq_codebook_kernel,
+        )
+        from batch_doc_vqa_spark.sources.vectors_fixture import (
+            TRAIN_SAMPLE,
+            trained_sample_rows,
+        )
+
+        rows = trained_sample_rows()
+        kw = dict(sample_size=TRAIN_SAMPLE, **_TRAINER_KW)
+        _TRAINED_MODEL_CACHE["pq_cbm"] = train_pq_codebook_kernel(rows, **kw)
+        cents, cbm = train_ivfpq_model_kernel(rows, n_centroids=16, **kw)
+        _TRAINED_MODEL_CACHE["ivf_cents"] = cents
+        _TRAINED_MODEL_CACHE["ivf_cbm"] = cbm
+    return _TRAINED_MODEL_CACHE
+
+
+def _ann_pq_trained_oracle() -> str:
+    """ann_pq_topk's oracle with the md5-sample codebook CTE replaced by
+    the TRAINED centers as VALUES — everything downstream (encode, ADC,
+    exact re-rank) is the identical SQL."""
+    cbm = _values_cte(
+        "cbm", ["code", "m", "cs"],
+        [(code, m, cs) for m, code, cs in _trained_models()["pq_cbm"]],
+    )
+    return f"""
+        WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        {cbm},
+        ce AS (
+            SELECT e.vec_id, c.m, c.code,
+                   list_slice(e.v, c.m*4 + 1, c.m*4 + 4) AS es,
+                   ROUND(list_reduce(list_transform(range(1, 5),
+                       i -> (es[CAST(i AS INT)] - c.cs[CAST(i AS INT)])
+                            * (es[CAST(i AS INT)] - c.cs[CAST(i AS INT)])),
+                       (a, b) -> a + b), 6) AS dist
+            FROM emb e CROSS JOIN cbm c),
+        codes AS (
+            SELECT vec_id, m, code FROM (
+                SELECT vec_id, m, code,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                           ORDER BY dist, code) AS rn
+                FROM ce) WHERE rn = 1),
+        carr AS (SELECT vec_id, list(code ORDER BY m) AS codes
+                 FROM codes GROUP BY vec_id),
+        q AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id % 50 = 0),
+        qe AS (
+            SELECT q.q_id, c.m, c.code,
+                   list_slice(q.qv, c.m*4 + 1, c.m*4 + 4) AS qs,
+                   ROUND(list_reduce(list_transform(range(1, 5),
+                       i -> (qs[CAST(i AS INT)] - c.cs[CAST(i AS INT)])
+                            * (qs[CAST(i AS INT)] - c.cs[CAST(i AS INT)])),
+                       (a, b) -> a + b), 6) AS dist
+            FROM q CROSS JOIN cbm c),
+        qarr AS (SELECT q_id, list(dist ORDER BY m, code) AS qd
+                 FROM qe GROUP BY q_id),
+        adc AS (
+            SELECT qarr.q_id, carr.vec_id AS neighbor_id,
+                   ROUND(list_reduce(list_transform(range(1, 17),
+                       i -> qd[CAST((i-1)*16 + codes[CAST(i AS INT)] AS INT)]),
+                       (a, b) -> a + b), 6) AS approx_dist
+            FROM carr CROSS JOIN qarr WHERE carr.vec_id != qarr.q_id),
+        short AS (
+            SELECT q_id, neighbor_id, approx_dist FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY approx_dist ASC, neighbor_id ASC) AS rn
+                FROM adc) WHERE rn <= 40),
+        ex AS (
+            SELECT s.q_id, s.neighbor_id, s.approx_dist,
+                   ROUND(list_reduce(list_transform(range(1, 65),
+                       i -> (e.v[CAST(i AS INT)] - q.qv[CAST(i AS INT)])
+                            * (e.v[CAST(i AS INT)] - q.qv[CAST(i AS INT)])),
+                       (a, b) -> a + b), 6) AS exact_dist
+            FROM short s
+            JOIN emb e ON e.vec_id = s.neighbor_id
+            JOIN q ON q.q_id = s.q_id)
+        SELECT q_id, neighbor_id, approx_dist, exact_dist, rank FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                ORDER BY exact_dist ASC, neighbor_id ASC) AS rank
+            FROM ex
+        ) WHERE rank <= 5
+    """
+
+
+def _ann_ivfpq_trained_oracle() -> str:
+    """ann_ivfpq_topk's oracle with BOTH model CTEs (sampled centroids,
+    residual-sample codebook) replaced by the TRAINED model as VALUES;
+    assignment, probing, ADC and re-rank are the identical SQL."""
+    models = _trained_models()
+    cent = _values_cte(
+        "cent", ["cent_id", "cv"], [(cid, cv) for cid, cv in models["ivf_cents"]]
+    )
+    cbm = _values_cte(
+        "cbm", ["code", "m", "cs"],
+        [(code, m, cs) for m, code, cs in models["ivf_cbm"]],
+    )
+    return f"""
+        WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        {cent},
+        {cbm},
+        assign AS (
+            SELECT vec_id, cent_id,
+                   list_transform(range(1, 65),
+                       i -> v[CAST(i AS INT)] - cv[CAST(i AS INT)]) AS r
+            FROM (
+                SELECT e.vec_id, e.v, c.cent_id, c.cv,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                           ROUND(list_reduce(list_transform(range(1, 65),
+                               i -> (e.v[CAST(i AS INT)] - c.cv[CAST(i AS INT)])
+                                    * (e.v[CAST(i AS INT)] - c.cv[CAST(i AS INT)])),
+                               (a, b) -> a + b), 6) ASC, c.cent_id ASC) AS rn
+                FROM emb e CROSS JOIN cent c) WHERE rn = 1),
+        ce AS (
+            SELECT a.vec_id, a.cent_id, c.m, c.code,
+                   list_slice(a.r, c.m*4 + 1, c.m*4 + 4) AS es,
+                   ROUND(list_reduce(list_transform(range(1, 5),
+                       i -> (es[CAST(i AS INT)] - c.cs[CAST(i AS INT)])
+                            * (es[CAST(i AS INT)] - c.cs[CAST(i AS INT)])),
+                       (a2, b) -> a2 + b), 6) AS dist
+            FROM assign a CROSS JOIN cbm c),
+        codes AS (
+            SELECT vec_id, cent_id, m, code FROM (
+                SELECT vec_id, cent_id, m, code,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                           ORDER BY dist, code) AS rn
+                FROM ce) WHERE rn = 1),
+        carr AS (SELECT vec_id, cent_id, list(code ORDER BY m) AS codes
+                 FROM codes GROUP BY vec_id, cent_id),
+        q AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id % 50 = 0),
+        probe AS (
+            SELECT q_id, cent_id,
+                   list_transform(range(1, 65),
+                       i -> qv[CAST(i AS INT)] - cv[CAST(i AS INT)]) AS qr
+            FROM (
+                SELECT q.q_id, q.qv, c.cent_id, c.cv,
+                       ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+                           ROUND(list_reduce(list_transform(range(1, 65),
+                               i -> (q.qv[CAST(i AS INT)] - c.cv[CAST(i AS INT)])
+                                    * (q.qv[CAST(i AS INT)] - c.cv[CAST(i AS INT)])),
+                               (a, b) -> a + b), 6) ASC, c.cent_id ASC) AS rn
+                FROM q CROSS JOIN cent c) WHERE rn <= 4),
+        qe AS (
+            SELECT p.q_id, p.cent_id, c.m, c.code,
+                   list_slice(p.qr, c.m*4 + 1, c.m*4 + 4) AS qs,
+                   ROUND(list_reduce(list_transform(range(1, 5),
+                       i -> (qs[CAST(i AS INT)] - c.cs[CAST(i AS INT)])
+                            * (qs[CAST(i AS INT)] - c.cs[CAST(i AS INT)])),
+                       (a2, b) -> a2 + b), 6) AS dist
+            FROM probe p CROSS JOIN cbm c),
+        qarr AS (SELECT q_id, cent_id, list(dist ORDER BY m, code) AS qd
+                 FROM qe GROUP BY q_id, cent_id),
+        adc AS (
+            SELECT qa.q_id, ca.vec_id AS neighbor_id,
+                   ROUND(list_reduce(list_transform(range(1, 17),
+                       i -> qd[CAST((i-1)*16 + codes[CAST(i AS INT)] AS INT)]),
+                       (a, b) -> a + b), 6) AS approx_dist
+            FROM carr ca JOIN qarr qa USING (cent_id)
+            WHERE ca.vec_id != qa.q_id),
+        short AS (
+            SELECT q_id, neighbor_id, approx_dist FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY approx_dist ASC, neighbor_id ASC) AS rn
+                FROM adc) WHERE rn <= 40),
+        ex AS (
+            SELECT s.q_id, s.neighbor_id, s.approx_dist,
+                   ROUND(list_reduce(list_transform(range(1, 65),
+                       i -> (e.v[CAST(i AS INT)] - q.qv[CAST(i AS INT)])
+                            * (e.v[CAST(i AS INT)] - q.qv[CAST(i AS INT)])),
+                       (a, b) -> a + b), 6) AS exact_dist
+            FROM short s
+            JOIN emb e ON e.vec_id = s.neighbor_id
+            JOIN q ON q.q_id = s.q_id)
+        SELECT q_id, neighbor_id, approx_dist, exact_dist, rank FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                ORDER BY exact_dist ASC, neighbor_id ASC) AS rank
+            FROM ex
+        ) WHERE rank <= 5
+    """
 
 
 def _q_embedding_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1027,6 +1277,97 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.token_counts(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ------------------------------------------------- BPE subword tier (r6)
+#
+# Kernel = oracle: the Spark queries run the REAL distributed path (Spark
+# word-count learner + broadcast-vocab Arrow UDF encode), and the oracles
+# embed the pure kernel's per-row outputs as VALUES — the extraction-family
+# pattern (FIXTURES.md), sf-independent because the fixture is seeded.
+
+_BPE_CACHE: dict = {}
+
+
+def _bpe_model() -> dict:
+    if not _BPE_CACHE:
+        import hashlib as _hl
+
+        from batch_doc_vqa_spark.functions import bpe as kbpe
+        from batch_doc_vqa_spark.operators.subword import cap_freqs
+        from batch_doc_vqa_spark.sources.bpe_fixture import (
+            BPE_MAX_WORDS,
+            BPE_MERGES,
+            BPE_MIN_FREQ,
+            bpe_fixture_rows,
+        )
+
+        rows = bpe_fixture_rows()
+        freqs = kbpe.word_freqs(t for _, t in rows)
+        merges = kbpe.learn_bpe_merges(
+            cap_freqs(freqs, BPE_MAX_WORDS), BPE_MERGES, BPE_MIN_FREQ
+        )
+        ranks = kbpe.make_ranks(merges)
+        _BPE_CACHE["counts"] = [(i, kbpe.count_tokens(t, ranks)) for i, t in rows]
+        _BPE_CACHE["chunks"] = [
+            (i, idx, n, _hl.md5(txt.encode()).hexdigest())
+            for i, t in rows
+            for idx, n, txt in kbpe.chunk_tokens(t, ranks, 32, 8)
+        ]
+    return _BPE_CACHE
+
+
+def _bpe_spark_merges(spark: SparkSession):
+    from batch_doc_vqa_spark.operators.subword import learn_bpe
+    from batch_doc_vqa_spark.sources.bpe_fixture import (
+        BPE_MAX_WORDS,
+        BPE_MERGES,
+        BPE_MIN_FREQ,
+        bpe_fixture_df,
+    )
+
+    fx = bpe_fixture_df(spark)
+    return fx, learn_bpe(fx, "text", BPE_MERGES, BPE_MAX_WORDS, BPE_MIN_FREQ)
+
+
+def _q_token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained subword token counts (VERDICT r5 #5): Spark-learned merge
+    table, broadcast-vocab greedy BPE encode in an Arrow UDF; oracle =
+    kernel outputs as VALUES (byte-identity per doc)."""
+    fx, merges = _bpe_spark_merges(spark)
+    return textstats.token_counts(
+        fx, "doc_id", "text", tokenizer="bpe", merges=merges
+    ).select("doc_id", "bpe_tokens")
+
+
+def _q_chunk_documents_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking in MODEL-token units via
+    chunk_documents(tokenizer='bpe') — same stride semantics as the ws
+    tier, over the real subword sequence."""
+    from batch_doc_vqa_spark.operators.chunking import chunk_documents
+
+    fx, merges = _bpe_spark_merges(spark)
+    return chunk_documents(
+        fx, "doc_id", "text", chunk_tokens=32, overlap=8,
+        tokenizer="bpe", merges=merges,
+    ).select(
+        "doc_id", "chunk_idx", "n_tokens",
+        F.md5(F.encode("chunk_text", "utf-8")).alias("chunk_md5"),
+    )
+
+
+def _q_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packing layout denominated in BPE tokens: bpe_token_counts →
+    pack_sequences (distributed prefix sum) — budgets/context lengths in
+    model tokens end-to-end."""
+    from batch_doc_vqa_spark.operators.packing import pack_sequences
+    from batch_doc_vqa_spark.operators.subword import bpe_token_counts
+
+    fx, merges = _bpe_spark_merges(spark)
+    counts = bpe_token_counts(fx, "doc_id", "text", merges)
+    return pack_sequences(counts, "doc_id", "bpe_tokens", ctx_len=64, block_size=8).select(
+        "doc_id", "bpe_tokens", "start_offset", "seq_id", "end_seq_id", "crosses_boundary"
+    )
 
 
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2048,11 +2389,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": _q_ann_pq,
         "ann_pq_trained_topk": _q_ann_pq_trained,
         "ann_ivfpq_topk": _q_ann_ivfpq,
+        "ann_ivfpq_trained_topk": _q_ann_ivfpq_trained,
+        "ann_ivfpq_persisted_topk": _q_ann_ivfpq_persisted,
         "embedding_dup_pairs": _q_embedding_dup,
         "embedding_dup_pairs_lsh": _q_embedding_dup_lsh,
         "doc_quality": _q_doc_quality,
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
+        "token_counts_bpe": _q_token_counts_bpe,
+        "chunk_documents_bpe": _q_chunk_documents_bpe,
+        "pack_sequences_bpe": _q_pack_sequences_bpe,
         "fingerprint": _q_fingerprint,
         "matching_pipeline": _q_matching_pipeline,
         "detection_stats": _q_detection_stats,
@@ -3601,4 +3947,47 @@ def oracle_sql() -> dict[str, str]:
                    AS crosses_boundary
         FROM off
     """
+    # BPE subword tier: kernel outputs as VALUES (byte-identity per doc);
+    # the packing layout is re-derived in SQL from the embedded counts
+    bpe = _bpe_model()
+    cnt_cte = _values_cte("cnt", ["doc_id", "bpe_tokens"], bpe["counts"])
+    oracles["token_counts_bpe"] = f"""
+        WITH {cnt_cte}
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(bpe_tokens AS INT) AS bpe_tokens
+        FROM cnt
+    """
+    oracles["chunk_documents_bpe"] = f"""
+        WITH {_values_cte("ch", ["doc_id", "chunk_idx", "n_tokens", "chunk_md5"], bpe["chunks"])}
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+               CAST(n_tokens AS INT) AS n_tokens, chunk_md5
+        FROM ch
+    """
+    oracles["pack_sequences_bpe"] = f"""
+        WITH {cnt_cte},
+        off AS (
+            SELECT doc_id, bpe_tokens,
+                   CAST(COALESCE(SUM(bpe_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                       AS start_offset
+            FROM cnt)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(bpe_tokens AS INT) AS bpe_tokens, start_offset,
+               CAST((start_offset - (start_offset % 64)) // 64 AS BIGINT) AS seq_id,
+               CAST(((start_offset + GREATEST(bpe_tokens - 1, 0))
+                     - ((start_offset + GREATEST(bpe_tokens - 1, 0)) % 64)) // 64 AS BIGINT)
+                   AS end_seq_id,
+               CAST(((start_offset + GREATEST(bpe_tokens - 1, 0))
+                     - ((start_offset + GREATEST(bpe_tokens - 1, 0)) % 64)) // 64 AS BIGINT)
+                   > CAST((start_offset - (start_offset % 64)) // 64 AS BIGINT)
+                   AS crosses_boundary
+        FROM off
+    """
+    # trained-quantizer oracles: kernel-mirror models embedded as VALUES
+    # (k-means itself is iterative; the MODEL is deterministic — VERDICT r5 #1)
+    oracles["ann_pq_trained_topk"] = _ann_pq_trained_oracle()
+    oracles["ann_ivfpq_trained_topk"] = _ann_ivfpq_trained_oracle()
+    # the persisted path must return byte-identical rows to the one-shot
+    # build — same oracle verbatim (VERDICT r5 #2)
+    oracles["ann_ivfpq_persisted_topk"] = oracles["ann_ivfpq_topk"]
     return oracles

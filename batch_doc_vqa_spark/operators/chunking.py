@@ -21,14 +21,22 @@ def chunk_documents(
     text_col: str,
     chunk_tokens: int = 256,
     overlap: int = 32,
+    tokenizer: str = "ws",
+    merges=None,
 ) -> DataFrame:
-    """Split documents into whitespace-token windows with overlap.
+    """Split documents into token windows with overlap.
 
     Output: (id, chunk_idx, n_tokens, chunk_text); stride =
     chunk_tokens - overlap. The final window is emitted iff it starts inside
     the document and contains at least one token beyond the previous window
     (standard training-chunker semantics: every token appears in ≥1 chunk,
     no empty or fully-duplicated tail chunk).
+
+    ``tokenizer='ws'`` (default) windows over whitespace tokens in pure
+    column expressions; ``'bpe'`` delegates to
+    ``subword.bpe_chunk_documents`` — the same window math over the REAL
+    subword sequence (model-token context lengths), Arrow-batched with the
+    ``merges`` table from ``subword.learn_bpe`` broadcast.
 
     Shape: tokens projected once, windows generated in-array via
     ``sequence`` + ``transform``+``slice``, then ONE posexplode — the
@@ -37,6 +45,14 @@ def chunk_documents(
     """
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
+    if tokenizer == "bpe":
+        if merges is None:
+            raise ValueError("tokenizer='bpe' needs a merges table (subword.learn_bpe)")
+        from .subword import bpe_chunk_documents
+
+        return bpe_chunk_documents(df, id_col, text_col, merges, chunk_tokens, overlap)
+    if tokenizer != "ws":
+        raise ValueError(f"unknown tokenizer: {tokenizer!r}")
     stride = chunk_tokens - overlap
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit(""))
     base = df.select(F.col(id_col), toks.alias("_t")).withColumn("_n", F.size("_t"))

@@ -273,6 +273,35 @@ def ivf_cosine_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+_PRESAMPLE_OVERSHOOT = 16  # expected survivors = OVERSHOOT × sample_size
+
+
+def _md5_presample(df: DataFrame, md5_col, sample_size: int, corpus_hint: int | None):
+    """The ``sample_size`` md5-smallest rows WITHOUT a corpus-wide global
+    top-N (VERDICT r5 #4): when the caller supplies ``corpus_hint`` (an
+    approximate row count — catalog stats, a lineage counter, last run's
+    size), a map-side ``md5 < threshold`` filter keeps only the smallest
+    ~OVERSHOOT·sample_size/corpus_hint fraction BEFORE the sort, so the
+    TakeOrderedAndProject heap sees a bounded remainder instead of every
+    row. BIT-IDENTICAL by construction: the n smallest values below a
+    threshold that keeps ≥ n survivors ARE the n smallest overall — and md5
+    is uniform, so a 16× overshoot makes a shortfall astronomically
+    unlikely; a wrong hint degrades to the exact unfiltered sort, never to
+    a different sample. Data-derived and partition-independent throughout
+    (unlike ``DataFrame.sample``, whose per-partition RNG would tie the
+    model to the physical partitioning)."""
+    ordered = df.orderBy("_ord").limit(sample_size)
+    if not corpus_hint or corpus_hint <= _PRESAMPLE_OVERSHOOT * sample_size:
+        return ordered
+    frac = _PRESAMPLE_OVERSHOOT * sample_size / corpus_hint
+    thr = format(min(0xFFFFFFFFFFFF, int(frac * 16**12) + 1), "012x")
+    fast = df.filter(md5_col < thr).orderBy("_ord").limit(sample_size)
+    fast = fast.localCheckpoint(eager=True)
+    if fast.count() >= sample_size:
+        return fast
+    return ordered  # hint was badly wrong — exact fallback, same output
+
+
 def train_ivfpq_model(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -284,14 +313,17 @@ def train_ivfpq_model(
     sample_size: int = 4096,
     iters: int = 20,
     seed: int = 11,
+    corpus_hint: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """K-means-trained IVF×PQ model: (centroids, residual_codebook) for
     ``ivfpq_build(centroids=..., codebook=...)`` — zero plan change
     downstream, same discipline as ``train_pq_codebook`` (data-derived
     sample + seeds, in-group re-sort, lexicographically stable labels).
 
-    Training runs entirely on the md5-smallest ``sample_size`` docs:
-    one single-group k-means over full vectors for the coarse centroids,
+    Training runs entirely on the md5-smallest ``sample_size`` docs
+    (``corpus_hint`` enables the bit-identical map-side prefilter —
+    ``_md5_presample``): one single-group k-means over full vectors for
+    the coarse centroids,
     then an in-plan assignment of the SAME sample to those centroids, then
     one k-means per sub-space over the sample residuals. Iterative ⇒ not
     SQL-expressible; contracts are pytest-verified (capture + determinism).
@@ -304,15 +336,12 @@ def train_ivfpq_model(
         raise ValueError("dim must divide into m sub-spaces")
     sub = dim // m
     md5_id = F.md5(F.col(id_col).cast("string"))
-    samp = (
-        corpus.select(
-            md5_id.alias("_ord"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
-        )
-        .orderBy("_ord")
-        .limit(sample_size)
-        .localCheckpoint(eager=True)  # two consumers: centroid fit + residuals
+    keyed = corpus.select(
+        md5_id.alias("_ord"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     )
+    samp = _md5_presample(keyed, F.col("_ord"), sample_size, corpus_hint)
+    samp = samp.localCheckpoint(eager=True)  # two consumers: centroid fit + residuals
 
     def fit_cents(pdf):
         import pandas as pd
@@ -743,6 +772,7 @@ def train_pq_codebook(
     sample_size: int = 2048,
     iters: int = 20,
     seed: int = 11,
+    corpus_hint: int | None = None,
 ) -> DataFrame:
     """K-means-trained PQ codebook: (m, code, center) — drop-in for
     ``pq_topk``'s ``codebook=`` with zero plan change downstream
@@ -762,23 +792,22 @@ def train_pq_codebook(
     - ``functions.kmeans.kmeans_fit`` sorts final centers lexicographically
       and rounds to 6, so code labels are stable bit-for-bit.
 
-    Scale shape: training touches only the sample (one ``limit`` over an
-    md5 sort — at real scale, replace with a seeded ``TABLESAMPLE`` + the
-    same md5 tie-order); the fit is m tiny single-group fits. The model is
-    m·n_codes rows — broadcast-size by construction.
+    Scale shape: training touches only the sample; with ``corpus_hint``
+    (an approximate corpus row count) the md5-smallest selection runs
+    behind a map-side ``md5 < threshold`` prefilter (``_md5_presample``) —
+    bit-identical output, but the global top-N heap sees a bounded
+    remainder instead of every corpus row. The fit is m tiny single-group
+    fits; the model is m·n_codes rows — broadcast-size by construction.
     """
     if dim % m:
         raise ValueError("dim must divide into m sub-spaces")
     sub = dim // m
     md5_id = F.md5(F.col(id_col).cast("string"))
-    samp = (
-        corpus.select(
-            md5_id.alias("_ord"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
-        )
-        .orderBy("_ord")
-        .limit(sample_size)
+    keyed = corpus.select(
+        md5_id.alias("_ord"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     )
+    samp = _md5_presample(keyed, F.col("_ord"), sample_size, corpus_hint)
     ms = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("m")
     rows = samp.select("_ord", "_v", ms).select(
         "_ord", "m", F.slice(F.col("_v"), F.col("m") * sub + 1, sub).alias("_vs")

@@ -93,13 +93,33 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Whitespace tokens vs BPE-ish regex pieces per document."""
-    return df.select(
+def token_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    tokenizer: str = "ws",
+    merges=None,
+) -> DataFrame:
+    """Token counts per document. ``tokenizer='ws'`` (default): whitespace
+    tokens + BPE-ish regex pieces — pure column expressions. ``'bpe'``: a
+    REAL trained subword count appended as ``bpe_tokens`` (broadcast-vocab
+    greedy BPE in an Arrow UDF — ``operators.subword``; pass the ``merges``
+    table from ``subword.learn_bpe``), so budgets and context lengths can
+    be denominated in model tokens."""
+    base = df.select(
         F.col(id_col),
         F.size(_tokens(F.col(text_col))).alias("ws_tokens"),
         F.regexp_count(F.col(text_col), F.lit(TOKEN_REGEX)).alias("regex_tokens"),
     )
+    if tokenizer == "ws":
+        return base
+    if tokenizer != "bpe":
+        raise ValueError(f"unknown tokenizer: {tokenizer!r}")
+    if merges is None:
+        raise ValueError("tokenizer='bpe' needs a merges table (subword.learn_bpe)")
+    from .subword import bpe_token_counts
+
+    return base.join(bpe_token_counts(df, id_col, text_col, merges), id_col)
 
 
 def winnow_fingerprint_kernel(text: str, k: int = 5, w: int = 4) -> list[int]:

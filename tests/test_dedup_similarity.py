@@ -718,3 +718,93 @@ def test_codebook_shape_validated_at_every_acceptance_point(vectors, spark):
     ok = similarity.pq_topk(vectors, queries, m=4, n_codes=4, k=3, dim=16,
                             codebook=good)
     assert ok.count() > 0
+
+
+def test_trainer_kernels_mirror_spark_trainers_bit_exactly(spark):
+    """The pure-Python trainer mirrors (functions.pq_train) must reproduce
+    the Spark trainers bit-for-bit on the seeded fixture — they are the
+    kernel-as-oracle halves the trained-quantizer DuckDB oracles embed as
+    VALUES."""
+    from batch_doc_vqa_spark.functions.pq_train import (
+        train_ivfpq_model_kernel,
+        train_pq_codebook_kernel,
+    )
+    from batch_doc_vqa_spark.sources.vectors_fixture import (
+        TRAIN_SAMPLE,
+        trained_sample_df,
+        trained_sample_rows,
+    )
+
+    rows = trained_sample_rows()
+    fx = trained_sample_df(spark)
+    kw = dict(m=16, n_codes=16, dim=64, sample_size=TRAIN_SAMPLE, iters=20, seed=11)
+
+    cb_spark = sorted(
+        (r["m"], r["code"], list(r["center"]))
+        for r in similarity.train_pq_codebook(fx, **kw).collect()
+    )
+    assert cb_spark == sorted(train_pq_codebook_kernel(rows, **kw))
+    assert len(cb_spark) == 16 * 16  # no collapsed codes on the fixture
+
+    cents_s, cb_s = similarity.train_ivfpq_model(fx, n_centroids=16, **kw)
+    cents_k, cb_k = train_ivfpq_model_kernel(rows, n_centroids=16, **kw)
+    assert sorted(
+        (r["cent_id"], list(r["cent_vec"])) for r in cents_s.collect()
+    ) == sorted(cents_k)
+    assert sorted(
+        (r["m"], r["code"], list(r["center"])) for r in cb_s.collect()
+    ) == sorted(cb_k)
+    assert len(cents_k) == 16 and len(cb_k) == 16 * 16
+
+
+def test_trainer_presample_is_bit_identical_and_prefilters(spark):
+    """VERDICT r5 #4: with corpus_hint the trainers select the md5-smallest
+    sample behind a map-side md5<threshold prefilter — bit-identical model,
+    but the global top-N no longer consumes every corpus row; a badly wrong
+    hint degrades to the exact unfiltered sort, never a different model."""
+    rng = random.Random(31)
+    big = spark.createDataFrame(
+        [(i, [round(rng.gauss(0, 1), 6) for _ in range(16)]) for i in range(4000)],
+        "vec_id long, embedding array<double>",
+    )
+    kw = dict(m=4, n_codes=8, dim=16, sample_size=64, iters=10, seed=11)
+    base = sorted(
+        (r["m"], r["code"], list(r["center"]))
+        for r in similarity.train_pq_codebook(big, **kw).collect()
+    )
+    hinted = sorted(
+        (r["m"], r["code"], list(r["center"]))
+        for r in similarity.train_pq_codebook(big, corpus_hint=4000, **kw).collect()
+    )
+    assert hinted == base
+    # hint wildly too large → threshold keeps < sample_size rows → exact fallback
+    wrong = sorted(
+        (r["m"], r["code"], list(r["center"]))
+        for r in similarity.train_pq_codebook(big, corpus_hint=10**9, **kw).collect()
+    )
+    assert wrong == base
+    # the prefilter is actually in the plan: the sample frame carries the
+    # md5 threshold Filter under the TakeOrderedAndProject
+    from batch_doc_vqa_spark.operators.similarity import _md5_presample
+
+    keyed = big.select(
+        F.md5(F.col("vec_id").cast("string")).alias("_ord"), "embedding"
+    )
+    samp = _md5_presample(keyed, F.col("_ord"), 64, 4000)
+    # localCheckpointed frame — inspect the ORIGIN plan via a rebuild
+    probe = keyed.filter(F.col("_ord") < "06400000000").orderBy("_ord").limit(64)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    # the md5-threshold Filter sits BELOW the top-N (plans print top-down),
+    # so the heap consumes the bounded remainder, not the corpus
+    assert "Filter" in plan and plan.index("TakeOrderedAndProject") < plan.index("Filter")
+    ids = {r["_ord"] for r in samp.collect()}
+    exact = {r["_ord"] for r in keyed.orderBy("_ord").limit(64).collect()}
+    assert ids == exact
+    # ivfpq trainer: same invariance
+    cents_a, cb_a = similarity.train_ivfpq_model(big, n_centroids=8, **kw)
+    cents_b, cb_b = similarity.train_ivfpq_model(big, n_centroids=8, corpus_hint=4000, **kw)
+    assert sorted((r["cent_id"], list(r["cent_vec"])) for r in cents_a.collect()) == \
+           sorted((r["cent_id"], list(r["cent_vec"])) for r in cents_b.collect())
+    assert sorted((r["m"], r["code"], list(r["center"])) for r in cb_a.collect()) == \
+           sorted((r["m"], r["code"], list(r["center"])) for r in cb_b.collect())

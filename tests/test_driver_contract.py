@@ -11,10 +11,11 @@ from __future__ import annotations
 import __spark_entry__ as entrymod
 
 # consciously rows-only: no closed-form SQL exists. Keep this list SHORT and
-# justified — every entry here is a weaker driver check.
-NO_ORACLE_ALLOWED = {
-    "ann_pq_trained_topk",  # k-means training is iterative (round 5)
-}
+# justified — every entry here is a weaker driver check. EMPTY since round 6:
+# even the k-means-trained quantizer paths are value-oracled now (the trained
+# MODEL is a deterministic kernel output, embedded as VALUES — the
+# bootstrap_median_ci precedent).
+NO_ORACLE_ALLOWED: set[str] = set()
 
 
 def test_queries_and_oracles_cover_each_other():
