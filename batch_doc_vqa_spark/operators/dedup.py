@@ -423,7 +423,7 @@ def simhash_pairs(
     text_col: str,
     max_hamming: int = 3,
     scheme: str = "chunk16",
-    impl: str = "udf",
+    impl: str = "sql",
     base_hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band (see ``_simhash_band_keys``), then
@@ -431,29 +431,37 @@ def simhash_pairs(
     Hamming ≤3 — they find the same pair set; ``pair13`` trades 10 bands for
     ~2^10-smaller buckets and is the right choice past ~10^9 docs.
 
-    ``impl='udf'`` (default — the THROUGHPUT path, and what production
-    persists) builds the signature in one vectorized Arrow pass
-    (``simhash_batch_kernel``); its token hash is the pinned md5-based
-    ``stable_token_hash64``, so persisted signatures survive environment
-    upgrades just like the SQL form's. ``impl='sql'`` computes the signature
-    as pure JVM aggregates (``simhash_signatures_sql``) — zero Python, and
-    with ``base_hash='md5'`` the whole pipeline is value-checkable against a
-    DuckDB oracle; it pays explode → groupBy(doc, token) → 64 sum-aggregates
-    for that. Measured at sf0.1/local[32] (4 reps, shared box): udf best
-    1.4 s but 1.4-10.5 s under CPU steal (Python workers are
-    contention-sensitive); sql+xxhash64 stable 2.9-3.2 s; sql+md5 (oracle
-    form) stable ~2.9 s. Best-case — what a dedicated cluster sees — favors
-    the UDF pass, so it is the default; the SQL form is the stable
-    verification tier. Signatures are not interchangeable across impls
-    (different token hash — equivalence is on the PAIR SET, tested).
+    ``impl='sql'`` (default) computes the signature as pure JVM aggregates
+    (``simhash_signatures_sql``) — zero Python on the path, and with
+    ``base_hash='md5'`` the whole pipeline is value-checkable against a
+    DuckDB oracle; it pays explode → groupBy(doc, token) → 64
+    sum-aggregates for that. ``impl='udf'`` builds the signature in one
+    vectorized Arrow pass (``simhash_batch_kernel``); its token hash is the
+    pinned md5-based ``stable_token_hash64``, so persisted signatures
+    survive environment upgrades just like the SQL form's.
 
-    COMPATIBILITY: the default was ``'sql'`` in round 3 and flipped to
-    ``'udf'`` in round 4 — a BREAKING change for anyone who persisted
-    signatures under the old default. The default is now FROZEN at
-    ``'udf'``; any code path that PERSISTS simhash signatures must pin
-    ``impl=`` explicitly (never rely on the default), exactly as
-    ``dedup_index`` pins its MinHash hash family — cross-run signature
-    comparability is a bit-compatibility contract, not a convenience."""
+    WHY sql IS THE DEFAULT (r5 VERDICT #3 — re-costed under the
+    INTERLEAVED suite methodology, the one that models a mixed/shared
+    cluster workload where Python workers are recycled between queries;
+    numbers in BENCH/BASELINE.md "SimHash impl costing"): across four
+    independent interleaved sessions at sf0.1/local[32] the JVM tier
+    measured 3.16 s with ±0.01 s spread (r5 driver 3.16, r5 builder 3.16,
+    r6 ×2: 3.159/3.162), while the udf tier swung 1.15–4.44 s
+    (session mins) with in-suite noise bands to 4.8 — equal-or-better
+    EXPECTED cost and provably low variance vs a best-case-faster
+    (idle-box ~1.4 s) but contention-sensitive Python pass. On a dedicated
+    idle cluster pin ``impl='udf'`` for the ~2× best case. Signatures are
+    not interchangeable across impls (different token hash — equivalence
+    is on the PAIR SET, tested).
+
+    COMPATIBILITY: the default was ``'sql'`` in round 3, ``'udf'`` in
+    rounds 4-5, and is ``'sql'`` again from round 6 (evidence above) —
+    BREAKING for anyone who persisted signatures under a prior default.
+    This is why the contract stands: any code path that PERSISTS simhash
+    signatures must pin ``impl=`` explicitly (never rely on the default),
+    exactly as ``dedup_index`` pins its MinHash hash family — cross-run
+    signature comparability is a bit-compatibility contract, not a
+    convenience."""
     # localCheckpoint: computed once for both self-join sides, auto-released
     # on GC (see minhash_lsh_pairs).
     if impl == "sql":
