@@ -2110,6 +2110,21 @@ def _validate_fixture(spark: SparkSession, sf_dir: str):
         F.when(k % 61 == 0, F.lit("not-a-time"))
         .otherwise(F.lit("2024-03-15T10:30:00Z"))
         .alias("event_ts"),
+        # round 6: allOf / not / if-then-else / items long tail
+        F.when(k % 67 == 0, F.concat(F.lit("x"), id8))
+        .when(k % 71 == 0, F.lit("ABCDEFGH"))
+        .otherwise(F.lit("A1"))
+        .alias("sku"),
+        F.when(k % 73 == 0, F.lit("reserved_name")).otherwise(F.lit("userx")).alias("alias"),
+        F.when(k % 79 == 0, F.lit("nxx"))
+        .when(k % 83 == 0, F.lit("abcdef"))
+        .when(k % 89 == 0, F.lit("n42"))
+        .otherwise(F.lit("ok"))
+        .alias("mode_val"),
+        F.when(k % 97 == 0, F.lit('[1, "x", 3]'))
+        .when(k % 101 == 0, F.lit("[]"))
+        .otherwise(F.lit("[1, 2]"))
+        .alias("nums"),
     )
     rules = [
         FieldRule("student_id", "string", r"^[0-9]{8}$", required=True),
@@ -2133,6 +2148,17 @@ def _validate_fixture(spark: SparkSession, sf_dir: str):
             ("user.age", FieldRule("age", dtype="bigint")),
         )),
         FieldRule("event_ts", format="date-time"),
+        FieldRule("sku", all_of=(
+            FieldRule("sku", pattern=r"^[A-Z]"),
+            FieldRule("sku", max_length=6),
+        )),
+        FieldRule("alias", not_=FieldRule("alias", pattern=r"^reserved")),
+        FieldRule("mode_val", if_then_else=(
+            FieldRule("mode_val", pattern=r"^n"),
+            FieldRule("mode_val", pattern=r"^n[0-9]+$"),
+            FieldRule("mode_val", max_length=3),
+        )),
+        FieldRule("nums", items=FieldRule("nums", dtype="bigint"), min_items=1),
     ]
     return dirty, rules
 
@@ -2140,7 +2166,7 @@ def _validate_fixture(spark: SparkSession, sf_dir: str):
 _VALIDATE_OUT_COLS = [
     "c_custkey", "student_id", "score", "name", "grade", "pct",
     "comment_short", "meta", "tags", "contact", "payload", "profile",
-    "event_ts", "first_violation", "valid",
+    "event_ts", "sku", "alias", "mode_val", "nums", "first_violation", "valid",
 ]
 
 # Shared CTE body for the validate_coerce / validate_strict oracles: the
@@ -2166,7 +2192,14 @@ _VALIDATE_ORACLE_BASE = """
                 WHEN c_custkey % 47 = 0 THEN 'payload:oneOf' END AS v10,
            CASE WHEN c_custkey % 53 = 0 THEN 'profile:user.address.city.required'
                 WHEN c_custkey % 59 = 0 THEN 'profile:user.age.type' END AS v11,
-           CASE WHEN c_custkey % 61 = 0 THEN 'event_ts:format' END AS v12
+           CASE WHEN c_custkey % 61 = 0 THEN 'event_ts:format' END AS v12,
+           CASE WHEN c_custkey % 67 = 0 THEN 'sku:allOf.0.pattern'
+                WHEN c_custkey % 71 = 0 THEN 'sku:allOf.1.maxLength' END AS v13,
+           CASE WHEN c_custkey % 73 = 0 THEN 'alias:not' END AS v14,
+           CASE WHEN c_custkey % 79 = 0 THEN 'mode_val:then.pattern'
+                WHEN c_custkey % 83 = 0 THEN 'mode_val:else.maxLength' END AS v15,
+           CASE WHEN c_custkey % 97 = 0 THEN 'nums:items'
+                WHEN c_custkey % 101 = 0 THEN 'nums:minItems' END AS v16
     FROM (
         SELECT c_custkey, c_name, id8, grade_clean, meta_clean,
                CASE WHEN c_custkey % 7 = 0 THEN 'X' || id8 ELSE id8 END AS student_id_raw,
@@ -2193,7 +2226,19 @@ _VALIDATE_ORACLE_BASE = """
                     WHEN c_custkey % 59 = 0 THEN '{"user": {"address": {"city": "ny"}, "age": "x"}}'
                     ELSE '{"user": {"address": {"city": "ny"}, "age": 30}}' END AS profile_raw,
                CASE WHEN c_custkey % 61 = 0 THEN 'not-a-time'
-                    ELSE '2024-03-15T10:30:00Z' END AS event_ts_raw
+                    ELSE '2024-03-15T10:30:00Z' END AS event_ts_raw,
+               CASE WHEN c_custkey % 67 = 0 THEN 'x' || id8
+                    WHEN c_custkey % 71 = 0 THEN 'ABCDEFGH'
+                    ELSE 'A1' END AS sku_raw,
+               CASE WHEN c_custkey % 73 = 0 THEN 'reserved_name'
+                    ELSE 'userx' END AS alias_raw,
+               CASE WHEN c_custkey % 79 = 0 THEN 'nxx'
+                    WHEN c_custkey % 83 = 0 THEN 'abcdef'
+                    WHEN c_custkey % 89 = 0 THEN 'n42'
+                    ELSE 'ok' END AS mode_val_raw,
+               CASE WHEN c_custkey % 97 = 0 THEN '[1, "x", 3]'
+                    WHEN c_custkey % 101 = 0 THEN '[]'
+                    ELSE '[1, 2]' END AS nums_raw
         FROM (
             SELECT c_custkey, c_name,
                    lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS id8,
@@ -3029,10 +3074,14 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN v10 IS NOT NULL THEN NULL ELSE payload_raw END AS payload,
                    CASE WHEN v11 IS NOT NULL THEN NULL ELSE profile_raw END AS profile,
                    CASE WHEN v12 IS NOT NULL THEN NULL ELSE event_ts_raw END AS event_ts,
+                   CASE WHEN v13 IS NOT NULL THEN NULL ELSE sku_raw END AS sku,
+                   CASE WHEN v14 IS NOT NULL THEN NULL ELSE alias_raw END AS alias,
+                   CASE WHEN v15 IS NOT NULL THEN NULL ELSE mode_val_raw END AS mode_val,
+                   CASE WHEN v16 IS NOT NULL THEN NULL ELSE nums_raw END AS nums,
                    COALESCE(array_to_string(list_filter(
-                       [v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12], x -> x IS NOT NULL), ';'), '')
+                       [v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16], x -> x IS NOT NULL), ';'), '')
                        AS corrections_csv,
-                   COALESCE(v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12) AS first_violation,
+                   COALESCE(v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16) AS first_violation,
                    TRUE AS valid
             FROM v
         """,
@@ -3136,9 +3185,10 @@ def oracle_sql() -> dict[str, str]:
                    comment_raw AS comment_short, meta_raw AS meta,
                    tags_raw AS tags, contact_raw AS contact,
                    payload_raw AS payload, profile_raw AS profile,
-                   event_ts_raw AS event_ts,
-                   COALESCE(v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12) AS first_violation,
-                   COALESCE(v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12) IS NULL AS valid
+                   event_ts_raw AS event_ts, sku_raw AS sku, alias_raw AS alias,
+                   mode_val_raw AS mode_val, nums_raw AS nums,
+                   COALESCE(v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16) AS first_violation,
+                   COALESCE(v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16) IS NULL AS valid
             FROM v
         """,
         "split_pages": _split_pages_oracle(),

@@ -26,7 +26,15 @@ sibling-keyword ordering undefined; pinning one makes the corrections log
 deterministic): required (missing) → type → enum → minimum → maximum →
 maxLength → pattern → format → required.<key> (one level of nested-object
 required-ness) → nested.<path> (multi-level, recursive) → anyOf → oneOf →
-minItems → maxItems; first match wins.
+allOf.<i> → not → then/else (if-then-else) → items → minItems → maxItems;
+first match wins.
+
+Draft 2020-12 coverage stance after round 6: type/pattern/required/enum/
+bounds/maxLength/min-maxItems/format/nested/anyOf/oneOf/allOf/not/
+if-then-else/items are all expressed as pure column predicates. ``$ref`` is
+consciously out of scope: rules are Python values, so schema reuse is plain
+object sharing (bind a FieldRule once, reference it from several rules) —
+a resolver would add indirection without new validation semantics.
 """
 
 from __future__ import annotations
@@ -105,6 +113,10 @@ class FieldRule:
     any_of: tuple = ()  # (FieldRule, ...) — ≥1 branch must pass
     one_of: tuple = ()  # (FieldRule, ...) — exactly 1 branch must pass
     format: str | None = None  # Draft `format` assertion, see FORMAT_PATTERNS
+    all_of: tuple = ()  # (FieldRule, ...) — EVERY branch must pass
+    not_: object = None  # FieldRule — violates when the branch PASSES
+    if_then_else: tuple = ()  # (if_rule, then_rule[, else_rule])
+    items: object = None  # FieldRule applied to EVERY element of a JSON array
 
 
 def _violation(rule: FieldRule) -> Column:
@@ -172,6 +184,45 @@ def _violation_on(raw: Column, rule: FieldRule) -> Column:
         for v in branch_vs[1:]:
             n_pass = n_pass + v.isNull().cast("int")
         checks.append((~blank & (n_pass != 1), "oneOf"))
+    if rule.all_of:
+        # label carries WHICH branch failed (allOf.<i>) — the corrections
+        # log stays actionable, unlike a bare 'allOf'
+        for i, b in enumerate(rule.all_of):
+            bv = _violation_on(raw, b)
+            checks.append((~blank & bv.isNotNull(), F.concat(F.lit(f"allOf.{i}."), bv)))
+    if rule.not_ is not None:
+        checks.append(
+            (~blank & _violation_on(raw, rule.not_).isNull(), "not")
+        )
+    if rule.if_then_else:
+        if_r, then_r, *else_r = rule.if_then_else
+        if_passes = _violation_on(raw, if_r).isNull()
+        then_v = _violation_on(raw, then_r)
+        checks.append(
+            (~blank & if_passes & then_v.isNotNull(), F.concat(F.lit("then."), then_v))
+        )
+        if else_r and else_r[0] is not None:
+            else_v = _violation_on(raw, else_r[0])
+            checks.append(
+                (~blank & ~if_passes & else_v.isNotNull(), F.concat(F.lit("else."), else_v))
+            )
+    if rule.items is not None:
+        # every element of the JSON array must satisfy the item sub-rule.
+        # from_json to array<string> keeps scalars verbatim (numbers/strings
+        # re-serialize to their raw text); a non-array parses to NULL and is
+        # NOT an items violation — declare min_items to reject non-arrays.
+        # CLAUDE.md HOF footgun respected: the lambda takes ONE arg and the
+        # whole sub-ladder is built on that arg directly.
+        elems = F.from_json(raw.cast("string"), "array<string>")
+        item_rule = rule.items
+        checks.append(
+            (
+                ~blank
+                & elems.isNotNull()
+                & F.exists(elems, lambda e: _violation_on(e, item_rule).isNotNull()),
+                "items",
+            )
+        )
     if rule.min_items is not None or rule.max_items is not None:
         arr_len = F.json_array_length(raw.cast("string"))
         if rule.min_items is not None:

@@ -195,6 +195,26 @@ def main() -> None:
         ("simhash_pairs_sql_xxh", make_impl_run(dict(impl="sql", base_hash="xxhash64"))),
     ]
 
+    # BPE encode throughput over the CORPUS (round 6): the merge table is
+    # learned ONCE on the seeded fixture outside the timed region (model
+    # state, not per-run work — production amortizes training identically);
+    # the timed run is the broadcast-vocab Arrow encode of every document.
+    from batch_doc_vqa_spark.operators import subword as _subword
+    from batch_doc_vqa_spark.sources.bpe_fixture import (
+        BPE_MAX_WORDS as _BMW,
+        BPE_MERGES as _BM,
+        BPE_MIN_FREQ as _BMF,
+        bpe_fixture_df as _bpe_fx,
+    )
+
+    _bpe_merges = _subword.learn_bpe(_bpe_fx(spark), "text", _BM, _BMW, _BMF)
+
+    def bpe_corpus_run():
+        df = _subword.bpe_token_counts(docs, "doc_id", "text", _bpe_merges)
+        df.agg(F.try_sum(F.xxhash64(*[F.col(c).cast("string") for c in df.columns]))).collect()
+
+    entries += [("bpe_corpus_counts", bpe_corpus_run)]
+
     timings, noise = run_interleaved(entries)
     docs_per_sec = round(n_rows / timings["extract_pages"], 1)
     pages.unpersist()

@@ -236,3 +236,53 @@ def test_format_validators(spark):
     with _pytest.raises(ValueError):
         validate_coerce(df, [FieldRule("d", format="hostname")], strict=True)
     assert "date-time" in FORMAT_PATTERNS  # the registry is the public contract
+
+
+def test_allof_not_ifthenelse_items(spark):
+    """Round 6 long-tail closure: allOf (every branch, labeled with the
+    failing branch index), not (violates when the branch PASSES),
+    if/then/else (conditional ladder with then./else. labels), and items
+    (sub-rule over every JSON-array element)."""
+    rules = [
+        FieldRule("code", all_of=(
+            FieldRule("code", pattern=r"^[A-Z]"),
+            FieldRule("code", max_length=4),
+        )),
+        FieldRule("alias", not_=FieldRule("alias", pattern=r"^reserved")),
+        FieldRule("val", if_then_else=(
+            FieldRule("val", pattern=r"^n"),          # if: starts with n
+            FieldRule("val", pattern=r"^n[0-9]+$"),   # then: n<digits>
+            FieldRule("val", max_length=3),           # else: short
+        )),
+        FieldRule("nums", items=FieldRule("nums", dtype="bigint"), min_items=1),
+    ]
+    rows = [
+        (1, "AB12", "ok", "n42", "[1, 2, 3]"),        # all pass
+        (2, "ab12", "ok", "n42", "[1]"),              # allOf branch 0 fails
+        (3, "ABCDE", "ok", "n42", "[1]"),             # allOf branch 1 fails
+        (4, "AB", "reserved_x", "n42", "[1]"),        # not: branch passes -> violate
+        (5, "AB", "ok", "nxx", "[1]"),                # if passes, then fails
+        (6, "AB", "ok", "long-value", "[1]"),         # if fails, else fails
+        (7, "AB", "ok", "ok", "[1, \"x\", 3]"),       # items: non-int element
+        (8, "AB", "ok", "ok", "{\"a\": 1}"),          # non-array: minItems fires
+        (9, None, None, None, None),                  # optional blanks pass
+    ]
+    df = spark.createDataFrame(
+        rows, "id int, code string, alias string, val string, nums string"
+    )
+    out = {r["id"]: r for r in validate_coerce(df, rules, strict=True).collect()}
+    assert out[1]["valid"] and out[1]["first_violation"] is None
+    assert out[2]["first_violation"] == "code:allOf.0.pattern"
+    assert out[3]["first_violation"] == "code:allOf.1.maxLength"
+    assert out[4]["first_violation"] == "alias:not"
+    assert out[5]["first_violation"] == "val:then.pattern"
+    assert out[6]["first_violation"] == "val:else.maxLength"
+    assert out[7]["first_violation"] == "nums:items"
+    assert out[8]["first_violation"] == "nums:minItems"
+    assert out[9]["valid"]
+    lenient = {r["id"]: r for r in validate_coerce(df, rules, strict=False).collect()}
+    assert lenient[7]["nums"] is None
+    assert lenient[7]["corrections"] == ["nums:items"]
+    # no Python anywhere in the plan — the whole extended ladder is columns
+    plan = validate_coerce(df, rules, strict=True)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
