@@ -1181,6 +1181,34 @@ def _ann_ivfpq_trained_oracle() -> str:
     """
 
 
+def _q_ann_ivfpq_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index growth (round 6): build on the even-id half of the
+    corpus, save, APPEND the odd-id half as an encode-only marker-committed
+    snapshot, load, query — the per-crawl-snapshot operation of a 10^12-doc
+    deployment (no rebuild). Oracle: the IVFADC SQL with the model CTEs
+    (sampled centroids + residual codebook) restricted to the even half and
+    the encode CTEs over the full corpus — exactly what frozen-model growth
+    means."""
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    index = similarity.ivfpq_build(
+        emb.filter(F.col("vec_id") % 2 == 0), n_centroids=16, m=16, n_codes=16, dim=64
+    )
+    path = tempfile.mkdtemp(prefix="ivfpq_grow_") + "/idx"
+    similarity.save_ivfpq_index(index, path)
+    similarity.append_ivfpq_index(
+        spark, path, emb.filter(F.col("vec_id") % 2 != 0), snapshot_id="e00000001"
+    )
+    loaded = similarity.load_ivfpq_index(spark, path, corpus=emb)
+    return similarity.ivfpq_query(loaded, queries, nprobe=4, k=5, rerank=40).select(
+        "q_id", "neighbor_id", "approx_dist", "exact_dist", "rank"
+    )
+
+
 def _q_embedding_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.4)
 
@@ -1269,6 +1297,47 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.quality_features(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _q_classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEARNED quality scoring (round 6 — the CCNet/GPT-3 wiki-vs-crawl
+    classifier tier): a deterministic offline-trained hashed-BoW logistic
+    model (functions/linear_clf, seeded seed set) scored over the corpus as
+    pure column math (broadcast weight join, exact decimal weight sum).
+    The oracle re-derives the SAME weights from the same deterministic
+    trainer and embeds them as VALUES."""
+    from batch_doc_vqa_spark.sources.clf_fixture import CLF_BUCKETS, trained_quality_model
+
+    bias, weights = trained_quality_model()
+    return textstats.classifier_score(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", bias, weights, CLF_BUCKETS
+    )
+
+
+def _classifier_quality_oracle() -> str:
+    from batch_doc_vqa_spark.sources.clf_fixture import CLF_BUCKETS, trained_quality_model
+
+    bias, weights = trained_quality_model()
+    w_cte = _values_cte("w", ["b", "wt"], sorted(weights.items()))
+    return f"""
+        WITH {w_cte},
+        toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+        bk AS (SELECT doc_id,
+                      CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT)
+                          % {CLF_BUCKETS} AS b
+               FROM tok),
+        agg AS (SELECT bk.doc_id,
+                       CAST(SUM(CAST(COALESCE(w.wt, CAST(0 AS DOUBLE)) AS DECIMAL(18,6))) AS DOUBLE) AS sw,
+                       COUNT(*) AS nt
+                FROM bk LEFT JOIN w ON w.b = bk.b
+                GROUP BY bk.doc_id)
+        SELECT t.doc_id,
+               ROUND(1.0 / (1.0 + exp(-({_sql_lit(bias)}
+                   + CASE WHEN a.nt > 0 THEN a.sw / a.nt ELSE 0 END))), 6)
+                   AS clf_score
+        FROM toks t LEFT JOIN agg a ON a.doc_id = t.doc_id
+    """
 
 
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2436,9 +2505,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_topk": _q_ann_ivfpq,
         "ann_ivfpq_trained_topk": _q_ann_ivfpq_trained,
         "ann_ivfpq_persisted_topk": _q_ann_ivfpq_persisted,
+        "ann_ivfpq_appended_topk": _q_ann_ivfpq_appended,
         "embedding_dup_pairs": _q_embedding_dup,
         "embedding_dup_pairs_lsh": _q_embedding_dup_lsh,
         "doc_quality": _q_doc_quality,
+        "classifier_quality_score": _q_classifier_quality,
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
         "token_counts_bpe": _q_token_counts_bpe,
@@ -3997,6 +4068,10 @@ def oracle_sql() -> dict[str, str]:
                    AS crosses_boundary
         FROM off
     """
+    # learned quality classifier: the deterministic trainer re-runs at
+    # oracle-build time; only the WEIGHTS embed as VALUES — the scoring
+    # math is full SQL over the documents view
+    oracles["classifier_quality_score"] = _classifier_quality_oracle()
     # BPE subword tier: kernel outputs as VALUES (byte-identity per doc);
     # the packing layout is re-derived in SQL from the embedded counts
     bpe = _bpe_model()
@@ -4040,4 +4115,20 @@ def oracle_sql() -> dict[str, str]:
     # the persisted path must return byte-identical rows to the one-shot
     # build — same oracle verbatim (VERDICT r5 #2)
     oracles["ann_ivfpq_persisted_topk"] = oracles["ann_ivfpq_topk"]
+    # incremental growth (round 6): the SAME IVFADC SQL with the model CTEs
+    # (centroid sample + residual-codebook sample) restricted to the even
+    # half — frozen-model append means encode-over-all, model-from-A.
+    # Derived by targeted rewrite of the one-shot oracle so the two can
+    # never drift; the asserts fail loudly if the base SQL is reshaped.
+    base = oracles["ann_ivfpq_topk"]
+    cent_old = "SELECT vec_id AS cent_id, v AS cv FROM emb\n"
+    cb_old = "ANTI JOIN cent ON a.vec_id = cent.cent_id\n"
+    assert base.count(cent_old) == 1 and base.count(cb_old) == 1, "ivfpq oracle reshaped"
+    oracles["ann_ivfpq_appended_topk"] = base.replace(
+        cent_old, "SELECT vec_id AS cent_id, v AS cv FROM emb WHERE vec_id % 2 = 0\n"
+    ).replace(
+        cb_old,
+        "ANTI JOIN cent ON a.vec_id = cent.cent_id\n"
+        "                      WHERE a.vec_id % 2 = 0\n",
+    )
     return oracles

@@ -401,6 +401,50 @@ def train_ivfpq_model(
     return cents, codebook
 
 
+def _ivfpq_assign(corpus_d: DataFrame, cent: DataFrame, id_col: str) -> DataFrame:
+    """(id, cent_id, residual) — nearest-centroid assignment, ONE shared
+    definition for the build and append paths (an append that re-derived
+    its own assignment could drift from the build's rounding/tiebreak and
+    silently place the same vector in a different cell)."""
+    w_assign = Window.partitionBy(id_col).orderBy("_cd", "cent_id")
+    return (
+        corpus_d.crossJoin(F.broadcast(cent))
+        .withColumn("_cd", F.round(_sq_l2(F.col("_v"), F.col("_cv")), 6))
+        .withColumn("_rn", F.row_number().over(w_assign))
+        .filter(F.col("_rn") == 1)
+        .select(
+            id_col,
+            "cent_id",
+            F.zip_with(F.col("_v"), F.col("_cv"), lambda x, y: x - y).alias("_r"),
+        )
+    )
+
+
+def _ivfpq_encode(assign: DataFrame, cbm: DataFrame, m: int, sub: int, id_col: str) -> DataFrame:
+    """(id, cent_id, m codes packed in m-order) — residual sub-vectors →
+    nearest code; shared by build and append (same rounding, same
+    (dist, code) tiebreak)."""
+    ms = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("m")
+    w_enc = Window.partitionBy(id_col, "m").orderBy("dist", "code")
+    return (
+        assign.select(id_col, "cent_id", F.col("_r").alias("_rv"), ms)
+        .select(
+            id_col, "cent_id", "m",
+            F.slice(F.col("_rv"), F.col("m") * sub + 1, sub).alias("_vs"),
+        )
+        .join(F.broadcast(cbm), "m")
+        .withColumn("dist", F.round(_sq_l2(F.col("_vs"), F.col("_cs")), 6))
+        .withColumn("_rn", F.row_number().over(w_enc))
+        .filter(F.col("_rn") == 1)
+        .groupBy(id_col, "cent_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("m", "code"))), lambda s: s["code"]
+            ).alias("_codes")
+        )
+    )
+
+
 def ivfpq_build(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -444,18 +488,8 @@ def ivfpq_build(
             "cent_id", F.col("cent_vec").alias("_cv")
         ).localCheckpoint(eager=True)
     # assignment + residuals: one corpus pass, broadcast argmin
-    w_assign = Window.partitionBy(id_col).orderBy("_cd", "cent_id")
-    assign = (
-        corpus_d.crossJoin(F.broadcast(cent))
-        .withColumn("_cd", F.round(_sq_l2(F.col("_v"), F.col("_cv")), 6))
-        .withColumn("_rn", F.row_number().over(w_assign))
-        .filter(F.col("_rn") == 1)
-        .select(
-            id_col,
-            "cent_id",
-            F.zip_with(F.col("_v"), F.col("_cv"), lambda x, y: x - y).alias("_r"),
-        )
-        .localCheckpoint(eager=True)  # residuals feed codebook + encoding
+    assign = _ivfpq_assign(corpus_d, cent, id_col).localCheckpoint(
+        eager=True  # residuals feed codebook + encoding
     )
     ms = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("m")
 
@@ -490,22 +524,7 @@ def ivfpq_build(
         cbm = cb.select("code", F.col("_r").alias("_cr"), ms).select(
             "code", "m", subvec(F.col("_cr")).alias("_cs")
         )
-    # encode: corpus residual sub-vectors → nearest code per (doc, m)
-    w_enc = Window.partitionBy(id_col, "m").orderBy("dist", "code")
-    codes = (
-        assign.select(id_col, "cent_id", F.col("_r").alias("_rv"), ms)
-        .select(id_col, "cent_id", "m", subvec(F.col("_rv")).alias("_vs"))
-        .join(F.broadcast(cbm), "m")
-        .withColumn("dist", F.round(_sq_l2(F.col("_vs"), F.col("_cs")), 6))
-        .withColumn("_rn", F.row_number().over(w_enc))
-        .filter(F.col("_rn") == 1)
-        .groupBy(id_col, "cent_id")
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("m", "code"))), lambda s: s["code"]
-            ).alias("_codes")
-        )
-    )
+    codes = _ivfpq_encode(assign, cbm, m, sub, id_col)
     return {
         "cent": cent,
         "cbm": cbm,
@@ -556,17 +575,63 @@ def save_ivfpq_index(index: dict, path: str) -> None:
     commit_marker(spark, path, "index")
 
 
+def append_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    corpus: DataFrame,
+    snapshot_id: str | None = None,
+    vec_col: str = "embedding",
+) -> str:
+    """Grow a persisted IVF×PQ index WITHOUT a rebuild — the operation a
+    10^12-doc deployment runs per crawl snapshot. The model (centroids +
+    codebook) is IMMUTABLE post-build: new vectors pay only the
+    encode-side cost (one assignment pass against the broadcast centroids,
+    one ADC encode against the broadcast codebook — the same shared
+    ``_ivfpq_assign``/``_ivfpq_encode`` definitions the build uses, so an
+    appended vector gets bit-identical codes to a rebuilt one), written as
+    a marker-committed snapshot ``codes_snap/<id>`` partitioned by
+    ``cent_id`` — the dedup-index protocol: a torn append is invisible to
+    ``load_ivfpq_index``, re-running a failed append with the same
+    snapshot_id is idempotent (overwrite data, marker create is the
+    commit), and ``commit_marker`` refuses mid-maintenance. Quantization
+    drift is the caller's policy knob: after enough appends the frozen
+    model under-fits the grown corpus — rebuild to a NEW versioned path
+    and flip the pointer (``save_ivfpq_index``'s create-only stance).
+
+    Returns the snapshot id. Caller contract: appended ids are disjoint
+    from already-indexed ids (same as the dedup index's re-crawl rule)."""
+    import uuid as _uuid
+
+    from ..plans.publish import _fs, commit_marker
+
+    index = load_ivfpq_index(spark, path)
+    snap = snapshot_id or "s" + _uuid.uuid4().hex[:12]
+    dbl = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    corpus_d = corpus.select(index["id_col"], dbl(F.col(vec_col)).alias("_v"))
+    assign = _ivfpq_assign(corpus_d, index["cent"], index["id_col"])
+    codes = _ivfpq_encode(assign, index["cbm"], index["m"], index["sub"], index["id_col"])
+    codes.write.mode("overwrite").partitionBy("cent_id").parquet(
+        f"{path}/codes_snap/{snap}"
+    )
+    commit_marker(spark, path, f"snap-{snap}")
+    return snap
+
+
 def load_ivfpq_index(spark: SparkSession, path: str, corpus: DataFrame | None = None,
                      vec_col: str = "embedding") -> dict:
     """Load a persisted IVF×PQ index for ``ivfpq_query``. Raises loudly if
     the marker is missing (torn save). ``corpus`` re-attaches the true
     vectors (same id column) — required only when querying with
-    ``rerank>0``; code-resolution-only search needs no corpus at all."""
+    ``rerank>0``; code-resolution-only search needs no corpus at all (but
+    must cover appended snapshots too when given). The codes table is the
+    base build UNION every committed ``append_ivfpq_index`` snapshot —
+    uncommitted (torn) appends are invisible."""
     import json as _json
 
     from ..plans.publish import _fs, committed_publish_ids
 
-    if "index" not in committed_publish_ids(spark, path):
+    markers = committed_publish_ids(spark, path)
+    if "index" not in markers:
         raise FileNotFoundError(
             f"no committed IVF×PQ index under {path} (save_ivfpq_index first; "
             "a torn save is invisible by design)"
@@ -577,10 +642,15 @@ def load_ivfpq_index(spark: SparkSession, path: str, corpus: DataFrame | None = 
         meta = _json.loads(bytes(stream.readAllBytes()).decode())
     finally:
         stream.close()
+    codes = spark.read.parquet(f"{path}/codes")
+    for mname in sorted(m for m in markers if m.startswith("snap-")):
+        codes = codes.unionByName(
+            spark.read.parquet(f"{path}/codes_snap/{mname[len('snap-'):]}")
+        )
     index = {
         "cent": spark.read.parquet(f"{path}/cent"),
         "cbm": spark.read.parquet(f"{path}/cbm"),
-        "codes": spark.read.parquet(f"{path}/codes"),
+        "codes": codes,
         "corpus_d": None,
         **meta,
     }

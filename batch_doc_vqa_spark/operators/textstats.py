@@ -410,3 +410,54 @@ def char_trigram_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame
         F.coalesce("distinct_trigrams", F.lit(0)).alias("distinct_trigrams"),
         F.coalesce("trigram_entropy", F.lit(0.0)).alias("trigram_entropy"),
     )
+
+
+def classifier_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bias: float,
+    weights: dict[int, float],
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """(id, clf_score): LEARNED quality score — the CCNet/GPT-3 recipe's
+    wiki-vs-crawl classifier tier, beyond the heuristic `quality_features`.
+
+    Production split: the model trains OFFLINE on a small labeled seed set
+    (``functions.linear_clf.train_logreg`` — iterative, driver-side, fully
+    deterministic); THIS pass is the corpus-scale half and is pure column
+    math: tokens → portable md5 bucket → broadcast weight join → exact
+    decimal weight sum (order-free — a double fold would expose
+    shuffle-order nondeterminism in the 6th decimal) → mean → sigmoid,
+    rounded 6. Zero Python; one shuffle (the per-doc aggregate).
+    Byte-identical per document to ``linear_clf.score_text`` — the
+    kernel-as-oracle invariant, and the DuckDB oracle embeds the trained
+    weights as VALUES.
+    """
+    from .dedup import normalized_tokens, portable_hash64
+
+    w_rows = [(int(b), float(w)) for b, w in sorted(weights.items())]
+    spark = df.sparkSession
+    w_df = spark.createDataFrame(w_rows or [(0, 0.0)], "_b long, _w double")
+    toks = df.select(F.col(id_col), normalized_tokens(F.col(text_col)).alias("_t"))
+    tok = toks.select(id_col, F.explode_outer("_t").alias("_tok"))
+    bucketed = tok.withColumn(
+        "_b",
+        F.when(
+            F.col("_tok").isNotNull(),
+            F.pmod(portable_hash64(F.col("_tok")), F.lit(n_buckets)),
+        ),
+    )
+    joined = bucketed.join(F.broadcast(w_df), "_b", "left")
+    agg = joined.groupBy(id_col).agg(
+        F.sum(F.coalesce(F.col("_w"), F.lit(0.0)).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("_sw"),
+        F.count("_tok").alias("_nt"),
+    )
+    z = F.lit(float(bias)) + F.when(
+        F.col("_nt") > 0, F.col("_sw") / F.col("_nt")
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        id_col, F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("clf_score")
+    )

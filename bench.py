@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "simhash_pairs",
     "ann_cosine_topk",
     "doc_quality",
+    "classifier_quality_score",
     "lang_id",
     "fingerprint",
     "sessionize_events",

@@ -217,3 +217,48 @@ def test_repetition_unicode_words_flag(spark):
     assert uni["repetition_ratio"] == round(most / len(toks), 6)
     ascii_row = textstats.repetition_scores(df, "id", "text", min_tokens=10).collect()[0]
     assert ascii_row["repetition_ratio"] != uni["repetition_ratio"]  # modes differ on purpose
+
+
+def test_classifier_score_matches_kernel_and_separates_quality(spark):
+    """Learned quality classifier (round 6): the Spark scorer must be
+    byte-identical per doc to linear_clf.score_text, the trained model must
+    actually separate content-like from spam-like text, and the scoring
+    plan must be pure JVM."""
+    from batch_doc_vqa_spark.functions.linear_clf import score_text
+    from batch_doc_vqa_spark.operators.textstats import classifier_score
+    from batch_doc_vqa_spark.sources.clf_fixture import (
+        CLF_BUCKETS,
+        clf_fixture_rows,
+        trained_quality_model,
+    )
+
+    bias, weights = trained_quality_model()
+    rows = [(i, t) for i, (_, t) in enumerate(clf_fixture_rows())]
+    rows += [(900, ""), (901, None), (902, "unseen vocabulary entirely")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["clf_score"]
+        for r in classifier_score(df, "doc_id", "text", bias, weights, CLF_BUCKETS).collect()
+    }
+    for i, t in rows:
+        assert got[i] == score_text(t or "", bias, weights, CLF_BUCKETS), i
+    # separation: content rows (odd labels start at i%2==1... label==1 at odd i)
+    labels = [lab for lab, _ in clf_fixture_rows()]
+    good = [got[i] for i, lab in enumerate(labels) if lab == 1]
+    bad = [got[i] for i, lab in enumerate(labels) if lab == 0]
+    assert min(good) > 0.9 and max(bad) < 0.1
+    # empty/unseen docs fall back to sigmoid(bias)-ish neutral scores
+    assert got[900] == got[901]
+    # pure JVM plan, broadcast weight join
+    frame = classifier_score(df, "doc_id", "text", bias, weights, CLF_BUCKETS)
+    plan = frame._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "BroadcastHashJoin" in plan
+    # partition-independence (decimal weight sum is order-free)
+    again = {
+        r["doc_id"]: r["clf_score"]
+        for r in classifier_score(
+            df.repartition(7), "doc_id", "text", bias, weights, CLF_BUCKETS
+        ).collect()
+    }
+    assert again == got

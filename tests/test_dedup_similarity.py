@@ -808,3 +808,47 @@ def test_trainer_presample_is_bit_identical_and_prefilters(spark):
            sorted((r["cent_id"], list(r["cent_vec"])) for r in cents_b.collect())
     assert sorted((r["m"], r["code"], list(r["center"])) for r in cb_a.collect()) == \
            sorted((r["m"], r["code"], list(r["center"])) for r in cb_b.collect())
+
+
+def test_ivfpq_append_grows_index_without_rebuild(vectors, spark, tmp_path):
+    """append_ivfpq_index (round 6): new vectors join a persisted index via
+    an encode-only marker-committed snapshot — bit-identical to what a full
+    rebuild under the SAME frozen model would produce; torn appends are
+    invisible; re-running a failed append is idempotent."""
+    path = str(tmp_path / "grow")
+    half_a = vectors.filter(F.col("vec_id") % 2 == 0)
+    half_b = vectors.filter(F.col("vec_id") % 2 != 0)
+    queries = vectors.filter(F.col("vec_id").isin(0, 1, 100)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    index = similarity.ivfpq_build(half_a, n_centroids=8, m=8, n_codes=8, dim=16)
+    similarity.save_ivfpq_index(index, path)
+    snap = similarity.append_ivfpq_index(spark, path, half_b, snapshot_id="e1")
+    assert snap == "e1"
+    loaded = similarity.load_ivfpq_index(spark, path, corpus=vectors)
+    out = sorted(
+        map(tuple, similarity.ivfpq_query(loaded, queries, nprobe=4, k=5, rerank=10).collect())
+    )
+    # reference: one-shot build over the FULL corpus with the SAME model
+    ref_index = similarity.ivfpq_build(
+        vectors, m=8, n_codes=8, dim=16,
+        centroids=index["cent"].select("cent_id", F.col("_cv").alias("cent_vec")),
+        codebook=index["cbm"].select("m", "code", F.col("_cs").alias("center")),
+    )
+    ref = sorted(
+        map(tuple, similarity.ivfpq_query(ref_index, queries, nprobe=4, k=5, rerank=10).collect())
+    )
+    assert out == ref
+    # appended-half neighbors are actually reachable
+    flat = {r[1] for r in out}
+    assert any(n % 2 != 0 for n in flat if isinstance(n, int))
+    # torn append (no marker) is invisible
+    spark.createDataFrame(
+        [(999, 1, [1, 1, 1, 1, 1, 1, 1, 1])], "vec_id long, cent_id long, _codes array<int>"
+    ).write.partitionBy("cent_id").parquet(f"{path}/codes_snap/torn")
+    again = similarity.load_ivfpq_index(spark, path)
+    assert again["codes"].filter(F.col("vec_id") == 999).count() == 0
+    # idempotent retry: same snapshot id overwrites data, marker already set
+    similarity.append_ivfpq_index(spark, path, half_b, snapshot_id="e1")
+    final = similarity.load_ivfpq_index(spark, path)
+    assert final["codes"].count() == vectors.count()
