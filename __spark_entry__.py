@@ -1321,7 +1321,7 @@ def _classifier_quality_oracle() -> str:
     w_cte = _values_cte("w", ["b", "wt"], sorted(weights.items()))
     return f"""
         WITH {w_cte},
-        toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        toks AS (SELECT doc_id, {_NTOKS} AS t FROM documents),
         tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
         bk AS (SELECT doc_id,
                       CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT)
@@ -1337,6 +1337,81 @@ def _classifier_quality_oracle() -> str:
                    + CASE WHEN a.nt > 0 THEN a.sw / a.nt ELSE 0 END))), 6)
                    AS clf_score
         FROM toks t LEFT JOIN agg a ON a.doc_id = t.doc_id
+    """
+
+
+def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's LM quality tier (round 6): add-α bigram perplexity under a
+    model trained on the deterministic held-in split (portable_hash64(id)%10
+    == 0) of the same corpus. No kernel, no VALUES: training is counting, so
+    the ENTIRE pipeline — split, counts, smoothing, scoring — is the SQL
+    oracle."""
+    return textstats.lm_perplexity(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", broadcast_model=True
+    )
+
+
+def _lm_perplexity_oracle() -> str:
+    return f"""
+        WITH toks AS (SELECT doc_id, {_NTOKS} AS t FROM documents),
+        pos AS (SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i
+                FROM toks),
+        bg AS (SELECT a.doc_id, a.w || ' ' || b.w AS bg, a.w AS w1
+               FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+        tr AS (SELECT doc_id FROM toks
+               WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                          AS BIGINT) % 10 = 0),
+        c2 AS (SELECT bg.bg, bg.w1, COUNT(*) AS c2
+               FROM bg JOIN tr ON bg.doc_id = tr.doc_id
+               GROUP BY bg.bg, bg.w1),
+        c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1),
+        vocab AS (SELECT COUNT(DISTINCT p.w) AS v
+                  FROM pos p JOIN tr ON p.doc_id = tr.doc_id),
+        sc AS (SELECT d.doc_id,
+                      ROUND(ln((CAST(COALESCE(c2.c2, 0) AS DOUBLE) + 0.5) /
+                               (CAST(COALESCE(c1.c1, 0) AS DOUBLE)
+                                + 0.5 * CAST(v.v AS DOUBLE))), 6) AS lp
+               FROM bg d
+               LEFT JOIN c2 ON c2.bg = d.bg
+               LEFT JOIN c1 ON c1.w1 = d.w1
+               CROSS JOIN vocab v),
+        agg AS (SELECT doc_id,
+                       CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) AS s,
+                       COUNT(*) AS n
+                FROM sc GROUP BY doc_id)
+        SELECT t.doc_id,
+               CAST(COALESCE(a.n, 0) AS BIGINT) AS n_bigrams,
+               ROUND(a.s / a.n, 6) AS avg_logprob,
+               ROUND(exp(-ROUND(a.s / a.n, 6)), 6) AS ppl
+        FROM toks t LEFT JOIN agg a ON a.doc_id = t.doc_id
+    """
+
+
+def _q_classifier_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3's importance resampling (round 6): keep each doc with
+    probability equal to its LEARNED classifier score, via the repo's
+    deterministic draw (md5 tier so the oracle reproduces membership
+    bit-exactly). Composition: classifier_score → score_resample."""
+    from batch_doc_vqa_spark.operators.chunking import score_resample
+    from batch_doc_vqa_spark.sources.clf_fixture import CLF_BUCKETS, trained_quality_model
+
+    bias, weights = trained_quality_model()
+    scored = textstats.classifier_score(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", bias, weights, CLF_BUCKETS
+    )
+    return score_resample(scored, "doc_id", "clf_score", seed=7, base_hash="md5")
+
+
+def _classifier_resample_oracle() -> str:
+    draw = (
+        "CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '#7')), 1, 15)) "
+        "AS BIGINT) % 1048576 / CAST(1048576 AS DOUBLE)"
+    )
+    return f"""
+        WITH scored AS ({_classifier_quality_oracle()})
+        SELECT doc_id, clf_score, ROUND({draw}, 6) AS draw
+        FROM scored
+        WHERE {draw} < clf_score
     """
 
 
@@ -2510,6 +2585,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_pairs_lsh": _q_embedding_dup_lsh,
         "doc_quality": _q_doc_quality,
         "classifier_quality_score": _q_classifier_quality,
+        "classifier_resample": _q_classifier_resample,
+        "lm_perplexity": _q_lm_perplexity,
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
         "token_counts_bpe": _q_token_counts_bpe,
@@ -2593,6 +2670,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _TOKS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '')"
+
+# DuckDB mirror of dedup.normalized_tokens (lower → strip non-alnum →
+# whitespace split) — the tokenization every dedup/classifier op shares
+_NTOKS = (
+    r"list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), "
+    r"'[^a-z0-9\s]', ' ', 'g')), '\s+'), x -> x != '')"
+)
 
 # DuckDB mirror of operators.matching.surname_candidates (same candidate SET;
 # order is irrelevant because only the min pair distance is used)
@@ -4072,6 +4156,12 @@ def oracle_sql() -> dict[str, str]:
     # oracle-build time; only the WEIGHTS embed as VALUES — the scoring
     # math is full SQL over the documents view
     oracles["classifier_quality_score"] = _classifier_quality_oracle()
+    # importance resampling over the learned score: oracle wraps the
+    # classifier SQL and reproduces the deterministic md5 draw exactly
+    oracles["classifier_resample"] = _classifier_resample_oracle()
+    # LM perplexity tier: training is counting — the whole pipeline
+    # (deterministic split, bigram counts, smoothing, scoring) is plain SQL
+    oracles["lm_perplexity"] = _lm_perplexity_oracle()
     # BPE subword tier: kernel outputs as VALUES (byte-identity per doc);
     # the packing layout is re-derived in SQL from the embedded counts
     bpe = _bpe_model()

@@ -103,6 +103,37 @@ def deterministic_sample(
     return df.filter(F.pmod(h, bucket) < int(fraction * (1 << 20)))
 
 
+def score_resample(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    seed: int = 0,
+    base_hash: str = "xxhash64",
+) -> DataFrame:
+    """Soft quality filter: keep a row with probability equal to its score
+    (GPT-3's classifier-based importance resampling — documents are kept
+    stochastically in proportion to quality, so borderline docs survive at
+    reduced rate instead of a hard threshold cliff).
+
+    The "randomness" is the repo's deterministic draw (CLAUDE.md): ``draw =
+    pmod(h(id#seed), 2^20) / 2^20`` — a pure function of the row id, so
+    membership is partition-independent, rerun-stable, and (with
+    ``base_hash='md5'``) reproducible in the DuckDB oracle. Keep iff
+    ``draw < score``; the draw is returned (rounded 6) for auditability.
+    Pure column math, no shuffle at all — a map-side filter.
+    """
+    from .dedup import portable_hash64
+
+    bucket = 1 << 20
+    key = F.concat(F.col(id_col).cast("string"), F.lit(f"#{seed}"))
+    h = F.xxhash64(key) if base_hash == "xxhash64" else portable_hash64(key)
+    draw = F.pmod(h, F.lit(bucket)).cast("double") / F.lit(float(bucket))
+    return (
+        df.withColumn("draw", F.round(draw, 6))
+        .filter(draw < F.col(score_col))
+    )
+
+
 def weighted_mixture(
     sources: list[tuple[DataFrame, float]],
     id_col: str,

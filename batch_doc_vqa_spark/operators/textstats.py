@@ -412,6 +412,118 @@ def char_trigram_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     )
 
 
+def lm_perplexity(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    train_mod: int = 10,
+    train_slot: int = 0,
+    alpha: float = 0.5,
+    broadcast_model: bool | None = None,
+    broadcast_threshold: int = 2_000_000,
+) -> DataFrame:
+    """(id, n_bigrams, avg_logprob, ppl): n-gram LM perplexity scoring —
+    the CCNet recipe's language-model quality tier (docs whose perplexity
+    under an in-domain LM is low read like the training domain; the filter
+    the classifier tier approximates discriminatively, done generatively).
+
+    The model is an add-α-smoothed word-BIGRAM LM trained on a
+    deterministic, data-derived split of the SAME corpus (docs whose
+    ``portable_hash64(id) % train_mod == train_slot`` — CCNet trains on
+    Wikipedia; over a single-table fixture the held-in split is the
+    stand-in, and the split is a pure function of the id, never of
+    partitioning). Everything is column math — counts, smoothing, log —
+    so the ENTIRE pipeline (training included, no VALUES embedding) is
+    expressible as the DuckDB oracle; there is no kernel because there is
+    no iteration.
+
+    Numeric discipline (CLAUDE.md): per-bigram ``ln((c2+α)/(c1+α·V))``
+    written identically both engines, rounded to 6 THEN exact-decimal
+    summed (order-free under any shuffle), mean rounded 6, perplexity
+    ``exp(-avg)`` rounded 6. Docs with <2 tokens return n_bigrams=0 and
+    NULL scores.
+
+    Scale shape: one shuffle to count train bigrams, one tiny rollup for
+    the left-context totals, per-doc aggregate shuffle for scoring. The
+    score-side joins broadcast when the model is small (counted once on
+    the localCheckpointed model — the decontam auto-tier pattern) and
+    fall back to keyed shuffle joins when it isn't; either way the corpus
+    is scanned once and never collected.
+    """
+    from .dedup import normalized_tokens, portable_hash64
+
+    toks = df.select(F.col(id_col), normalized_tokens(F.col(text_col)).alias("_t"))
+    n = F.size("_t")
+    bg_arr = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice("_t", 1, n - F.lit(1)),
+            F.slice("_t", 2, n - F.lit(1)),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    with_bg = toks.withColumn("_bg_arr", bg_arr)
+    doc_bg = with_bg.select(
+        id_col, F.explode("_bg_arr").alias("_bg")
+    ).withColumn("_w1", F.substring_index("_bg", " ", 1))
+
+    is_train = (
+        F.pmod(portable_hash64(F.col(id_col).cast("string")), F.lit(train_mod))
+        == F.lit(train_slot)
+    )
+    train_bg = with_bg.filter(is_train).select(F.explode("_bg_arr").alias("_bg"))
+    c2 = (
+        train_bg.groupBy("_bg")
+        .agg(F.count(F.lit(1)).alias("_c2"))
+        .withColumn("_w1", F.substring_index("_bg", " ", 1))
+        .localCheckpoint(eager=True)  # feeds c1, the size probe, and the join
+    )
+    c1 = c2.groupBy("_w1").agg(F.sum("_c2").alias("_c1"))
+    vocab = (
+        toks.filter(is_train)
+        .select(F.explode("_t").alias("_w"))
+        .agg(F.countDistinct("_w").alias("_v"))
+    )
+    if broadcast_model is None:
+        broadcast_model = c2.count() <= broadcast_threshold
+    hint = F.broadcast if broadcast_model else (lambda d: d)
+
+    scored = (
+        doc_bg.join(hint(c2.select("_bg", "_c2")), "_bg", "left")
+        .join(hint(c1), "_w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "_lp",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("_c2"), F.lit(0)).cast("double") + F.lit(alpha))
+                    / (
+                        F.coalesce(F.col("_c1"), F.lit(0)).cast("double")
+                        + F.lit(alpha) * F.col("_v").cast("double")
+                    )
+                ),
+                6,
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("_lp").cast("decimal(18,6)")).cast("double").alias("_s"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    avg = F.round(F.col("_s") / F.col("_n"), 6)
+    return (
+        toks.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_n"), F.lit(0)).alias("n_bigrams"),
+            avg.alias("avg_logprob"),
+            F.round(F.exp(-avg), 6).alias("ppl"),
+        )
+    )
+
+
 def classifier_score(
     df: DataFrame,
     id_col: str,

@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "doc_quality",
     "classifier_quality_score",
+    "lm_perplexity",
     "lang_id",
     "fingerprint",
     "sessionize_events",

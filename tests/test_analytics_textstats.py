@@ -262,3 +262,97 @@ def test_classifier_score_matches_kernel_and_separates_quality(spark):
         ).collect()
     }
     assert again == got
+
+
+def test_lm_perplexity_matches_hand_math(spark):
+    """Bigram LM tier (round 6): scores must equal a from-scratch Python
+    recomputation of the add-alpha model on the SAME deterministic split,
+    be partition-independent, handle <2-token docs with NULLs, and keep
+    the whole plan JVM-side."""
+    import hashlib
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r6(x):  # Spark/DuckDB ROUND: decimal half-up on the shortest repr
+        return float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+    rows = [(i, f"doc {i} " + " ".join(f"w{j % 5}" for j in range(i % 7))) for i in range(40)]
+    rows += [(100, "single"), (101, ""), (102, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"], r["ppl"])
+        for r in textstats.lm_perplexity(df, "doc_id", "text").collect()
+    }
+
+    def toks(t):
+        import re
+        return re.sub(r"[^a-z0-9\s]", " ", (t or "").lower()).split()
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    train_ids = [i for i, _ in rows if h(str(i)) % 10 == 0]
+    assert train_ids, "fixture must hit the train slot"
+    c2, c1, vocab = Counter(), Counter(), set()
+    for i, t in rows:
+        if i in train_ids:
+            ts = toks(t)
+            vocab.update(ts)
+            for a, b in zip(ts, ts[1:]):
+                c2[(a, b)] += 1
+                c1[a] += 1
+    v = len(vocab)
+    for i, t in rows:
+        ts = toks(t)
+        if len(ts) < 2:
+            assert got[i] == (0, None, None), i
+            continue
+        lps = [
+            r6(math.log((c2.get((a, b), 0) + 0.5) / (c1.get(a, 0) + 0.5 * v)))
+            for a, b in zip(ts, ts[1:])
+        ]
+        s = float(sum(Decimal(repr(x)) for x in lps))
+        avg = r6(s / len(lps))
+        assert got[i] == (len(lps), avg, r6(math.exp(-avg))), i
+    # partition independence (decimal sum is order-free)
+    again = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"], r["ppl"])
+        for r in textstats.lm_perplexity(df.repartition(7), "doc_id", "text").collect()
+    }
+    assert again == got
+    # pure JVM plan
+    plan = (
+        textstats.lm_perplexity(df, "doc_id", "text", broadcast_model=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_score_resample_membership_is_deterministic(spark):
+    """GPT-3-style importance resampling: membership is a pure function of
+    (id, seed); keep-rate tracks the score; no Python in the plan."""
+    import hashlib
+
+    from batch_doc_vqa_spark.operators.chunking import score_resample
+
+    rows = [(i, [0.05, 0.5, 0.95][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    kept = {r["doc_id"]: r["draw"] for r in score_resample(df, "doc_id", "score", seed=7, base_hash="md5").collect()}
+
+    def draw(i):
+        h = int(hashlib.md5(f"{i}#7".encode()).hexdigest()[:15], 16)
+        return (h % (1 << 20)) / float(1 << 20)
+
+    expect = {i: round(draw(i), 6) for i, s in rows if draw(i) < s}
+    assert kept == expect
+    # keep-rate proportional to score (1000 rows per score band)
+    for band, lo, hi in [(0.05, 20, 90), (0.5, 430, 570), (0.95, 910, 990)]:
+        n = sum(1 for i, s in rows if s == band and i in kept)
+        assert lo <= n <= hi, (band, n)
+    # partition-independent and xxhash64 tier also deterministic
+    a = sorted(r["doc_id"] for r in score_resample(df, "doc_id", "score", seed=3).collect())
+    b = sorted(r["doc_id"] for r in score_resample(df.repartition(11), "doc_id", "score", seed=3).collect())
+    assert a == b
+    plan = score_resample(df, "doc_id", "score")._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
