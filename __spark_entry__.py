@@ -1314,29 +1314,37 @@ def _q_classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _classifier_quality_oracle() -> str:
+def _classifier_ctes(rel: str) -> str:
+    """CTE chain scoring ``rel(doc_id, text)`` with the trained classifier,
+    ending in ``clf(doc_id, clf_score)`` — ONE definition shared by the
+    standalone oracle and the recipe-v3 composition (they cannot drift)."""
     from batch_doc_vqa_spark.sources.clf_fixture import CLF_BUCKETS, trained_quality_model
 
     bias, weights = trained_quality_model()
     w_cte = _values_cte("w", ["b", "wt"], sorted(weights.items()))
+    return f"""{w_cte},
+        ctoks AS (SELECT doc_id, {_NTOKS} AS t FROM {rel}),
+        ctok AS (SELECT doc_id, unnest(t) AS tok FROM ctoks),
+        cbk AS (SELECT doc_id,
+                       CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT)
+                           % {CLF_BUCKETS} AS b
+                FROM ctok),
+        cagg AS (SELECT cbk.doc_id,
+                        CAST(SUM(CAST(COALESCE(w.wt, CAST(0 AS DOUBLE)) AS DECIMAL(18,6))) AS DOUBLE) AS sw,
+                        COUNT(*) AS nt
+                 FROM cbk LEFT JOIN w ON w.b = cbk.b
+                 GROUP BY cbk.doc_id),
+        clf AS (SELECT t.doc_id,
+                       ROUND(1.0 / (1.0 + exp(-({_sql_lit(bias)}
+                           + CASE WHEN a.nt > 0 THEN a.sw / a.nt ELSE 0 END))), 6)
+                           AS clf_score
+                FROM ctoks t LEFT JOIN cagg a ON a.doc_id = t.doc_id)"""
+
+
+def _classifier_quality_oracle() -> str:
     return f"""
-        WITH {w_cte},
-        toks AS (SELECT doc_id, {_NTOKS} AS t FROM documents),
-        tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
-        bk AS (SELECT doc_id,
-                      CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT)
-                          % {CLF_BUCKETS} AS b
-               FROM tok),
-        agg AS (SELECT bk.doc_id,
-                       CAST(SUM(CAST(COALESCE(w.wt, CAST(0 AS DOUBLE)) AS DECIMAL(18,6))) AS DOUBLE) AS sw,
-                       COUNT(*) AS nt
-                FROM bk LEFT JOIN w ON w.b = bk.b
-                GROUP BY bk.doc_id)
-        SELECT t.doc_id,
-               ROUND(1.0 / (1.0 + exp(-({_sql_lit(bias)}
-                   + CASE WHEN a.nt > 0 THEN a.sw / a.nt ELSE 0 END))), 6)
-                   AS clf_score
-        FROM toks t LEFT JOIN agg a ON a.doc_id = t.doc_id
+        WITH {_classifier_ctes("documents")}
+        SELECT doc_id, clf_score FROM clf
     """
 
 
@@ -1402,11 +1410,17 @@ def _q_classifier_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_resample(scored, "doc_id", "clf_score", seed=7, base_hash="md5")
 
 
-def _classifier_resample_oracle() -> str:
-    draw = (
-        "CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '#7')), 1, 15)) "
+def _draw_sql(seed: int) -> str:
+    """The deterministic resampling draw (chunking.score_resample, md5
+    tier) as DuckDB SQL — shared by every oracle that gates on it."""
+    return (
+        f"CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '#{seed}')), 1, 15)) "
         "AS BIGINT) % 1048576 / CAST(1048576 AS DOUBLE)"
     )
+
+
+def _classifier_resample_oracle() -> str:
+    draw = _draw_sql(7)
     return f"""
         WITH scored AS ({_classifier_quality_oracle()})
         SELECT doc_id, clf_score, ROUND({draw}, 6) AS draw
@@ -2061,6 +2075,51 @@ def _q_training_recipe_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_training_recipe_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recipe v2 + the round-6 LEARNED quality gate: PII-redact → drop
+    benchmark leaks → score every survivor with the trained hashed-BoW
+    classifier and keep it with probability equal to its score (GPT-3
+    importance resampling, deterministic md5 draw) → exact-dedup keep-one →
+    chunk → pack. The gate slots between decontamination and dedup exactly
+    where the production recipe puts it (filter before the expensive
+    pairwise stages). Oracle: the v2 SQL with the classifier CTE chain +
+    draw-gated qkeep inserted by targeted rewrite — the two recipes share
+    every other line and cannot drift."""
+    from batch_doc_vqa_spark.operators import chunking, decontam
+    from batch_doc_vqa_spark.operators.chunking import score_resample
+    from batch_doc_vqa_spark.operators.packing import pack_sequences
+    from batch_doc_vqa_spark.operators.pii import redact_pii
+    from batch_doc_vqa_spark.sources.clf_fixture import CLF_BUCKETS, trained_quality_model
+
+    corpus = _pii_dirty_docs(spark, sf_dir)
+    red = redact_pii(corpus, "doc_id", "text").select("doc_id", "text").localCheckpoint(
+        eager=True
+    )
+    _, bench = _bench_fixture(spark, sf_dir)
+    keep = decontam.decontaminate(
+        red, "doc_id", "text", bench, "bench_id", "bench_text",
+        n=8, threshold=0.8, base_hash="md5",
+    ).localCheckpoint(eager=True)
+    bias, weights = trained_quality_model()
+    scored = textstats.classifier_score(keep, "doc_id", "text", bias, weights, CLF_BUCKETS)
+    gate = score_resample(scored, "doc_id", "clf_score", seed=11, base_hash="md5")
+    qkeep = keep.join(gate.select("doc_id"), "doc_id").select("doc_id", "text")
+    canon = (
+        dedup.exact_dedup(qkeep, "doc_id", "text")
+        .select(F.col("canonical_id").alias("doc_id"))
+        .distinct()
+    )
+    base = qkeep.join(canon, "doc_id").select("doc_id", "text")
+    chunks = chunking.chunk_documents(base, "doc_id", "text", 64, 16)
+    keyed = chunks.withColumn("_k", F.col("doc_id") * 4096 + F.col("chunk_idx"))
+    packed = pack_sequences(keyed, "_k", "n_tokens", 128, block_size=64 * 4096)
+    return packed.select(
+        "doc_id", "chunk_idx", "n_tokens",
+        F.md5(F.encode("chunk_text", "utf-8")).alias("chunk_md5"),
+        "start_offset", "seq_id", "crosses_boundary",
+    )
+
+
 def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-URL dedup over deterministically dirtied URLs: tracking
     params, fragments, case, double slashes and trailing slashes collapse so
@@ -2570,6 +2629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_expand": _q_epoch_expand,
         "budget_select": _q_budget_select,
         "training_recipe_v2": _q_training_recipe_v2,
+        "training_recipe_v3": _q_training_recipe_v3,
         "snapshot_diff": _q_snapshot_diff,
         "snapshot_summary": _q_snapshot_summary,
         "snapshot_work_set": _q_snapshot_work_set,
@@ -4152,6 +4212,29 @@ def oracle_sql() -> dict[str, str]:
                    AS crosses_boundary
         FROM off
     """
+    # recipe v3 = recipe v2 + the learned-quality gate between decontam and
+    # dedup: targeted rewrite of the v2 SQL (classifier CTE chain over the
+    # kept docs + draw-gated qkeep), so every other line is shared verbatim
+    # and the two recipes cannot drift; asserts fail loudly on reshape
+    _v2 = oracles["training_recipe_v2"]
+    _gate_old = (
+        "), canon AS (\n"
+        "            SELECT MIN(doc_id) AS doc_id FROM keep GROUP BY md5(text)\n"
+        "        ), base AS (\n"
+        "            SELECT k.doc_id, k.text FROM keep k JOIN canon USING (doc_id)\n"
+    )
+    assert _v2.count(_gate_old) == 1, "recipe v2 oracle reshaped"
+    oracles["training_recipe_v3"] = _v2.replace(
+        _gate_old,
+        "), " + _classifier_ctes("keep") + ",\n"
+        "        qkeep AS (\n"
+        "            SELECT k.doc_id, k.text FROM keep k JOIN clf USING (doc_id)\n"
+        f"            WHERE {_draw_sql(11)} < clf.clf_score\n"
+        "        ), canon AS (\n"
+        "            SELECT MIN(doc_id) AS doc_id FROM qkeep GROUP BY md5(text)\n"
+        "        ), base AS (\n"
+        "            SELECT k.doc_id, k.text FROM qkeep k JOIN canon USING (doc_id)\n",
+    )
     # learned quality classifier: the deterministic trainer re-runs at
     # oracle-build time; only the WEIGHTS embed as VALUES — the scoring
     # math is full SQL over the documents view

@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "epoch_expand",
     "budget_select",
     "training_recipe_v2",
+    "training_recipe_v3",
     "snapshot_diff",
     "ann_pq_topk",
     # round 5: cell-restricted residual PQ (the probe-bounded ANN tier),
