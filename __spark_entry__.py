@@ -1321,24 +1321,24 @@ def _classifier_ctes(rel: str) -> str:
     from batch_doc_vqa_spark.sources.clf_fixture import CLF_BUCKETS, trained_quality_model
 
     bias, weights = trained_quality_model()
-    w_cte = _values_cte("w", ["b", "wt"], sorted(weights.items()))
+    w_cte = _values_cte("clf_w", ["b", "wt"], sorted(weights.items()))
     return f"""{w_cte},
-        ctoks AS (SELECT doc_id, {_NTOKS} AS t FROM {rel}),
-        ctok AS (SELECT doc_id, unnest(t) AS tok FROM ctoks),
-        cbk AS (SELECT doc_id,
+        clf_toks AS (SELECT doc_id, {_NTOKS} AS t FROM {rel}),
+        clf_tok AS (SELECT doc_id, unnest(t) AS tok FROM clf_toks),
+        clf_bk AS (SELECT doc_id,
                        CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT)
                            % {CLF_BUCKETS} AS b
-                FROM ctok),
-        cagg AS (SELECT cbk.doc_id,
-                        CAST(SUM(CAST(COALESCE(w.wt, CAST(0 AS DOUBLE)) AS DECIMAL(18,6))) AS DOUBLE) AS sw,
+                FROM clf_tok),
+        clf_agg AS (SELECT clf_bk.doc_id,
+                        CAST(SUM(CAST(COALESCE(clf_w.wt, CAST(0 AS DOUBLE)) AS DECIMAL(18,6))) AS DOUBLE) AS sw,
                         COUNT(*) AS nt
-                 FROM cbk LEFT JOIN w ON w.b = cbk.b
-                 GROUP BY cbk.doc_id),
+                 FROM clf_bk LEFT JOIN clf_w ON clf_w.b = clf_bk.b
+                 GROUP BY clf_bk.doc_id),
         clf AS (SELECT t.doc_id,
                        ROUND(1.0 / (1.0 + exp(-({_sql_lit(bias)}
                            + CASE WHEN a.nt > 0 THEN a.sw / a.nt ELSE 0 END))), 6)
                            AS clf_score
-                FROM ctoks t LEFT JOIN cagg a ON a.doc_id = t.doc_id)"""
+                FROM clf_toks t LEFT JOIN clf_agg a ON a.doc_id = t.doc_id)"""
 
 
 def _classifier_quality_oracle() -> str:
