@@ -316,3 +316,70 @@ def test_dedup_index_stream_grows_index_and_heals_crash_window(spark, tmp_path):
         (r["id_a"], r["id_b"]) for r in b1.collect()}
     stream_pairs = {(r["id_a"], r["id_b"]) for r in read_stream_pairs(spark, out).collect()}
     assert stream_pairs == batch_pairs
+
+
+def test_quality_gate_stream_incremental(spark, tmp_path):
+    """Streaming twin of the learned quality gate (round 6): each
+    availableNow run scores only NEW files with the frozen classifier,
+    keeps docs via the deterministic draw, commits epochs atomically, and
+    agrees bit-exactly with the batch composition on the union."""
+    import os
+
+    from batch_doc_vqa_spark.operators.chunking import score_resample
+    from batch_doc_vqa_spark.operators.textstats import classifier_score
+    from batch_doc_vqa_spark.sources.clf_fixture import (
+        CLF_BUCKETS,
+        clf_fixture_rows,
+        trained_quality_model,
+    )
+    from batch_doc_vqa_spark.streaming.quality_stream import (
+        quality_gate_stream,
+        read_kept,
+        read_rejected,
+    )
+
+    bias, weights = trained_quality_model()
+    src = tmp_path / "docs_in"
+    out = str(tmp_path / "gate_out")
+    ckpt = str(tmp_path / "gate_ckpt")
+    schema = "doc_id long, text string"
+    rows = [(i, t) for i, (_, t) in enumerate(clf_fixture_rows())]
+    spark.createDataFrame(rows[:40], schema).write.mode("append").parquet(str(src))
+
+    q = quality_gate_stream(
+        spark, str(src), schema, bias, weights, out, ckpt,
+        n_buckets=CLF_BUCKETS, seed=5,
+    )
+    q.awaitTermination(120)
+    kept1 = {r["doc_id"] for r in read_kept(spark, out).collect()}
+    rej1 = {r["doc_id"] for r in read_rejected(spark, out).collect()}
+    assert kept1 and rej1 and kept1.isdisjoint(rej1)
+    assert kept1 | rej1 == {i for i, _ in rows[:40]}
+    assert os.path.exists(f"{out}/_committed/e00000000")
+
+    # second snapshot: only the new file is scored (checkpointed source)
+    spark.createDataFrame(rows[40:], schema).write.mode("append").parquet(str(src))
+    q2 = quality_gate_stream(
+        spark, str(src), schema, bias, weights, out, ckpt,
+        n_buckets=CLF_BUCKETS, seed=5,
+    )
+    q2.awaitTermination(120)
+    kept_all = {r["doc_id"] for r in read_kept(spark, out).collect()}
+    assert kept_all | {r["doc_id"] for r in read_rejected(spark, out).collect()} == {
+        i for i, _ in rows
+    }
+    # streaming == batch composition on the union (same operators, frozen model)
+    all_docs = spark.read.parquet(str(src))
+    batch_kept = {
+        r["doc_id"]
+        for r in score_resample(
+            classifier_score(all_docs, "doc_id", "text", bias, weights, CLF_BUCKETS),
+            "doc_id", "clf_score", seed=5, base_hash="md5",
+        ).collect()
+    }
+    assert kept_all == batch_kept
+    # kept rows carry text + score + draw; torn-epoch invisibility
+    row = read_kept(spark, out).limit(1).collect()[0]
+    assert row["text"] is not None and 0.0 <= row["draw"] < 1.0
+    os.remove(f"{out}/_committed/e00000001")
+    assert {r["doc_id"] for r in read_kept(spark, out).collect()} == kept1
