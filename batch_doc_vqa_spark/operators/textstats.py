@@ -443,12 +443,18 @@ def lm_perplexity(
     ``exp(-avg)`` rounded 6. Docs with <2 tokens return n_bigrams=0 and
     NULL scores.
 
-    Scale shape: one shuffle to count train bigrams, one tiny rollup for
-    the left-context totals, per-doc aggregate shuffle for scoring. The
-    score-side joins broadcast when the model is small (counted once on
-    the localCheckpointed model — the decontam auto-tier pattern) and
-    fall back to keyed shuffle joins when it isn't; either way the corpus
-    is scanned once and never collected.
+    Scale shape (two corpus scans total, no join-back): the train split is
+    scanned ONCE — unigrams and bigrams are tagged structs in a single
+    explode, so one shuffle yields the whole model (bigram counts, the
+    left-context rollup derived from them, and |V| as a metadata count
+    over the same checkpointed frame). The doc side is scanned once with
+    ``explode_outer`` so <2-token docs survive as a NULL-bigram row and
+    the per-doc aggregate already covers every doc — the old
+    re-scan + shuffle join-back to re-attach them is gone. The score-side
+    joins broadcast when the model is small (counted once on the
+    localCheckpointed model — the decontam auto-tier pattern) and fall
+    back to keyed shuffle joins when it isn't; the corpus is never
+    collected.
     """
     from .dedup import normalized_tokens, portable_hash64
 
@@ -463,64 +469,84 @@ def lm_perplexity(
         ),
     ).otherwise(F.array().cast("array<string>"))
     with_bg = toks.withColumn("_bg_arr", bg_arr)
-    doc_bg = with_bg.select(
-        id_col, F.explode("_bg_arr").alias("_bg")
-    ).withColumn("_w1", F.substring_index("_bg", " ", 1))
 
     is_train = (
         F.pmod(portable_hash64(F.col(id_col).cast("string")), F.lit(train_mod))
         == F.lit(train_slot)
     )
-    train_bg = with_bg.filter(is_train).select(F.explode("_bg_arr").alias("_bg"))
-    c2 = (
-        train_bg.groupBy("_bg")
-        .agg(F.count(F.lit(1)).alias("_c2"))
-        .withColumn("_w1", F.substring_index("_bg", " ", 1))
-        .localCheckpoint(eager=True)  # feeds c1, the size probe, and the join
+    # One train-split scan: unigrams (_k=1) and bigrams (_k=2) explode
+    # together; the grouped counts ARE the model and fit executor memory
+    # (model-size, not corpus-size), so localCheckpoint is safe.
+    grams = (
+        with_bg.filter(is_train)
+        .select(
+            F.explode(
+                F.concat(
+                    F.transform(
+                        "_t", lambda t: F.struct(F.lit(1).alias("_k"), t.alias("_g"))
+                    ),
+                    F.transform(
+                        "_bg_arr",
+                        lambda b: F.struct(F.lit(2).alias("_k"), b.alias("_g")),
+                    ),
+                )
+            ).alias("_gr")
+        )
+        .select(F.col("_gr._k").alias("_k"), F.col("_gr._g").alias("_g"))
+        .groupBy("_k", "_g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=True)  # feeds c2, c1, vocab, and the size probe
+    )
+    c2 = grams.filter(F.col("_k") == 2).select(
+        F.col("_g").alias("_bg"),
+        F.col("_c").alias("_c2"),
+        F.substring_index(F.col("_g"), " ", 1).alias("_w1"),
     )
     c1 = c2.groupBy("_w1").agg(F.sum("_c2").alias("_c1"))
-    vocab = (
-        toks.filter(is_train)
-        .select(F.explode("_t").alias("_w"))
-        .agg(F.countDistinct("_w").alias("_v"))
-    )
+    # grams is already distinct per (_k, _g): |V| is a plain row count.
+    vocab = grams.filter(F.col("_k") == 1).agg(F.count(F.lit(1)).alias("_v"))
     if broadcast_model is None:
         broadcast_model = c2.count() <= broadcast_threshold
     hint = F.broadcast if broadcast_model else (lambda d: d)
 
+    doc_bg = with_bg.select(
+        id_col, F.explode_outer("_bg_arr").alias("_bg")
+    ).withColumn("_w1", F.substring_index("_bg", " ", 1))
     scored = (
         doc_bg.join(hint(c2.select("_bg", "_c2")), "_bg", "left")
         .join(hint(c1), "_w1", "left")
         .crossJoin(F.broadcast(vocab))
         .withColumn(
             "_lp",
-            F.round(
-                F.log(
-                    (F.coalesce(F.col("_c2"), F.lit(0)).cast("double") + F.lit(alpha))
-                    / (
-                        F.coalesce(F.col("_c1"), F.lit(0)).cast("double")
-                        + F.lit(alpha) * F.col("_v").cast("double")
-                    )
+            F.when(
+                F.col("_bg").isNotNull(),
+                F.round(
+                    F.log(
+                        (
+                            F.coalesce(F.col("_c2"), F.lit(0)).cast("double")
+                            + F.lit(alpha)
+                        )
+                        / (
+                            F.coalesce(F.col("_c1"), F.lit(0)).cast("double")
+                            + F.lit(alpha) * F.col("_v").cast("double")
+                        )
+                    ),
+                    6,
                 ),
-                6,
             ),
         )
         .groupBy(id_col)
         .agg(
             F.sum(F.col("_lp").cast("decimal(18,6)")).cast("double").alias("_s"),
-            F.count(F.lit(1)).alias("_n"),
+            F.count("_bg").alias("_n"),
         )
     )
     avg = F.round(F.col("_s") / F.col("_n"), 6)
-    return (
-        toks.select(id_col)
-        .join(scored, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col("_n"), F.lit(0)).alias("n_bigrams"),
-            avg.alias("avg_logprob"),
-            F.round(F.exp(-avg), 6).alias("ppl"),
-        )
+    return scored.select(
+        id_col,
+        F.col("_n").alias("n_bigrams"),
+        avg.alias("avg_logprob"),
+        F.round(F.exp(-avg), 6).alias("ppl"),
     )
 
 
