@@ -1395,6 +1395,44 @@ def _lm_perplexity_oracle() -> str:
     """
 
 
+def _q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail cut (round 6): per-language equal-rank
+    perplexity terciles over the lm_perplexity scores — rank cuts on the
+    distinct (lang, ppl) value table (integer compares only, ties share a
+    bucket), so the oracle is exact with no cross-engine quantile
+    interpolation. Short docs (NULL ppl) come out 'unscored'."""
+    docs = _t(spark, sf_dir, "documents")
+    lm = textstats.lm_perplexity(docs, "doc_id", "text", broadcast_model=True)
+    scored = docs.select("doc_id", "lang").join(lm.select("doc_id", "ppl"), "doc_id")
+    out = textstats.ppl_buckets(scored, "doc_id", "lang", "ppl", broadcast_cuts=True)
+    return out.select("doc_id", "lang", "ppl", "bucket", "tier")
+
+
+def _ppl_buckets_oracle() -> str:
+    return f"""
+        WITH lmq AS ({_lm_perplexity_oracle()}),
+        pb_docs AS (SELECT d.doc_id, d.lang, l.ppl
+                    FROM documents d JOIN lmq l ON l.doc_id = d.doc_id),
+        pb_vals AS (SELECT lang, ppl, COUNT(*) AS cnt FROM pb_docs
+                    WHERE ppl IS NOT NULL GROUP BY lang, ppl),
+        pb_rank AS (SELECT lang, ppl,
+                           COALESCE(SUM(cnt) OVER (PARTITION BY lang ORDER BY ppl
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS r0,
+                           SUM(cnt) OVER (PARTITION BY lang) AS n
+                    FROM pb_vals),
+        pb_cut AS (SELECT lang, ppl,
+                          (CASE WHEN r0 * 3 >= n THEN 1 ELSE 0 END
+                         + CASE WHEN r0 * 3 >= 2 * n THEN 1 ELSE 0 END) AS bucket
+                   FROM pb_rank)
+        SELECT d.doc_id, d.lang, d.ppl, c.bucket,
+               CASE WHEN c.bucket IS NULL THEN 'unscored'
+                    WHEN c.bucket = 0 THEN 'head'
+                    WHEN c.bucket = 1 THEN 'middle'
+                    ELSE 'tail' END AS tier
+        FROM pb_docs d LEFT JOIN pb_cut c ON c.lang = d.lang AND c.ppl = d.ppl
+    """
+
+
 def _q_classifier_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-3's importance resampling (round 6): keep each doc with
     probability equal to its LEARNED classifier score, via the repo's
@@ -2647,6 +2685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_quality_score": _q_classifier_quality,
         "classifier_resample": _q_classifier_resample,
         "lm_perplexity": _q_lm_perplexity,
+        "ppl_buckets": _q_ppl_buckets,
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
         "token_counts_bpe": _q_token_counts_bpe,
@@ -4245,6 +4284,9 @@ def oracle_sql() -> dict[str, str]:
     # LM perplexity tier: training is counting — the whole pipeline
     # (deterministic split, bigram counts, smoothing, scoring) is plain SQL
     oracles["lm_perplexity"] = _lm_perplexity_oracle()
+    # CCNet tercile cut: rank cuts over the distinct value table — integer
+    # compares only, so the SQL mirror is exact (no quantile interpolation)
+    oracles["ppl_buckets"] = _ppl_buckets_oracle()
     # BPE subword tier: kernel outputs as VALUES (byte-identity per doc);
     # the packing layout is re-derived in SQL from the embedded counts
     bpe = _bpe_model()

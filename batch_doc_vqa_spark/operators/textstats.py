@@ -599,3 +599,110 @@ def classifier_score(
     return agg.select(
         id_col, F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("clf_score")
     )
+
+
+def ppl_buckets(
+    df: DataFrame,
+    id_col: str,
+    lang_col: str,
+    ppl_col: str,
+    n_buckets: int = 3,
+    value_block: float | None = None,
+    broadcast_cuts: bool | None = None,
+    broadcast_threshold: int = 2_000_000,
+) -> DataFrame:
+    """(df.* , bucket, tier): CCNet's head/middle/tail cut — per language,
+    split scored docs into ``n_buckets`` equal-rank perplexity buckets
+    (bucket 0 = lowest perplexity = most in-domain). The step that turns
+    ``lm_perplexity`` scores into the tiered corpus CCNet actually ships.
+
+    Exactness over interpolation: bucket boundaries are RANK cuts on the
+    distinct (lang, ppl) VALUE table, not interpolated percentiles — a
+    value whose first doc has ``r0`` docs strictly below it lands in
+    bucket ``#{k : r0·B ≥ k·n}`` (pure integer compares, written
+    identically in the DuckDB oracle; no float division anywhere, so no
+    boundary doc can flip on a last-ulp quantile difference between
+    engines). Ties share a value, hence a bucket — membership is a pure
+    function of (lang, ppl, the per-lang distribution), never of
+    partitioning or row order. Docs with NULL ppl (<2 tokens) get bucket
+    NULL / tier 'unscored'.
+
+    Scale shape: one shuffle builds the value table (corpus-size → distinct
+    6-decimal values, orders of magnitude smaller); per-lang totals are a
+    tiny broadcast aggregate; the rank window runs over the VALUE table
+    only. When even that table is too big for a single per-lang sort task,
+    ``value_block`` switches the running rank to the same two-layer block
+    prefix sum as ``budget_select``/``pack_sequences`` (block = floor(ppl /
+    value_block); per-(lang, block) totals cumulated over the small block
+    table + an in-block window — identical results, tested). The bucket
+    map joins back broadcast when small (counted once on the
+    localCheckpointed value table — the decontam auto-tier pattern).
+    """
+    from pyspark.sql import Window
+
+    scored = df.filter(F.col(ppl_col).isNotNull())
+    vals = (
+        scored.groupBy(lang_col, ppl_col)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .localCheckpoint(eager=True)  # feeds totals, ranks, and the size probe
+    )
+    lang_n = vals.groupBy(lang_col).agg(F.sum("_cnt").alias("_n"))
+
+    if value_block is None:
+        w_r = (
+            Window.partitionBy(lang_col)
+            .orderBy(ppl_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        ranked = vals.withColumn("_r0", F.coalesce(F.sum("_cnt").over(w_r), F.lit(0)))
+    else:
+        blocked = vals.withColumn(
+            "_vblk", F.floor(F.col(ppl_col) / F.lit(float(value_block))).cast("long")
+        )
+        blk_tot = blocked.groupBy(lang_col, "_vblk").agg(F.sum("_cnt").alias("_bc"))
+        w_blk = (
+            Window.partitionBy(lang_col)
+            .orderBy("_vblk")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        blk_off = blk_tot.withColumn(
+            "_boff", F.coalesce(F.sum("_bc").over(w_blk), F.lit(0))
+        ).drop("_bc")
+        w_in = (
+            Window.partitionBy(lang_col, "_vblk")
+            .orderBy(ppl_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        ranked = (
+            blocked.join(F.broadcast(blk_off), [lang_col, "_vblk"])
+            .withColumn(
+                "_r0", F.col("_boff") + F.coalesce(F.sum("_cnt").over(w_in), F.lit(0))
+            )
+            .drop("_vblk", "_boff")
+        )
+
+    bucket = sum(
+        ((F.col("_r0") * n_buckets) >= (F.lit(k) * F.col("_n"))).cast("int")
+        for k in range(1, n_buckets)
+    )
+    cuts = (
+        ranked.join(F.broadcast(lang_n), lang_col)
+        .select(lang_col, ppl_col, bucket.alias("bucket"))
+    )
+    if broadcast_cuts is None:
+        broadcast_cuts = vals.count() <= broadcast_threshold
+    hint = F.broadcast if broadcast_cuts else (lambda d: d)
+
+    if n_buckets == 3:
+        # NB: Spark's element_at treats a NULL index as the last element —
+        # the isNotNull guard below is load-bearing, not defensive.
+        label = F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+            F.col("bucket") + 1,
+        )
+    else:
+        label = F.concat(F.lit("b"), F.col("bucket").cast("string"))
+    return df.join(hint(cuts), [lang_col, ppl_col], "left").withColumn(
+        "tier",
+        F.when(F.col("bucket").isNotNull(), label).otherwise(F.lit("unscored")),
+    )

@@ -90,6 +90,8 @@ BENCH_QUERIES = [
     # decontamination shuffle fallback
     "ann_ivfpq_topk",
     "contamination_report_shuffle",
+    # round 6: CCNet tercile cut over the LM scores
+    "ppl_buckets",
 ]
 
 

@@ -356,3 +356,61 @@ def test_score_resample_membership_is_deterministic(spark):
     assert a == b
     plan = score_resample(df, "doc_id", "score")._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_ppl_buckets_rank_cut(spark):
+    """CCNet tercile cut (round 6): per-lang equal-rank buckets over the
+    distinct value table, ties share a bucket, NULL ppl is 'unscored',
+    blocked two-layer form is identical, plan stays JVM-side."""
+    from collections import defaultdict
+
+    # en: 9 distinct values -> exact thirds; de: ties straddling a cut
+    # (ranks 0-1 head, the 4-way tie at 2.0 starts at rank 2 -> middle);
+    # fr: single doc; plus unscored rows in every language
+    rows = (
+        [(i, "en", float(10 + i)) for i in range(9)]
+        + [(20, "de", 1.0), (21, "de", 1.5)]
+        + [(22 + j, "de", 2.0) for j in range(4)]
+        + [(30, "fr", 7.0), (40, "en", None), (41, "de", None)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string, ppl double")
+    out = {
+        r["doc_id"]: (r["bucket"], r["tier"])
+        for r in textstats.ppl_buckets(df, "doc_id", "lang", "ppl").collect()
+    }
+
+    by_lang = defaultdict(list)
+    for _, lang, ppl in rows:
+        if ppl is not None:
+            by_lang[lang].append(ppl)
+    expect = {}
+    for i, lang, ppl in rows:
+        if ppl is None:
+            expect[i] = (None, "unscored")
+            continue
+        vals = by_lang[lang]
+        n, r0 = len(vals), sum(1 for v in vals if v < ppl)
+        b = sum(1 for k in (1, 2) if r0 * 3 >= k * n)
+        expect[i] = (b, ["head", "middle", "tail"][b])
+    assert out == expect
+    # the de tie-block lands in ONE bucket even though it spans a cut rank
+    assert len({out[22 + j] for j in range(4)}) == 1
+
+    # partition independence + blocked form identity (block cuts mid-range)
+    plain = {
+        r["doc_id"]: (r["bucket"], r["tier"])
+        for r in textstats.ppl_buckets(df, "doc_id", "lang", "ppl").collect()
+    }
+    blocked = {
+        r["doc_id"]: (r["bucket"], r["tier"])
+        for r in textstats.ppl_buckets(
+            df.repartition(7), "doc_id", "lang", "ppl", value_block=2.5
+        ).collect()
+    }
+    assert blocked == plain == expect
+
+    plan = (
+        textstats.ppl_buckets(df, "doc_id", "lang", "ppl", broadcast_cuts=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
