@@ -300,6 +300,70 @@ def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_asof_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (round 6): each event gains the customer's latest order
+    at-or-before the event timestamp — the 'state at event time' lookup a
+    crawl table needs for (url, warc_ts) snapshot resolution. One shuffle
+    per side + a running last() window; the oracle is the explicit
+    ROW_NUMBER form (orderdate DESC, orderkey DESC) so the tie among
+    same-(custkey, orderdate) orders — which the fixture really contains —
+    is pinned to the same row in both engines."""
+    from batch_doc_vqa_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    od = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    return asof_join(
+        ev, od, ["user_id"], "ts", "o_orderdate",
+        payload=["o_orderkey", "o_totalprice"], tiebreak="o_orderkey",
+        matched_ts="asof_orderdate",
+    ).select(
+        "event_id", "user_id", "ts", "asof_orderdate",
+        F.col("o_orderkey").alias("asof_orderkey"),
+        F.col("o_totalprice").alias("asof_totalprice"),
+    )
+
+
+def _q_events_in_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join (round 6): overlapping 6-hour maintenance
+    windows at 4-hour stride, anchored at the first event — each event
+    falls in 1-2 windows, which a tumbling window aggregate cannot
+    express. The binned equi-join keeps the plan hash-join-only; epoch
+    math is truncated seconds written identically in the oracle
+    (CAST(floor(epoch(ts)) AS BIGINT) — Spark's timestamp→long cast)."""
+    from batch_doc_vqa_spark.operators.temporal import range_join_binned
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_seconds(F.col("ts").cast("timestamp")).alias("_p"),
+    )
+    anchor = ev.agg(F.min("_p").alias("_a"))
+    win = (
+        anchor.select(F.explode(F.sequence(F.lit(0), F.lit(63))).alias("window_id"), "_a")
+        .select("window_id", (F.col("_a") + F.col("window_id").cast("long") * 14400).alias("_s"))
+        .withColumn("_e", F.col("_s") + 21600)
+    )
+    pairs = range_join_binned(
+        ev, win, "_p", "_s", "_e", bin_width=21600, broadcast_intervals=True
+    )
+    counts = pairs.groupBy("window_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    return (
+        win.join(counts, "window_id", "left")
+        .select(
+            "window_id",
+            F.col("_s").alias("win_start"),
+            F.col("_e").alias("win_end"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("n_users", F.lit(0)).alias("n_users"),
+        )
+    )
+
+
 def _q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
         (F.pmod(F.abs(F.col("value")), F.lit(100.0)) / 100.0).alias("p"),
@@ -2756,6 +2820,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "digit_frequency": _q_digit_frequency,
         "pareto_parts": _q_pareto_parts,
         "events_hourly": _q_events_hourly,
+        "events_asof_order": _q_events_asof_order,
+        "events_in_windows": _q_events_in_windows,
         "calibration_bins": _q_calibration,
         "discount_product": _q_discount_product,
         "dedup_exact": _q_dedup_exact,
@@ -3530,6 +3596,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
                    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_asof_order": """
+            WITH cand AS (
+                SELECT e.event_id, o.o_orderkey, o.o_totalprice, o.o_orderdate,
+                       ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                          ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+                FROM events e JOIN orders o
+                  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+            SELECT e.event_id, e.user_id, e.ts,
+                   c.o_orderdate AS asof_orderdate,
+                   c.o_orderkey AS asof_orderkey,
+                   c.o_totalprice AS asof_totalprice
+            FROM events e LEFT JOIN cand c ON c.event_id = e.event_id AND c.rn = 1
+        """,
+        "events_in_windows": """
+            WITH ep AS (SELECT event_id, user_id,
+                               CAST(floor(epoch(ts)) AS BIGINT) AS p FROM events),
+            anchor AS (SELECT MIN(p) AS a FROM ep),
+            win AS (SELECT CAST(i AS INT) AS window_id, a + i * 14400 AS s
+                    FROM anchor, range(0, 64) t(i))
+            SELECT w.window_id, w.s AS win_start, w.s + 21600 AS win_end,
+                   COUNT(e.event_id) AS n_events,
+                   COUNT(DISTINCT e.user_id) AS n_users
+            FROM win w LEFT JOIN ep e ON e.p >= w.s AND e.p < w.s + 21600
+            GROUP BY w.window_id, w.s
         """,
         "calibration_bins": """
             WITH p AS (

@@ -90,8 +90,10 @@ BENCH_QUERIES = [
     # decontamination shuffle fallback
     "ann_ivfpq_topk",
     "contamination_report_shuffle",
-    # round 6: CCNet tercile cut over the LM scores
+    # round 6: CCNet tercile cut over the LM scores; temporal joins
     "ppl_buckets",
+    "events_asof_order",
+    "events_in_windows",
 ]
 
 
