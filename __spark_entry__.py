@@ -364,6 +364,56 @@ def _q_events_in_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog (round 6): distinct users per event type via
+    md5-derived registers (p=6 so the fixture exercises the HLL branch,
+    not linear counting). Every register is a pure function of the data —
+    the oracle recomputes the identical sketch in SQL (bin-string rho,
+    decimal register sum), impossible with approx_count_distinct's opaque
+    JVM state."""
+    from batch_doc_vqa_spark.operators.sketches import hll_count_distinct
+
+    return hll_count_distinct(
+        _t(spark, sf_dir, "events"), "user_id", ["event_type"], p=6
+    )
+
+
+def _hll_distinct_users_oracle() -> str:
+    p, hbits = 6, 60
+    m, k = 1 << p, hbits - p + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    num = alpha * m * m * float(2**k)  # the single Spark-side literal
+    return f"""
+        WITH hh AS (
+            SELECT event_type,
+                   CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) AS h
+            FROM events WHERE user_id IS NOT NULL),
+        regs AS (
+            SELECT event_type, h % {m} AS bucket,
+                   CASE WHEN (h // {m}) > 0
+                        THEN {k} - length(bin(h // {m}))
+                        ELSE {k} END AS rho
+            FROM hh),
+        mx AS (SELECT event_type, bucket, MAX(rho) AS max_rho
+               FROM regs GROUP BY event_type, bucket),
+        agg AS (SELECT event_type,
+                       SUM(CAST(pow(2.0, {k} - max_rho) AS DECIMAL(38,0))) AS s_obs,
+                       COUNT(*) AS nb
+                FROM mx GROUP BY event_type),
+        est AS (SELECT event_type,
+                       {num!r} / (CAST(s_obs AS DOUBLE)
+                                  + CAST({m} - nb AS DOUBLE) * {float(2**k)!r}) AS raw,
+                       {m} - nb AS zeros
+                FROM agg)
+        SELECT event_type,
+               ROUND(CASE WHEN raw <= {2.5 * m!r} AND zeros > 0
+                          THEN {float(m)!r} * ln({float(m)!r} / CAST(zeros AS DOUBLE))
+                          ELSE raw END, 6) AS est_distinct
+        FROM est
+    """
+
+
 def _q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
         (F.pmod(F.abs(F.col("value")), F.lit(100.0)) / 100.0).alias("p"),
@@ -2822,6 +2872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "events_asof_order": _q_events_asof_order,
         "events_in_windows": _q_events_in_windows,
+        "hll_distinct_users": _q_hll_distinct_users,
         "calibration_bins": _q_calibration,
         "discount_product": _q_discount_product,
         "dedup_exact": _q_dedup_exact,
@@ -3610,6 +3661,7 @@ def oracle_sql() -> dict[str, str]:
                    c.o_totalprice AS asof_totalprice
             FROM events e LEFT JOIN cand c ON c.event_id = e.event_id AND c.rn = 1
         """,
+        "hll_distinct_users": _hll_distinct_users_oracle(),
         "events_in_windows": """
             WITH ep AS (SELECT event_id, user_id,
                                CAST(floor(epoch(ts)) AS BIGINT) AS p FROM events),

@@ -51,6 +51,12 @@ INTERESTING = [
     "contamination_report_shuffle",
     "snapshot_diff",
     "incremental_dedup",
+    # round 6: LM tier + tercile cut, temporal joins, portable HLL
+    "lm_perplexity",
+    "ppl_buckets",
+    "events_asof_order",
+    "events_in_windows",
+    "hll_distinct_users",
 ]
 
 
