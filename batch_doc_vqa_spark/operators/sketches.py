@@ -53,6 +53,9 @@ def hll_partial(
     registers are emitted; absent buckets mean rho 0."""
     if not 4 <= p <= 18:
         raise ValueError(f"hll_partial: p={p} out of range [4, 18]")
+    clash = [c for c in group_cols if c in ("bucket", "rho", "max_rho", "_h")]
+    if clash:
+        raise ValueError(f"hll_partial: group_cols collide with internals: {clash}")
     from .dedup import portable_hash64
 
     m = 1 << p
@@ -93,10 +96,13 @@ def hll_estimate(
     small-range (linear counting) correction. The register sum is exact:
     sum of 2^(K - max_rho) as decimal(38,0) with K = 61-p, so the double
     division happens once on exact operands; empty buckets contribute
-    2^K each (m - observed of them)."""
+    2^K each (m - observed of them). Partials are re-merged first (a
+    near-free max over register-scale rows), so a raw UNION of shard
+    partials is safe input — duplicate buckets can never double-count."""
     m = 1 << p
     k = _HASH_BITS - p + 1  # max rho
     alpha = _alpha(m)
+    partials = hll_merge(partials, group_cols)
     agg = partials.groupBy(*group_cols).agg(
         F.sum(
             F.pow(F.lit(2.0), (F.lit(k) - F.col("max_rho"))).cast("decimal(38,0)")

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-_RESERVED = ("_ts", "_side", "_rpay", "_tb", "_m")
+_RESERVED = ("_ts", "_side", "_rpay", "_tb", "_m", "_mts")
 
 
 def _epoch_seconds(df: DataFrame, col: str, dtype: str | None = None):
@@ -95,6 +95,10 @@ def asof_join(
     if reserved:
         raise ValueError(f"asof_join: reserved column names in inputs: {reserved}")
 
+    # NULL timestamps are ill-defined for as-of semantics: a NULL right ts
+    # must never be matchable, and a NULL left ts must match nothing (in
+    # the forward sort it would otherwise see every right row).
+    right = right.filter(F.col(right_ts).isNotNull())
     rpay = F.struct(F.col(right_ts).alias("_mts"), *[F.col(c) for c in payload])
     r = right.select(
         *on,
@@ -113,7 +117,13 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     out = (
-        u.withColumn("_m", F.last("_rpay", ignorenulls=True).over(w))
+        u.withColumn(
+            "_m",
+            F.when(
+                F.col("_ts").isNotNull(),
+                F.last("_rpay", ignorenulls=True).over(w),
+            ),
+        )
         .filter(F.col("_side") == 1)
     )
     if tolerance is not None:
@@ -140,6 +150,7 @@ def range_join_binned(
     bin_width: int,
     on: list[str] | None = None,
     broadcast_intervals: bool = False,
+    max_bins_per_interval: int = 65536,
 ) -> DataFrame:
     """Inner point-in-interval join (``start <= point < end``, plus
     equality on ``on``) as an EQUI join: intervals explode into the
@@ -161,21 +172,34 @@ def range_join_binned(
     ``broadcast_intervals=True`` hints the exploded interval side (the
     usual small dimension — maintenance windows, crawl epochs); leave
     False for interval tables big enough to need the shuffle, where AQE
-    decides.
+    decides. An interval wider than ``max_bins_per_interval`` bins fails
+    LOUDLY (raise_error in-plan) instead of silently exploding a task —
+    raise the cap or the bin width deliberately, not by accident.
     """
     on = on or []
+    clash = [c for c in (*points.columns, *intervals.columns) if c == "_pbin"]
+    if clash:
+        raise ValueError("range_join_binned: inputs must not contain '_pbin'")
     p = points.withColumn("_pbin", _bin_of(_epoch_seconds(points, point_col), bin_width))
+    b_lo = _bin_of(_epoch_seconds(intervals, start_col), bin_width)
+    b_hi = _bin_of(_epoch_seconds(intervals, end_col) - 1, bin_width)
+    guarded_hi = F.when(
+        b_hi - b_lo < F.lit(int(max_bins_per_interval)),
+        b_hi,
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"range_join_binned: interval wider than {max_bins_per_interval} "
+                    f"bins at bin_width={bin_width}; widen bin_width or raise "
+                    "max_bins_per_interval"
+                )
+            )
+        ).cast("long")
+    )
     iv = (
         intervals.filter(F.col(end_col) > F.col(start_col))
-        .withColumn(
-            "_pbin",
-            F.explode(
-                F.sequence(
-                    _bin_of(_epoch_seconds(intervals, start_col), bin_width),
-                    _bin_of(_epoch_seconds(intervals, end_col) - 1, bin_width),
-                )
-            ),
-        )
+        .withColumn("_pbin", F.explode(F.sequence(b_lo, guarded_hi)))
     )
     if broadcast_intervals:
         iv = F.broadcast(iv)

@@ -640,6 +640,8 @@ def ppl_buckets(
     """
     from pyspark.sql import Window
 
+    if n_buckets < 2:
+        raise ValueError(f"ppl_buckets: n_buckets={n_buckets} must be >= 2")
     scored = df.filter(F.col(ppl_col).isNotNull())
     vals = (
         scored.groupBy(lang_col, ppl_col)

@@ -414,3 +414,11 @@ def test_ppl_buckets_rank_cut(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_ppl_buckets_rejects_degenerate_bucket_count(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "en", 2.0)], "doc_id long, lang string, ppl double")
+    with pytest.raises(ValueError, match="n_buckets"):
+        textstats.ppl_buckets(df, "doc_id", "lang", "ppl", n_buckets=1)

@@ -113,3 +113,18 @@ def test_hll_linear_counting_branch_and_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_hll_estimate_safe_on_unmerged_union(spark):
+    """hll_estimate re-merges internally: a raw UNION of shard partials
+    (duplicate buckets) must not double-count registers."""
+    df = spark.createDataFrame([(f"k{i}", "g") for i in range(500)], "uid string, g string")
+    part = hll_partial(df, "uid", ["g"], p=P)
+    a = hll_estimate(part.unionByName(part), ["g"], p=P).collect()[0]["est_distinct"]
+    b = hll_estimate(part, ["g"], p=P).collect()[0]["est_distinct"]
+    assert a == b
+
+    import pytest
+
+    with pytest.raises(ValueError, match="collide"):
+        hll_partial(df.withColumnRenamed("g", "bucket"), "uid", ["bucket"], p=P)

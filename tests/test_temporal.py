@@ -166,3 +166,47 @@ def test_asof_tolerance_on_ntz_timestamps(spark):
         ).collect()
     }
     assert tol[2] == 13 and tol[4] is None and tol[1] == 12
+
+
+def test_asof_null_timestamps_never_match(spark):
+    """NULL left ts matches nothing in BOTH directions (the forward sort
+    would otherwise see every right row); NULL right ts is unmatchable."""
+    l = spark.createDataFrame(
+        [(1, "a", _ts("2024-01-01 10:00:00")), (2, "a", None)],
+        "eid long, k string, ts timestamp",
+    )
+    r = spark.createDataFrame(
+        [(10, "a", _ts("2024-01-01 09:00:00"), 1.0), (11, "a", None, 2.0)],
+        "rid long, k string, rts timestamp, v double",
+    )
+    for d in ("backward", "forward"):
+        got = {
+            row["eid"]: row["rid"]
+            for row in asof_join(l, r, ["k"], "ts", "rts",
+                                 payload=["rid"], tiebreak="rid", direction=d).collect()
+        }
+        assert got[2] is None, d            # null left ts -> no match
+        assert got[1] in (10, None), d      # null right ts never matched
+    back = {
+        row["eid"]: row["rid"]
+        for row in asof_join(l, r, ["k"], "ts", "rts",
+                             payload=["rid"], tiebreak="rid").collect()
+    }
+    assert back[1] == 10
+
+
+def test_range_join_overwide_interval_fails_loudly(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    pts = spark.createDataFrame([(1, 500)], "pid long, p long")
+    ivs = spark.createDataFrame([(0, 0, 10_000_000)], "wid long, s long, e long")
+    with pytest.raises(Exception, match="interval wider"):
+        try:
+            range_join_binned(pts, ivs, "p", "s", "e", bin_width=1,
+                              max_bins_per_interval=1000).collect()
+        except Py4JJavaError as err:  # unwrap the JVM error for the match
+            raise RuntimeError(str(err)) from err
+    # the guard does not perturb legal results
+    ok = range_join_binned(pts, ivs, "p", "s", "e", bin_width=1 << 20).collect()
+    assert [(r["pid"], r["wid"]) for r in ok] == [(1, 0)]
