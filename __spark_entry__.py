@@ -1509,6 +1509,17 @@ def _lm_perplexity_oracle() -> str:
     """
 
 
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (round 6): 100 docs drawn by
+    the deterministic Efraimidis-Spirakis race with weight = n_chars (md5
+    tier so the oracle reproduces the draw, the key, and the exact winner
+    set)."""
+    from batch_doc_vqa_spark.operators.chunking import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return weighted_sample(docs, "doc_id", "n_chars", 100, seed=5, base_hash="md5")
+
+
 def _q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet's head/middle/tail cut (round 6): per-language equal-rank
     perplexity terciles over the lm_perplexity scores — rank cuts on the
@@ -2800,6 +2811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_resample": _q_classifier_resample,
         "lm_perplexity": _q_lm_perplexity,
         "ppl_buckets": _q_ppl_buckets,
+        "weighted_sample_docs": _q_weighted_sample,
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
         "token_counts_bpe": _q_token_counts_bpe,
@@ -4430,6 +4442,22 @@ def oracle_sql() -> dict[str, str]:
     # CCNet tercile cut: rank cuts over the distinct value table — integer
     # compares only, so the SQL mirror is exact (no quantile interpolation)
     oracles["ppl_buckets"] = _ppl_buckets_oracle()
+    # weighted sampling: the identical draw + race-key expression; ties
+    # after the 6-round break on doc_id in BOTH engines
+    oracles["weighted_sample_docs"] = """
+        WITH wd AS (
+            SELECT doc_id, source, n_chars,
+                   CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '#5')),
+                                            1, 15)) AS BIGINT) % 1048576 AS d
+            FROM documents
+            WHERE n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0)
+        SELECT doc_id, source, n_chars,
+               ROUND(-ln(CAST(d + 1 AS DOUBLE) / 1048577.0)
+                     / CAST(n_chars AS DOUBLE), 6) AS wkey
+        FROM wd
+        ORDER BY wkey, doc_id
+        LIMIT 100
+    """
     # BPE subword tier: kernel outputs as VALUES (byte-identity per doc);
     # the packing layout is re-derived in SQL from the embedded counts
     bpe = _bpe_model()

@@ -262,3 +262,51 @@ def budget_select(
         .filter(F.col("cum_tokens") <= budget)
         .drop("_oblk", "_blk_offset")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 0,
+    base_hash: str = "xxhash64",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (the
+    Efraimidis–Spirakis exponential race): each row gets
+    ``wkey = round(-ln(u) / weight, 6)`` with ``u`` the repo's
+    deterministic (0,1) draw from ``(id, seed)``, and the k SMALLEST keys
+    win — inclusion probability is proportional to weight, no row repeats,
+    and membership is a pure function of the data (partition- and
+    rerun-stable; ``base_hash='md5'`` makes the draw reproducible in the
+    DuckDB oracle). Ties after the 6-decimal round (needed for
+    cross-engine float identity) break on the id — the selected SET is
+    identical in both engines. Rows with weight <= 0 or NULL are never
+    sampled (their race time is infinite).
+
+    Scale shape: global top-k is a TakeOrderedAndProject — one linear
+    scan, k rows kept per partition, no full sort materialization. With
+    ``group_cols`` it is a per-group rank window: fine-grained groups
+    spread; a mega-group serializes its own sort — for per-source quotas
+    over 10^12 docs pick groups like (source, shard) and merge, or use
+    ``budget_select`` for token-denominated quotas.
+    """
+    bucket = 1 << 20
+    key = F.concat(F.col(id_col).cast("string"), F.lit(f"#{seed}"))
+    h = F.xxhash64(key) if base_hash == "xxhash64" else portable_hash64(key)
+    u = (F.pmod(h, F.lit(bucket)) + 1).cast("double") / F.lit(float(bucket + 1))
+    w = F.col(weight_col).cast("double")
+    base = df.filter(w.isNotNull() & (w > 0)).withColumn(
+        "wkey", F.round(-F.log(u) / w, 6)
+    )
+    if group_cols:
+        from pyspark.sql import Window
+
+        win = Window.partitionBy(*group_cols).orderBy(F.col("wkey"), F.col(id_col))
+        return (
+            base.withColumn("_rn", F.row_number().over(win))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+    return base.orderBy("wkey", id_col).limit(k)

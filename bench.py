@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "events_asof_order",
     "events_in_windows",
     "hll_distinct_users",
+    "weighted_sample_docs",
 ]
 
 

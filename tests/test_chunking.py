@@ -115,3 +115,68 @@ def test_budget_select_two_layer_equals_plain(spark):
             ).collect()
         )
         assert two == plain, ob
+
+
+def test_weighted_sample_race_semantics(spark):
+    """Efraimidis-Spirakis without replacement: hand-math keys, k distinct
+    winners, weight-proportional inclusion, zero/NULL weights excluded,
+    per-group quotas, partition independence."""
+    import hashlib
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from batch_doc_vqa_spark.operators.chunking import weighted_sample
+
+    def r6(x):
+        return float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+    rows = [(i, ["s1", "s2"][i % 2], float(1 + (i % 10) * 10)) for i in range(600)]
+    rows += [(900, "s1", 0.0), (901, "s2", None)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, w double")
+
+    def wkey(i, w):
+        h = int(hashlib.md5(f"{i}#7".encode()).hexdigest()[:15], 16)
+        u = (h % (1 << 20) + 1) / float((1 << 20) + 1)
+        return r6(-math.log(u) / w)
+
+    expect = sorted(
+        ((wkey(i, w), i) for i, _, w in rows if w), key=lambda t: t
+    )[:50]
+    got = sorted(
+        (r["wkey"], r["doc_id"])
+        for r in weighted_sample(df, "doc_id", "w", 50, seed=7, base_hash="md5").collect()
+    )
+    assert got == expect
+    assert len({i for _, i in got}) == 50  # without replacement
+
+    # heavier rows win more: mean weight of winners >> corpus mean
+    mean_w = sum(w for _, _, w in rows if w) / 600
+    win_w = {i: w for i, _, w in rows}
+    assert sum(win_w[i] for _, i in got) / 50 > 1.3 * mean_w
+
+    # per-group quota: exactly k rows per source, the group-local race
+    per = weighted_sample(df, "doc_id", "w", 20, seed=7, base_hash="md5",
+                          group_cols=["src"]).collect()
+    by_src = {}
+    for r in per:
+        by_src.setdefault(r["src"], []).append((r["wkey"], r["doc_id"]))
+    for src in ("s1", "s2"):
+        exp_src = sorted(
+            ((wkey(i, w), i) for i, s, w in rows if s == src and w), key=lambda t: t
+        )[:20]
+        assert sorted(by_src[src]) == exp_src
+
+    # partition independence + JVM plan
+    again = sorted(
+        (r["wkey"], r["doc_id"])
+        for r in weighted_sample(
+            df.repartition(9), "doc_id", "w", 50, seed=7, base_hash="md5"
+        ).collect()
+    )
+    assert again == got
+    plan = (
+        weighted_sample(df, "doc_id", "w", 50)._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-k, never a full global sort
