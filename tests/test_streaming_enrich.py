@@ -383,3 +383,64 @@ def test_quality_gate_stream_incremental(spark, tmp_path):
     assert row["text"] is not None and 0.0 <= row["draw"] < 1.0
     os.remove(f"{out}/_committed/e00000001")
     assert {r["doc_id"] for r in read_kept(spark, out).collect()} == kept1
+
+
+def test_hll_stream_incremental_and_idempotent(spark, tmp_path):
+    """Streaming HLL twin (round 6): per-epoch partials commit atomically,
+    the merged estimate equals the batch sketch on the union, replays and
+    duplicate epochs cannot move the estimate (max-merge idempotence), and
+    a torn epoch is invisible until its marker lands."""
+    import os
+    import shutil
+
+    from batch_doc_vqa_spark.operators.sketches import hll_count_distinct
+    from batch_doc_vqa_spark.streaming.hll_stream import (
+        hll_stream,
+        read_hll_estimate,
+        read_hll_partials,
+    )
+
+    src = tmp_path / "docs_in"
+    out = str(tmp_path / "hll_out")
+    ckpt = str(tmp_path / "hll_ckpt")
+    schema = "doc_id long, uid string, g string"
+    rows = [(i, f"u{i % 300}", ["a", "b"][i % 2]) for i in range(900)]
+    spark.createDataFrame(rows[:500], schema).write.mode("append").parquet(str(src))
+
+    hll_stream(spark, str(src), schema, "uid", ["g"], out, ckpt, p=8).awaitTermination(120)
+    assert os.path.exists(f"{out}/_committed/e00000000")
+    est1 = {r["g"]: r["est_distinct"]
+            for r in read_hll_estimate(spark, out, ["g"], p=8).collect()}
+    batch1 = {r["g"]: r["est_distinct"]
+              for r in hll_count_distinct(
+                  spark.createDataFrame(rows[:500], schema), "uid", ["g"], p=8
+              ).collect()}
+    assert est1 == batch1
+
+    # epoch 2: only the new file is sketched; union estimate == batch on all
+    spark.createDataFrame(rows[500:], schema).write.mode("append").parquet(str(src))
+    hll_stream(spark, str(src), schema, "uid", ["g"], out, ckpt, p=8).awaitTermination(120)
+    est2 = {r["g"]: r["est_distinct"]
+            for r in read_hll_estimate(spark, out, ["g"], p=8).collect()}
+    batch2 = {r["g"]: r["est_distinct"]
+              for r in hll_count_distinct(
+                  spark.createDataFrame(rows, schema), "uid", ["g"], p=8
+              ).collect()}
+    assert est2 == batch2
+
+    # duplicate-epoch idempotence: physically copy epoch 1's partials under
+    # a forged committed epoch — the max-merge must not move the estimate
+    shutil.copytree(f"{out}/partials/run_id=e00000000",
+                    f"{out}/partials/run_id=zdup")
+    open(f"{out}/_committed/zdup", "w").close()
+    est_dup = {r["g"]: r["est_distinct"]
+               for r in read_hll_estimate(spark, out, ["g"], p=8).collect()}
+    assert est_dup == est2
+
+    # torn epoch invisibility
+    os.remove(f"{out}/_committed/e00000001")
+    est_torn = {r["g"]: r["est_distinct"]
+                for r in read_hll_estimate(spark, out, ["g"], p=8).collect()}
+    assert est_torn == est1
+    n_epochs = read_hll_partials(spark, out).select("run_id").distinct().count()
+    assert n_epochs == 2  # e0 + the forged dup; e1 retracted
