@@ -414,6 +414,104 @@ def _hll_distinct_users_oracle() -> str:
     """
 
 
+def _q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-histogram quantile sketch (round 6): doc-length percentiles per
+    language from a mergeable ≤2k-row bucket table (HDR-histogram
+    bucketing: exponent + top-5 mantissa bits, msb via binary-string
+    length — integer-exact, so the oracle recomputes the identical sketch).
+    Returns the exact bucket bounds [q_lb, q_ub] around each type-1
+    quantile; ub/lb ≤ 1+2^-5."""
+    from batch_doc_vqa_spark.operators.sketches import (
+        loghist_partial,
+        loghist_quantile,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    part = loghist_partial(docs, "n_chars", ["lang"], b=5)
+    return loghist_quantile(part, ["lang"], [0.25, 0.5, 0.9, 0.99], b=5)
+
+
+def _quantile_sketch_oracle() -> str:
+    decode = (
+        "CASE WHEN bkt < 32 THEN bkt "
+        "ELSE (bkt - (bkt // 32 - 1) * 32) "
+        "* (CAST(1 AS BIGINT) << CAST(bkt // 32 - 1 AS INT)) END"
+    )
+    width = "(CAST(1 AS BIGINT) << CAST(bkt // 32 - 1 AS INT))"
+    return f"""
+        WITH v AS (SELECT lang, CAST(n_chars AS BIGINT) AS x
+                   FROM documents WHERE n_chars IS NOT NULL),
+        b AS (SELECT lang,
+                     CASE WHEN x < 32 THEN x
+                          ELSE (length(bin(x)) - 6) * 32
+                               + (x // (CAST(1 AS BIGINT)
+                                        << (length(bin(x)) - 6)))
+                     END AS bucket
+              FROM v),
+        c AS (SELECT lang, bucket, COUNT(*) AS cnt FROM b GROUP BY lang, bucket),
+        cum AS (SELECT lang, bucket,
+                       SUM(cnt) OVER (PARTITION BY lang ORDER BY bucket
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS c_cum,
+                       SUM(cnt) OVER (PARTITION BY lang) AS n
+                FROM c),
+        qx AS (SELECT lang, bucket, c_cum, n, q
+               FROM cum CROSS JOIN (SELECT UNNEST([CAST(0.25 AS DOUBLE),
+                                                   CAST(0.5 AS DOUBLE),
+                                                   CAST(0.9 AS DOUBLE),
+                                                   CAST(0.99 AS DOUBLE)]) AS q) qs),
+        hit AS (SELECT lang, q, MIN(bucket) AS bkt
+                FROM qx WHERE c_cum >= CEIL(q * n) GROUP BY lang, q)
+        SELECT lang, q,
+               CAST({decode} AS BIGINT) AS q_lb,
+               CAST(CASE WHEN bkt < 32 THEN bkt
+                         ELSE {decode} + {width} - 1 END AS BIGINT) AS q_ub
+        FROM hit
+    """
+
+
+def _q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (round 6): per-event-type user frequencies from
+    mergeable d·w register tables (md5 with the depth as explicit salt —
+    the oracle recomputes every register and lookup), thresholded to heavy
+    hitters. est_count ≥ true count always; the register table answers
+    historical frequency questions without rescanning raw data."""
+    from batch_doc_vqa_spark.operators.sketches import cms_lookup, cms_partial
+
+    ev = _t(spark, sf_dir, "events")
+    part = cms_partial(ev, "user_id", ["event_type"], w=256, d=3)
+    cand = ev.filter(F.col("user_id").isNotNull()).select(
+        "event_type", "user_id"
+    )
+    est = cms_lookup(part, cand, "user_id", ["event_type"], w=256, d=3)
+    return est.filter(F.col("est_count") >= 10)
+
+
+def _cms_heavy_hitters_oracle() -> str:
+    reg = (
+        "CAST(concat('0x', substr(md5(k || chr(31) "
+        "|| CAST(depth AS VARCHAR)), 1, 15)) AS BIGINT) % 256"
+    )
+    return f"""
+        WITH base AS (SELECT event_type, CAST(user_id AS VARCHAR) AS k
+                      FROM events WHERE user_id IS NOT NULL),
+        ds AS (SELECT UNNEST([0, 1, 2]) AS depth),
+        regs AS (SELECT event_type, depth, {reg} AS bucket, COUNT(*) AS cnt
+                 FROM base CROSS JOIN ds
+                 GROUP BY event_type, depth, bucket),
+        probes AS (SELECT DISTINCT event_type, k FROM base),
+        fan AS (SELECT event_type, k, depth, {reg} AS bucket
+                FROM probes CROSS JOIN ds),
+        est AS (SELECT f.event_type, f.k,
+                       MIN(COALESCE(r.cnt, 0)) AS est_count
+                FROM fan f
+                LEFT JOIN regs r USING (event_type, depth, bucket)
+                GROUP BY f.event_type, f.k)
+        SELECT event_type, k AS user_id, CAST(est_count AS BIGINT) AS est_count
+        FROM est WHERE est_count >= 10
+    """
+
+
 def _q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
         (F.pmod(F.abs(F.col("value")), F.lit(100.0)) / 100.0).alias("p"),
@@ -2885,6 +2983,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_order": _q_events_asof_order,
         "events_in_windows": _q_events_in_windows,
         "hll_distinct_users": _q_hll_distinct_users,
+        "quantile_sketch": _q_quantile_sketch,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
         "calibration_bins": _q_calibration,
         "discount_product": _q_discount_product,
         "dedup_exact": _q_dedup_exact,
@@ -3674,6 +3774,8 @@ def oracle_sql() -> dict[str, str]:
             FROM events e LEFT JOIN cand c ON c.event_id = e.event_id AND c.rn = 1
         """,
         "hll_distinct_users": _hll_distinct_users_oracle(),
+        "quantile_sketch": _quantile_sketch_oracle(),
+        "cms_heavy_hitters": _cms_heavy_hitters_oracle(),
         "events_in_windows": """
             WITH ep AS (SELECT event_id, user_id,
                                CAST(floor(epoch(ts)) AS BIGINT) AS p FROM events),

@@ -95,6 +95,8 @@ BENCH_QUERIES = [
     "events_asof_order",
     "events_in_windows",
     "hll_distinct_users",
+    "quantile_sketch",
+    "cms_heavy_hitters",
     "weighted_sample_docs",
 ]
 

@@ -57,6 +57,8 @@ INTERESTING = [
     "events_asof_order",
     "events_in_windows",
     "hll_distinct_users",
+    "quantile_sketch",
+    "cms_heavy_hitters",
 ]
 
 
