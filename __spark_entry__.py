@@ -325,6 +325,44 @@ def _q_events_asof_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ASOF_ORDER_ORACLE = """
+    WITH cand AS (
+        SELECT e.event_id, o.o_orderkey, o.o_totalprice, o.o_orderdate,
+               ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM events e JOIN orders o
+          ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+    SELECT e.event_id, e.user_id, e.ts,
+           c.o_orderdate AS asof_orderdate,
+           c.o_orderkey AS asof_orderkey,
+           c.o_totalprice AS asof_totalprice
+    FROM events e LEFT JOIN cand c ON c.event_id = e.event_id AND c.rn = 1
+"""
+
+
+def _q_events_asof_order_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """asof_join tier invariance (round 6): the same as-of lookup through
+    strategy='array' (per-key sorted timeline structs + equi join + in-plan
+    array probe — the small-snapshots-per-key tier AQE can broadcast).
+    Shares events_asof_order's SQL oracle verbatim: both tiers must produce
+    bit-identical rows."""
+    from batch_doc_vqa_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    od = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    return asof_join(
+        ev, od, ["user_id"], "ts", "o_orderdate",
+        payload=["o_orderkey", "o_totalprice"], tiebreak="o_orderkey",
+        matched_ts="asof_orderdate", strategy="array",
+    ).select(
+        "event_id", "user_id", "ts", "asof_orderdate",
+        F.col("o_orderkey").alias("asof_orderkey"),
+        F.col("o_totalprice").alias("asof_totalprice"),
+    )
+
+
 def _q_events_in_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (interval) join (round 6): overlapping 6-hour maintenance
     windows at 4-hour stride, anchored at the first event — each event
@@ -2981,6 +3019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto_parts": _q_pareto_parts,
         "events_hourly": _q_events_hourly,
         "events_asof_order": _q_events_asof_order,
+        "events_asof_order_array": _q_events_asof_order_array,
         "events_in_windows": _q_events_in_windows,
         "hll_distinct_users": _q_hll_distinct_users,
         "quantile_sketch": _q_quantile_sketch,
@@ -3760,19 +3799,9 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_value
             FROM events GROUP BY 1, 2
         """,
-        "events_asof_order": """
-            WITH cand AS (
-                SELECT e.event_id, o.o_orderkey, o.o_totalprice, o.o_orderdate,
-                       ROW_NUMBER() OVER (PARTITION BY e.event_id
-                                          ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
-                FROM events e JOIN orders o
-                  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
-            SELECT e.event_id, e.user_id, e.ts,
-                   c.o_orderdate AS asof_orderdate,
-                   c.o_orderkey AS asof_orderkey,
-                   c.o_totalprice AS asof_totalprice
-            FROM events e LEFT JOIN cand c ON c.event_id = e.event_id AND c.rn = 1
-        """,
+        "events_asof_order": _ASOF_ORDER_ORACLE,
+        # tier invariance: the array strategy must satisfy the SAME oracle
+        "events_asof_order_array": _ASOF_ORDER_ORACLE,
         "hll_distinct_users": _hll_distinct_users_oracle(),
         "quantile_sketch": _quantile_sketch_oracle(),
         "cms_heavy_hitters": _cms_heavy_hitters_oracle(),

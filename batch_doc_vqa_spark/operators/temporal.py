@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-_RESERVED = ("_ts", "_side", "_rpay", "_tb", "_m", "_mts")
+_RESERVED = ("_ts", "_side", "_rpay", "_tb", "_m", "_mts", "_arr", "_lk", "_m0", "_fk", "_k", "_guard")
 
 
 def _epoch_seconds(df: DataFrame, col: str, dtype: str | None = None):
@@ -57,6 +57,8 @@ def asof_join(
     tolerance: int | None = None,
     tiebreak: str | None = None,
     matched_ts: str = "asof_ts",
+    strategy: str = "window",
+    max_per_key: int = 4096,
 ) -> DataFrame:
     """Left as-of join: every left row gains the ``payload`` columns of the
     single right row sharing its ``on`` keys whose ``right_ts`` is the
@@ -85,9 +87,27 @@ def asof_join(
     (url, user) spread evenly; a single mega-key serializes its own group
     only. Salting cannot apply here (a salted key would split the
     timeline), so skewed keys should be pre-filtered or handled upstream.
+
+    ``strategy``: ``'window'`` (above — any snapshots-per-key, two sorts);
+    ``'array'`` — the right side collapses to ONE row per key holding its
+    sorted timeline (collect_list → sort_array), the join becomes a plain
+    equi join (AQE broadcasts it when keys are few: the EVENT side then
+    never shuffles at all), and each match is an in-plan array probe —
+    O(S) per left row, so it wins exactly when snapshots-per-key S is
+    small — `scripts/asof_scale_probe.py --array`: 2.2× faster at S=100
+    (7.3 s vs 15.9 s, 2M events × 1M snapshots), par at S=1000. A key
+    exceeding
+    ``max_per_key`` fails LOUDLY in-plan rather than silently building a
+    giant row; payload types must be orderable (they ride in the sorted
+    struct). ``'auto'`` measures max snapshots-per-key (one tiny aggregate
+    job on the right) and picks array iff it fits. Both tiers return
+    bit-identical rows — tier invariance is oracle-checked
+    (`events_asof_order_array` shares `events_asof_order`'s SQL oracle).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"asof_join: unknown direction {direction!r}")
+    if strategy not in ("window", "array", "auto"):
+        raise ValueError(f"asof_join: unknown strategy {strategy!r}")
     clash = [c for c in (*payload, matched_ts) if c in left.columns]
     if clash:
         raise ValueError(f"asof_join: payload/matched_ts collide with left columns: {clash}")
@@ -99,6 +119,16 @@ def asof_join(
     # must never be matchable, and a NULL left ts must match nothing (in
     # the forward sort it would otherwise see every right row).
     right = right.filter(F.col(right_ts).isNotNull())
+
+    if strategy == "auto":
+        mx = right.groupBy(*on).count().agg(F.max("count")).collect()[0][0]
+        strategy = "array" if (mx or 0) <= max_per_key else "window"
+    if strategy == "array":
+        return _asof_array(
+            left, right, on, left_ts, right_ts, payload, direction,
+            tolerance, tiebreak, matched_ts, max_per_key,
+        )
+
     rpay = F.struct(F.col(right_ts).alias("_mts"), *[F.col(c) for c in payload])
     r = right.select(
         *on,
@@ -131,6 +161,83 @@ def asof_join(
         rt_dtype = dict(right.dtypes)[right_ts]
         dt = F.abs(
             _epoch_seconds(out, "_ts", lt_dtype)
+            - _epoch_seconds(out, "_m._mts", rt_dtype)
+        )
+        out = out.withColumn("_m", F.when(dt <= tolerance, F.col("_m")))
+    return out.select(
+        *[F.col(c) for c in left.columns],
+        F.col("_m._mts").alias(matched_ts),
+        *[F.col(f"_m.{c}").alias(c) for c in payload],
+    )
+
+
+def _asof_array(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    payload: list[str],
+    direction: str,
+    tolerance: int | None,
+    tiebreak: str | None,
+    matched_ts: str,
+    max_per_key: int,
+) -> DataFrame:
+    """asof_join's small-timeline tier: per-key sorted struct arrays + an
+    equi join + in-plan array probes (see asof_join docstring). The match
+    compares the RAW timestamp values (same precision as the window tier's
+    union sort — truncated epochs would flip sub-second matches), and ties
+    on (ts) resolve to the largest ``tiebreak`` exactly like the window's
+    (ts, side, tb) running-last. HOF discipline (CLAUDE.md): every lambda
+    takes one arg and references only projected columns (_lk, _m0, _fk)."""
+    elem = F.struct(
+        F.col(right_ts).alias("_k"),
+        (F.col(tiebreak) if tiebreak else F.lit(0)).alias("_tb"),
+        F.col(right_ts).alias("_mts"),
+        *[F.col(c) for c in payload],
+    )
+    arr = right.groupBy(*on).agg(
+        F.sort_array(F.collect_list(elem)).alias("_arr")
+    )
+    # fail-loud cap: a key wider than max_per_key means this tier was the
+    # wrong call — the guard column is data-dependent (not foldable) and
+    # the filter forces its evaluation
+    arr = arr.withColumn(
+        "_guard",
+        F.when(F.size("_arr") <= max_per_key, F.lit(0)).otherwise(
+            F.raise_error(
+                f"asof_join(strategy='array'): a key exceeds max_per_key="
+                f"{max_per_key} right rows; use strategy='window'"
+            ).cast("int")
+        ),
+    ).filter(F.col("_guard") == 0).drop("_guard")
+
+    l = left.withColumn("_lk", F.col(left_ts))
+    j = l.join(arr, on, "left")
+    if direction == "backward":
+        # sorted ascending by (_k, _tb): the LAST element at-or-before _lk
+        # is the latest ts, largest tiebreak
+        j = j.withColumn(
+            "_m0", F.filter("_arr", lambda e: e["_k"] <= F.col("_lk"))
+        )
+        m = F.try_element_at("_m0", F.lit(-1))
+    else:
+        # forward: first element at-or-after _lk has the minimal ts; among
+        # equal ts the window tier picks the largest tiebreak, so step to
+        # the LAST element sharing that ts
+        j = j.withColumn(
+            "_m0", F.filter("_arr", lambda e: e["_k"] >= F.col("_lk"))
+        ).withColumn("_fk", F.try_element_at("_m0", F.lit(1))["_k"])
+        m = F.try_element_at(
+            F.filter("_m0", lambda e: e["_k"] == F.col("_fk")), F.lit(-1)
+        )
+    out = j.withColumn("_m", m)
+    if tolerance is not None:
+        lt_dtype = dict(left.dtypes)[left_ts]
+        rt_dtype = dict(right.dtypes)[right_ts]
+        dt = F.abs(
+            _epoch_seconds(out, "_lk", lt_dtype)
             - _epoch_seconds(out, "_m._mts", rt_dtype)
         )
         out = out.withColumn("_m", F.when(dt <= tolerance, F.col("_m")))

@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "contamination_report_shuffle",
     # round 6: CCNet tercile cut over the LM scores; temporal joins
     "ppl_buckets",
+    "events_asof_order_array",
     "events_asof_order",
     "events_in_windows",
     "hll_distinct_users",

@@ -14,8 +14,8 @@ is asserted over EVERY row, not sampled:
 Everything is column math over spark.range — row i is a pure function of
 i, partition-count independent, no Python on any hot path.
 
-Usage: python scripts/asof_scale_probe.py [n_events] [n_keys] [snaps_per_key] [--naive]
-       (defaults 2_000_000 10_000 100)
+Usage: python scripts/asof_scale_probe.py [n_events] [n_keys] [snaps_per_key]
+       [--naive] [--array]   (defaults 2_000_000 10_000 100)
 """
 
 from __future__ import annotations
@@ -78,6 +78,20 @@ def main() -> None:
         "mismatches": mismatches,
         "rows_out": n_out,
     }
+
+    if "--array" in sys.argv:
+        t2 = time.time()
+        out_a = asof_join(
+            left, right, ["key"], "ts", "rts", payload=["snap_ts"],
+            tiebreak="rid", strategy="array",
+        )
+        arr_bad = out_a.filter(
+            F.col("snap_ts").isNull() | (F.col("snap_ts") != expected)
+        ).count()
+        n_a = out_a.count()
+        result["array_sec"] = round(time.time() - t2, 2)
+        result["array_mismatches"] = arr_bad
+        result["array_rows_out"] = n_a
 
     if run_naive:
         t1 = time.time()

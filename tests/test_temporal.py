@@ -210,3 +210,71 @@ def test_range_join_overwide_interval_fails_loudly(spark):
     # the guard does not perturb legal results
     ok = range_join_binned(pts, ivs, "p", "s", "e", bin_width=1 << 20).collect()
     assert [(r["pid"], r["wid"]) for r in ok] == [(1, 0)]
+
+
+def test_asof_array_tier_matches_window(spark):
+    """strategy='array' (and 'auto' at small S) is bit-identical to the
+    window tier on the hand-math fixture — including the NULL-payload tie
+    row, sub-second precision, unmatched keys, both directions, tolerance —
+    and on a 3000-row randomized frame with planted (key, ts) ties."""
+    for direction in ("backward", "forward"):
+        for tol in (None, 3600):
+            kw = dict(payload=["rid", "v"], tiebreak="rid",
+                      direction=direction, tolerance=tol)
+            w = sorted(map(tuple, asof_join(
+                _left(spark), _right(spark), ["k"], "ts", "rts", **kw).collect()))
+            a = sorted(map(tuple, asof_join(
+                _left(spark), _right(spark), ["k"], "ts", "rts",
+                strategy="array", **kw).collect()))
+            assert w == a, (direction, tol)
+
+    left = spark.range(3000).select(
+        F.col("id").alias("eid"),
+        F.pmod("id", F.lit(20)).alias("k"),
+        F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(1000)).alias("ts"),
+    )
+    right = spark.range(400).select(
+        F.col("id").alias("rid"),
+        F.pmod("id", F.lit(20)).alias("k"),
+        F.pmod(F.col("id") * 50, F.lit(1000)).alias("rts"),  # planted ties
+        (F.col("id") * 2).alias("v"),
+    )
+    kw = dict(payload=["rid", "v"], tiebreak="rid")
+    w = sorted(map(tuple, asof_join(left, right, ["k"], "ts", "rts", **kw).collect()))
+    a = sorted(map(tuple, asof_join(
+        left, right, ["k"], "ts", "rts", strategy="array", **kw).collect()))
+    u = sorted(map(tuple, asof_join(
+        left, right, ["k"], "ts", "rts", strategy="auto", **kw).collect()))
+    assert w == a == u
+    assert len(w) == 3000  # left cardinality preserved exactly
+
+    # partition independence of the array tier
+    a2 = sorted(map(tuple, asof_join(
+        left.repartition(7), right.repartition(3), ["k"], "ts", "rts",
+        strategy="array", **kw).collect()))
+    assert a2 == a
+
+
+def test_asof_array_cap_and_validation(spark):
+    import pytest
+
+    left = _left(spark)
+    right = _right(spark)
+    with pytest.raises(ValueError, match="unknown strategy"):
+        asof_join(left, right, ["k"], "ts", "rts", payload=["v"], strategy="magic")
+    # a key wider than max_per_key fails loudly in-plan
+    with pytest.raises(Exception, match="max_per_key"):
+        asof_join(left, right, ["k"], "ts", "rts", payload=["v"],
+                  strategy="array", max_per_key=2).collect()
+    # auto falls back to the window tier above the cap — and still answers
+    out = asof_join(left, right, ["k"], "ts", "rts", payload=["rid", "v"],
+                    tiebreak="rid", strategy="auto", max_per_key=2)
+    assert out.count() == 5
+    # the array tier's join is a plain equi join: no BNLJ/cartesian, no Python
+    plan = (
+        asof_join(left, right, ["k"], "ts", "rts", payload=["rid", "v"],
+                  tiebreak="rid", strategy="array")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
