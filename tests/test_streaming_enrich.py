@@ -444,3 +444,61 @@ def test_hll_stream_incremental_and_idempotent(spark, tmp_path):
     assert est_torn == est1
     n_epochs = read_hll_partials(spark, out).select("run_id").distinct().count()
     assert n_epochs == 2  # e0 + the forged dup; e1 retracted
+
+
+def test_sketch_stream_twins_loghist_cms(spark, tmp_path):
+    """The generic epoch-sketch stream (round 6) carries the sum-merged
+    sketches too: per-epoch loghist/CMS partials commit atomically, the
+    merged statistic equals the batch sketch on the union, and a torn epoch
+    is invisible (sum-merge is not idempotent — exactly-once is the marker
+    protocol's job, so there is no forged-duplicate assertion here)."""
+    import os
+
+    from batch_doc_vqa_spark.operators.sketches import (
+        cms_lookup,
+        cms_partial,
+        loghist_partial,
+        loghist_quantile,
+    )
+    from batch_doc_vqa_spark.streaming.hll_stream import (
+        cms_stream,
+        loghist_stream,
+        read_cms_lookup,
+        read_loghist_quantile,
+    )
+
+    src = tmp_path / "docs_in"
+    schema = "doc_id long, v long, k string, g string"
+    rows = [(i, (i * 13) % 3000, f"u{i % 40}", ["a", "b"][i % 2]) for i in range(800)]
+    spark.createDataFrame(rows[:450], schema).write.mode("append").parquet(str(src))
+
+    lh_out, lh_ck = str(tmp_path / "lh_out"), str(tmp_path / "lh_ck")
+    cm_out, cm_ck = str(tmp_path / "cm_out"), str(tmp_path / "cm_ck")
+    loghist_stream(spark, str(src), schema, "v", ["g"], lh_out, lh_ck, b=5).awaitTermination(120)
+    cms_stream(spark, str(src), schema, "k", ["g"], cm_out, cm_ck, w=256, d=3).awaitTermination(120)
+
+    spark.createDataFrame(rows[450:], schema).write.mode("append").parquet(str(src))
+    loghist_stream(spark, str(src), schema, "v", ["g"], lh_out, lh_ck, b=5).awaitTermination(120)
+    cms_stream(spark, str(src), schema, "k", ["g"], cm_out, cm_ck, w=256, d=3).awaitTermination(120)
+
+    full = spark.createDataFrame(rows, schema)
+    qs = [0.5, 0.9]
+    got_q = sorted(map(tuple, read_loghist_quantile(spark, lh_out, ["g"], qs, b=5).collect()))
+    want_q = sorted(map(tuple, loghist_quantile(
+        loghist_partial(full, "v", ["g"], b=5), ["g"], qs, b=5).collect()))
+    assert got_q == want_q
+
+    keys = full.select("g", "k").distinct()
+    got_c = sorted(map(tuple, read_cms_lookup(
+        spark, cm_out, keys, "k", ["g"], w=256, d=3).collect()))
+    want_c = sorted(map(tuple, cms_lookup(
+        cms_partial(full, "k", ["g"], w=256, d=3), keys, "k", ["g"], w=256, d=3).collect()))
+    assert got_c == want_c
+
+    # torn epoch invisibility: retract epoch 1's marker -> stats == epoch 0
+    os.remove(f"{lh_out}/_committed/e00000001")
+    early = spark.createDataFrame(rows[:450], schema)
+    got_torn = sorted(map(tuple, read_loghist_quantile(spark, lh_out, ["g"], qs, b=5).collect()))
+    want_torn = sorted(map(tuple, loghist_quantile(
+        loghist_partial(early, "v", ["g"], b=5), ["g"], qs, b=5).collect()))
+    assert got_torn == want_torn
