@@ -325,6 +325,87 @@ def _q_events_asof_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (round 6) over a deterministic host link
+    graph derived from documents (host = source + doc_id%7 shard; each doc
+    links to the host of doc (id*1000003+17) mod N — integer math both
+    engines). 4 synchronous steps, damping 0.85, dangling redistribution;
+    per-edge contributions round to 12 and sum as decimal(38,12), so the
+    whole iteration chain is order-free and the oracle recomputes it
+    exactly. Note (1-d) is WRITTEN as a subtraction in both engines — the
+    literal 0.15 is a different IEEE double than 1.0-0.85."""
+    from batch_doc_vqa_spark.operators.graphs import pagerank
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    host = F.concat(
+        F.col("source"), F.lit("-"), F.pmod(F.col("doc_id"), F.lit(7)).cast("string")
+    )
+    mm = docs.agg((F.max("doc_id") + F.lit(1)).alias("_m"))
+    a = docs.crossJoin(F.broadcast(mm)).select(
+        host.alias("src_host"),
+        F.pmod(F.col("doc_id") * 1000003 + 17, F.col("_m")).alias("_tid"),
+    )
+    b = docs.select(F.col("doc_id").alias("_tid"), host.alias("dst_host"))
+    edges = (
+        a.join(b, "_tid")
+        .filter(F.col("src_host") != F.col("dst_host"))
+        .select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
+    )
+    pr = pagerank(edges, iterations=4, damping=0.85, round_to=12)
+    return pr.select(F.col("node").alias("host"), F.round("rank", 6).alias("rank"))
+
+
+def _host_pagerank_oracle(iters: int = 4) -> str:
+    dec0 = "CAST(0 AS DECIMAL(38,12))"
+    parts = [
+        "mm AS (SELECT MAX(doc_id) + 1 AS m FROM documents)",
+        """h AS (SELECT doc_id,
+                        source || '-' || CAST(doc_id % 7 AS VARCHAR) AS host
+                 FROM documents)""",
+        """a AS (SELECT h.host AS src,
+                        (h.doc_id * 1000003 + 17) % mm.m AS tid
+                 FROM h CROSS JOIN mm)""",
+        """edges AS (SELECT DISTINCT a.src, b.host AS dst
+                     FROM a JOIN h b ON b.doc_id = a.tid
+                     WHERE a.src <> b.host)""",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
+        "deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)",
+        """r0 AS (SELECT node, ROUND(CAST(1 AS DOUBLE) / nn.n, 12) AS rank
+                  FROM nodes CROSS JOIN nn)""",
+    ]
+    for i in range(1, iters + 1):
+        p = f"r{i - 1}"
+        parts.append(
+            f"""c{i} AS (SELECT e.dst AS node,
+                        SUM(CAST(ROUND(r.rank / g.deg, 12) AS DECIMAL(38,12))) AS s
+                 FROM edges e
+                 JOIN deg g ON g.src = e.src
+                 JOIN {p} r ON r.node = e.src
+                 GROUP BY e.dst)"""
+        )
+        parts.append(
+            f"""d{i} AS (SELECT COALESCE(SUM(CAST(ROUND(r.rank, 12) AS DECIMAL(38,12))),
+                                {dec0}) AS dang
+                 FROM {p} r LEFT JOIN deg g ON g.src = r.node
+                 WHERE g.src IS NULL)"""
+        )
+        parts.append(
+            f"""r{i} AS (SELECT n.node,
+                        ROUND((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                              + CAST(0.85 AS DOUBLE)
+                                * (CAST(COALESCE(c.s, {dec0}) AS DOUBLE)
+                                   + CAST(d.dang AS DOUBLE) / nn.n), 12) AS rank
+                 FROM nodes n CROSS JOIN nn CROSS JOIN d{i} d
+                 LEFT JOIN c{i} c ON c.node = n.node)"""
+        )
+    ctes = ",\n        ".join(parts)
+    return f"""
+        WITH {ctes}
+        SELECT node AS host, ROUND(rank, 6) AS rank FROM r{iters}
+    """
+
+
 _ASOF_ORDER_ORACLE = """
     WITH cand AS (
         SELECT e.event_id, o.o_orderkey, o.o_totalprice, o.o_orderdate,
@@ -3020,6 +3101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "events_asof_order": _q_events_asof_order,
         "events_asof_order_array": _q_events_asof_order_array,
+        "host_pagerank": _q_host_pagerank,
         "events_in_windows": _q_events_in_windows,
         "hll_distinct_users": _q_hll_distinct_users,
         "quantile_sketch": _q_quantile_sketch,
@@ -3802,6 +3884,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_order": _ASOF_ORDER_ORACLE,
         # tier invariance: the array strategy must satisfy the SAME oracle
         "events_asof_order_array": _ASOF_ORDER_ORACLE,
+        "host_pagerank": _host_pagerank_oracle(),
         "hll_distinct_users": _hll_distinct_users_oracle(),
         "quantile_sketch": _quantile_sketch_oracle(),
         "cms_heavy_hitters": _cms_heavy_hitters_oracle(),

@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     # round 6: CCNet tercile cut over the LM scores; temporal joins
     "ppl_buckets",
     "events_asof_order_array",
+    "host_pagerank",
     "events_asof_order",
     "events_in_windows",
     "hll_distinct_users",
