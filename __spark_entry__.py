@@ -1540,6 +1540,53 @@ def _q_ann_ivfpq_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (round 6): cluster embeddings into 16 md5-sampled cells,
+    prune near-dups (cosine ≥ 0.4 on this fixture's geometry) within cells,
+    keep the group member with the LOWEST cosine to its centroid — the
+    paper's diversity rule. The oracle replays the whole pipeline: argmax
+    assignment, within-cell pairs, recursive-CTE components, keep ranking."""
+    return similarity.semdedup(
+        _emb(spark, sf_dir), threshold=0.4, n_centroids=16
+    )
+
+
+def _semdedup_oracle(threshold: float = 0.4, n_centroids: int = 16) -> str:
+    return f"""
+        WITH RECURSIVE emb AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cent AS (SELECT vec_id AS cent_id, v AS cv FROM emb
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {n_centroids}),
+        scored AS (SELECT e.vec_id, e.v, c.cent_id,
+                          ROUND(list_cosine_similarity(e.v, c.cv), 6) AS cs
+                   FROM emb e CROSS JOIN cent c),
+        assign AS (SELECT vec_id, v, cent_id, cs FROM (
+                       SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cs DESC, cent_id ASC) AS rn
+                       FROM scored) WHERE rn = 1),
+        pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                  FROM assign a JOIN assign b
+                    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+                  WHERE ROUND(list_cosine_similarity(a.v, b.v), 6)
+                        >= CAST({threshold} AS DOUBLE)),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(id, r) AS (SELECT vec_id, vec_id FROM emb
+                         UNION SELECT reach.id, e.dst
+                               FROM reach JOIN edges e ON e.src = reach.r),
+        cc AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+        sz AS (SELECT cluster_id, COUNT(*) AS group_size FROM cc GROUP BY cluster_id),
+        ranked AS (SELECT cc.id, cc.cluster_id, a.cent_id,
+                          a.cs AS cos_to_centroid,
+                          ROW_NUMBER() OVER (PARTITION BY cc.cluster_id
+                                             ORDER BY a.cs ASC, cc.id ASC) AS rn
+                   FROM cc JOIN assign a ON a.vec_id = cc.id)
+        SELECT ranked.id AS vec_id, cent_id, cluster_id, cos_to_centroid,
+               rn = 1 AS keep, sz.group_size
+        FROM ranked JOIN sz USING (cluster_id)
+    """
+
+
 def _q_embedding_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.4)
 
@@ -3023,6 +3070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_appended_topk": _q_ann_ivfpq_appended,
         "embedding_dup_pairs": _q_embedding_dup,
         "embedding_dup_pairs_lsh": _q_embedding_dup_lsh,
+        "semdedup": _q_semdedup,
         "doc_quality": _q_doc_quality,
         "classifier_quality_score": _q_classifier_quality,
         "classifier_resample": _q_classifier_resample,
@@ -4188,6 +4236,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM ex
             ) WHERE rank <= 5
         """,
+        "semdedup": _semdedup_oracle(),
         "embedding_dup_pairs": """
             WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -1070,3 +1070,81 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select(q_id_col, "neighbor_id", "approx_dist", "exact_dist", "rank")
     )
+
+
+def semdedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv 2303.09540): semantic
+    deduplication for LLM training data — cluster the embedding space, then
+    prune near-duplicates WITHIN clusters only, keeping the member of each
+    near-dup group with the LOWEST cosine to its centroid (the paper's
+    diversity-preserving choice; id ascending as the deterministic tie).
+
+    Returns (id, cent_id, cluster_id, cos_to_centroid, keep, group_size):
+    cent_id = the coarse cell, cluster_id = the near-dup component (min
+    reachable id via ``dedup.resolve_clusters``), keep = paper rule.
+
+    Scale shape: centroids are the ``n_centroids`` md5-smallest corpus
+    vectors (deterministic + engine-portable — the ``ivf_cosine_topk``
+    precedent; a trained k-means drops in without changing the plan);
+    assignment is one broadcast-centroid argmax pass; the pairwise scan is
+    keyed on cent_id so its cost is Σ|cell|² — n_centroids scales WITH the
+    corpus to bound cells (the paper's regime), and the quadratic stays
+    inside cells instead of the corpus. Pair emission feeds the shared
+    pointer-jumping component resolver (candidate-size frames only).
+    """
+    cent = (
+        corpus.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
+        .orderBy(F.md5(F.col("cent_id").cast("string")))
+        .limit(n_centroids)
+    )
+    w_assign = Window.partitionBy("_id").orderBy(F.desc("_cs"), F.asc("cent_id"))
+    assign = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .crossJoin(F.broadcast(cent))
+        .withColumn("_cs", cosine_sim(F.col("_v"), F.col("cent_vec")))
+        .withColumn("_rn", F.row_number().over(w_assign))
+        .filter(F.col("_rn") == 1)
+        .select("_id", "_v", "cent_id", F.col("_cs").alias("cos_to_centroid"))
+        .localCheckpoint(eager=False)  # reused: pair scan + keep ranking
+    )
+    a, b = assign.alias("a"), assign.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cent_id") == F.col("b.cent_id"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .filter(cosine_sim(F.col("a._v"), F.col("b._v")) >= threshold)
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+    )
+    from .dedup import resolve_clusters
+
+    cc = resolve_clusters(corpus.select(id_col), pairs, id_col=id_col)
+    w_keep = Window.partitionBy("cluster_id").orderBy(
+        F.asc("cos_to_centroid"), F.asc("id")
+    )
+    w_size = Window.partitionBy("cluster_id")
+    return (
+        cc.join(
+            assign.select(
+                F.col("_id").alias("id"), "cent_id", "cos_to_centroid"
+            ),
+            "id",
+        )
+        .withColumn("keep", F.row_number().over(w_keep) == F.lit(1))
+        .withColumn("group_size", F.count(F.lit(1)).over(w_size))
+        .select(
+            F.col("id").alias(id_col),
+            "cent_id",
+            "cluster_id",
+            "cos_to_centroid",
+            "keep",
+            "group_size",
+        )
+    )

@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "ppl_buckets",
     "events_asof_order_array",
     "host_pagerank",
+    "semdedup",
     "events_asof_order",
     "events_in_windows",
     "hll_distinct_users",

@@ -852,3 +852,60 @@ def test_ivfpq_append_grows_index_without_rebuild(vectors, spark, tmp_path):
     similarity.append_ivfpq_index(spark, path, half_b, snapshot_id="e1")
     final = similarity.load_ivfpq_index(spark, path)
     assert final["codes"].count() == vectors.count()
+
+
+def test_semdedup_planted_groups_and_keep_rule(spark):
+    """SemDeDup on planted geometry: three exact-duplicate triples plus
+    orthogonal singletons — every triple collapses to one group whose keep
+    is the member with the LOWEST cosine to its centroid (id tiebreak);
+    singletons keep themselves; results are partition-independent."""
+    import numpy as np
+
+    from batch_doc_vqa_spark.operators.similarity import semdedup
+
+    rng = np.random.RandomState(5)
+    rows = []
+    # 3 planted triples: base vector + tiny jitter (cosine ~ 1)
+    for g in range(3):
+        base = rng.randn(16)
+        for j in range(3):
+            v = base + 0.001 * rng.randn(16)
+            rows.append((g * 10 + j, [float(x) for x in v]))
+    # 8 well-separated singletons
+    for s in range(8):
+        v = rng.randn(16) * 0.1
+        v[s] += 50.0  # near-axis, mutually near-orthogonal
+        rows.append((100 + s, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    out = semdedup(df, threshold=0.98, n_centroids=4).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    assert len(by_id) == 17  # every input row exactly once
+
+    for g in range(3):
+        ids = [g * 10 + j for j in range(3)]
+        cids = {by_id[i]["cluster_id"] for i in ids}
+        assert cids == {min(ids)}, f"triple {g} not one component: {cids}"
+        assert {by_id[i]["group_size"] for i in ids} == {3}
+        keeps = [i for i in ids if by_id[i]["keep"]]
+        want = min(ids, key=lambda i: (by_id[i]["cos_to_centroid"], i))
+        assert keeps == [want]
+    for s in range(8):
+        r = by_id[100 + s]
+        assert r["keep"] and r["group_size"] == 1 and r["cluster_id"] == 100 + s
+
+    again = {
+        r["vec_id"]: (r["cluster_id"], r["keep"], r["group_size"])
+        for r in semdedup(df.repartition(9), threshold=0.98, n_centroids=4).collect()
+    }
+    assert again == {
+        i: (r["cluster_id"], r["keep"], r["group_size"]) for i, r in by_id.items()
+    }
+
+    # the pair scan is cell-keyed: no cartesian, no Python in the plan
+    plan = (
+        semdedup(df, threshold=0.98, n_centroids=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
