@@ -1078,6 +1078,7 @@ def semdedup(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv 2303.09540): semantic
     deduplication for LLM training data — cluster the embedding space, then
@@ -1089,20 +1090,30 @@ def semdedup(
     cent_id = the coarse cell, cluster_id = the near-dup component (min
     reachable id via ``dedup.resolve_clusters``), keep = paper rule.
 
-    Scale shape: centroids are the ``n_centroids`` md5-smallest corpus
-    vectors (deterministic + engine-portable — the ``ivf_cosine_topk``
-    precedent; a trained k-means drops in without changing the plan);
+    Scale shape: centroids default to the ``n_centroids`` md5-smallest
+    corpus vectors (deterministic + engine-portable — the
+    ``ivf_cosine_topk`` precedent); pass ``centroids`` (cent_id, cent_vec)
+    to use a trained model instead (e.g. ``kmeans.kmeans_fit`` output) —
+    the plan shape is identical;
     assignment is one broadcast-centroid argmax pass; the pairwise scan is
     keyed on cent_id so its cost is Σ|cell|² — n_centroids scales WITH the
     corpus to bound cells (the paper's regime), and the quadratic stays
     inside cells instead of the corpus. Pair emission feeds the shared
     pointer-jumping component resolver (candidate-size frames only).
     """
-    cent = (
-        corpus.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
-        .orderBy(F.md5(F.col("cent_id").cast("string")))
-        .limit(n_centroids)
-    )
+    if centroids is not None:
+        missing = {"cent_id", "cent_vec"} - set(centroids.columns)
+        if missing:
+            raise ValueError(f"semdedup: centroids frame missing {sorted(missing)}")
+        cent = centroids.select("cent_id", "cent_vec")
+    else:
+        cent = (
+            corpus.select(
+                F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+            )
+            .orderBy(F.md5(F.col(id_col).cast("string")))
+            .limit(n_centroids)
+        )
     w_assign = Window.partitionBy("_id").orderBy(F.desc("_cs"), F.asc("cent_id"))
     assign = (
         corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))

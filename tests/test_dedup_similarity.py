@@ -909,3 +909,29 @@ def test_semdedup_planted_groups_and_keep_rule(spark):
     )
     assert "EvalPython" not in plan and "MapInPandas" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_semdedup_accepts_trained_centroids(spark):
+    """semdedup(centroids=) honors a supplied (cent_id, cent_vec) model —
+    the trained-k-means drop-in — and validates the frame's shape."""
+    import pytest
+
+    from batch_doc_vqa_spark.operators.similarity import semdedup
+
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)] + [
+        (10, [1.0, 0.001, 0.0, 0.0])  # near-dup of axis 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cent = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0]), (200, [0.0, 1.0, 0.0, 0.0])],
+        "cent_id long, cent_vec array<float>",
+    )
+    out = {r["vec_id"]: r for r in semdedup(df, 0.9, centroids=cent).collect()}
+    assert {r["cent_id"] for r in out.values()} <= {100, 200}
+    assert out[0]["cent_id"] == 100 and out[1]["cent_id"] == 200
+    # 0 and 10 are near-dups in cell 100: one component, one keep
+    assert out[10]["cluster_id"] == out[0]["cluster_id"] == 0
+    assert [out[0]["keep"], out[10]["keep"]].count(True) == 1
+
+    with pytest.raises(ValueError, match="missing"):
+        semdedup(df, centroids=cent.drop("cent_vec"))
