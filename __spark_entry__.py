@@ -20,7 +20,7 @@ from __future__ import annotations
 import datetime as _dt
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from batch_doc_vqa_spark.functions.udfs import extract_udf, split_pages
@@ -404,6 +404,248 @@ def _host_pagerank_oracle(iters: int = 4) -> str:
         WITH {ctes}
         SELECT node AS host, ROUND(rank, 6) AS rank FROM r{iters}
     """
+
+
+def _q_host_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components (round 6) via alternating large-star/small-star
+    contraction over a deterministic host graph: hosts are source-(doc_id%7)
+    shards, each doc links its shard to shard (doc_id*3+1)%7 WITHIN its
+    source — the shard permutation i→3i+1 (mod 7) leaves shard 3 a fixed
+    point, so every source contributes one 6-host component and one
+    singleton at every sf. The oracle recomputes components as a recursive
+    min-label CTE (transitive closure) — feasible because the node set is
+    host-scale, while the Spark side runs the edge-contraction formulation
+    that survives 10^12-edge graphs."""
+    from batch_doc_vqa_spark.operators.graphs import connected_components
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    host = F.concat(
+        F.col("source"), F.lit("-"), F.pmod(F.col("doc_id"), F.lit(7)).cast("string")
+    )
+    dst_host = F.concat(
+        F.col("source"),
+        F.lit("-"),
+        F.pmod(F.col("doc_id") * 3 + 1, F.lit(7)).cast("string"),
+    )
+    pairs = docs.select(host.alias("id_a"), dst_host.alias("id_b"))
+    ids = docs.select(host.alias("host"))
+    cc = connected_components(ids, pairs, id_col="host")
+    w = Window.partitionBy("component_id")
+    return cc.select(
+        F.col("id").alias("host"),
+        "component_id",
+        F.count(F.lit(1)).over(w).alias("component_size"),
+    )
+
+
+_HOST_COMPONENTS_ORACLE = """
+    WITH RECURSIVE e0 AS (
+        SELECT DISTINCT
+               source || '-' || CAST(doc_id % 7 AS VARCHAR) AS src,
+               source || '-' || CAST((doc_id * 3 + 1) % 7 AS VARCHAR) AS dst
+        FROM documents),
+    edges AS (
+        SELECT src, dst FROM e0 WHERE src <> dst
+        UNION
+        SELECT dst, src FROM e0 WHERE src <> dst),
+    hosts AS (
+        SELECT DISTINCT source || '-' || CAST(doc_id % 7 AS VARCHAR) AS host
+        FROM documents),
+    reach(id, lbl) AS (
+        SELECT host, host FROM hosts
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+    comp AS (SELECT id AS host, MIN(lbl) AS component_id FROM reach GROUP BY id)
+    SELECT host, component_id,
+           COUNT(*) OVER (PARTITION BY component_id) AS component_size
+    FROM comp
+"""
+
+
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval (round 6): the inverted-index lexical search
+    tier. Queries are the first 5 normalized tokens of three fixture docs
+    (data-derived, no external text); the oracle replays the whole scoring
+    pipeline — postings, query-term-restricted document frequencies, the
+    idf ln, tf saturation — with identical expression trees, per-term
+    contributions rounded to 6 and decimal(18,6)-summed (order-free), rank
+    carrying the doc_id tiebreak."""
+    from batch_doc_vqa_spark.operators.dedup import normalized_tokens
+    from batch_doc_vqa_spark.operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    queries_df = docs.filter(F.col("doc_id").isin(10, 20, 30)).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(normalized_tokens(F.col("text")), 1, 5), " ").alias(
+            "query_text"
+        ),
+    )
+    return bm25_topk(docs, queries_df, k=10)
+
+
+_BM25_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, {{ntoks}} AS t FROM documents),
+    d AS (SELECT doc_id, t, len(t) AS dl FROM toks),
+    stats AS (
+        SELECT COUNT(*) AS n,
+               ROUND(CAST(SUM(dl) AS DOUBLE) / COUNT(*), 6) AS avgdl
+        FROM d),
+    post AS (
+        SELECT doc_id, dl, u.term AS term, COUNT(*) AS tf
+        FROM d, unnest(t) u(term)
+        GROUP BY 1, 2, 3),
+    q AS (
+        SELECT doc_id AS query_id,
+               array_to_string(list_slice(t, 1, 5), ' ') AS query_text
+        FROM toks WHERE doc_id IN (10, 20, 30)),
+    qterms AS (
+        SELECT DISTINCT query_id, u.term AS term
+        FROM (SELECT query_id,
+                     list_filter(regexp_split_to_array(trim(regexp_replace(lower(query_text),
+                         '[^a-z0-9\\s]', ' ', 'g')), '\\s+'), x -> x != '') AS qt
+              FROM q), unnest(qt) u(term)),
+    qvocab AS (SELECT DISTINCT term FROM qterms),
+    dfreq AS (
+        SELECT p.term, COUNT(*) AS df
+        FROM post p JOIN qvocab v ON v.term = p.term
+        GROUP BY p.term),
+    idf AS (
+        SELECT term,
+               ROUND(ln(1.0 + (s.n - df + 0.5) / (df + 0.5)), 6) AS idf
+        FROM dfreq CROSS JOIN stats s),
+    contrib AS (
+        SELECT qt.query_id, p.doc_id,
+               ROUND(i.idf * CAST(p.tf AS DOUBLE) * (1.2 + 1.0)
+                     / (CAST(p.tf AS DOUBLE)
+                        + 1.2 * (1.0 - 0.75 + 0.75 * CAST(p.dl AS DOUBLE) / s.avgdl)),
+                     6) AS c
+        FROM post p
+        JOIN qterms qt ON qt.term = p.term
+        JOIN idf i ON i.term = p.term
+        CROSS JOIN stats s),
+    scored AS (
+        SELECT query_id, doc_id,
+               CAST(SUM(CAST(c AS DECIMAL(18,6))) AS DOUBLE) AS s
+        FROM contrib GROUP BY query_id, doc_id),
+    ranked AS (
+        SELECT query_id, doc_id, s,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY s DESC, doc_id ASC) AS rank
+        FROM scored)
+    SELECT query_id, doc_id, ROUND(s, 6) AS score, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 10
+"""
+
+
+_SHARD_TARGET = 1000
+_SHARD_SEED = 11
+
+
+def _q_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced shard assignment (round 6) in the deterministic
+    md5(id#seed) pseudo-shuffle order — the delivery layout step. The
+    oracle is the plain SUM OVER (ORDER BY draw, id) prefix sum the
+    two-layer distributed form must equal, with the same exact-integer
+    shard arithmetic."""
+    from batch_doc_vqa_spark.operators.packing import assign_shards
+
+    return assign_shards(
+        _docs_with_tokens(spark, sf_dir),
+        "doc_id",
+        "n_tokens",
+        _SHARD_TARGET,
+        seed=_SHARD_SEED,
+    ).select("doc_id", "n_tokens", "shard_id", "shard_offset", "shard_pos")
+
+
+def _q_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard manifest rows over the shard layout (round 6)."""
+    from batch_doc_vqa_spark.operators.packing import assign_shards, shard_stats
+
+    sharded = assign_shards(
+        _docs_with_tokens(spark, sf_dir),
+        "doc_id",
+        "n_tokens",
+        _SHARD_TARGET,
+        seed=_SHARD_SEED,
+    )
+    return shard_stats(sharded, "n_tokens")
+
+
+_SHARD_OFF_CTE = f"""sk AS (
+        SELECT doc_id, n_tokens,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#{_SHARD_SEED}'),
+                                        1, 15)) AS BIGINT) AS draw
+        FROM ({{ntoks_count}})
+    ), soff AS (
+        SELECT doc_id, n_tokens, draw,
+               CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY draw, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   AS s
+        FROM sk
+    )"""
+
+
+def _q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist audit (round 6): every doc's deterministic fixture
+    URL with the most-specific blocklist domain its host falls under (NULL
+    when clean) — matched via per-suffix-level broadcast hash joins, no
+    explode, no shuffle. The fixture hosts carry three label depths and
+    both org/net zones so the 1-, 2- and 3-label entries and the
+    most-specific-wins rule are all exercised."""
+    from batch_doc_vqa_spark.operators.webclean import blocklist_matches
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    url = F.concat(
+        F.lit("https://w"),
+        F.pmod(F.col("doc_id"), F.lit(3)).cast("string"),
+        F.lit(".s"),
+        F.pmod(F.col("doc_id"), F.lit(5)).cast("string"),
+        F.lit(".example."),
+        F.when(F.pmod(F.col("doc_id"), F.lit(2)) == 0, F.lit("org")).otherwise(
+            F.lit("net")
+        ),
+        F.lit("/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    pages = docs.select("doc_id", url.alias("url"))
+    blocklist = spark.createDataFrame(
+        [("example.net",), ("s2.example.org",), ("w1.s3.example.org",)],
+        "domain string",
+    )
+    return blocklist_matches(pages, "url", blocklist).select(
+        "doc_id", "url", "blocked_domain"
+    )
+
+
+_URL_BLOCKLIST_ORACLE = """
+    WITH u AS (
+        SELECT doc_id,
+               'https://w' || CAST(doc_id % 3 AS VARCHAR)
+                 || '.s' || CAST(doc_id % 5 AS VARCHAR)
+                 || '.example.'
+                 || CASE WHEN doc_id % 2 = 0 THEN 'org' ELSE 'net' END
+                 || '/p/' || CAST(doc_id AS VARCHAR) AS url
+        FROM documents),
+    b(domain) AS (VALUES ('example.net'), ('s2.example.org'), ('w1.s3.example.org')),
+    hosts AS (
+        SELECT doc_id, url,
+               regexp_replace(lower(regexp_extract(url,
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)), ':[0-9]+$', '') AS host
+        FROM u),
+    lab AS (SELECT doc_id, url, string_split(host, '.') AS L FROM hosts),
+    sfx AS (
+        SELECT doc_id, url, v.i AS i,
+               array_to_string(list_slice(L, len(L) - v.i + 1, len(L)), '.') AS s
+        FROM lab, unnest(range(1, least(len(L), 6) + 1)) v(i)),
+    m AS (
+        SELECT sfx.doc_id, sfx.s, sfx.i,
+               ROW_NUMBER() OVER (PARTITION BY sfx.doc_id ORDER BY sfx.i DESC) AS rn
+        FROM sfx JOIN b ON b.domain = sfx.s)
+    SELECT u.doc_id, u.url, m.s AS blocked_domain
+    FROM u LEFT JOIN m ON m.doc_id = u.doc_id AND m.rn = 1
+"""
 
 
 _ASOF_ORDER_ORACLE = """
@@ -3044,6 +3286,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Everything below also passes scripts/parity_check.py locally.
     return {
         # -- not driver-signed in r03 (incl. new-this-round): sampled first --
+        "host_components": _q_host_components,
+        "bm25_topk": _q_bm25_topk,
+        "shard_layout": _q_shard_layout,
+        "shard_stats": _q_shard_stats,
+        "url_blocklist": _q_url_blocklist,
         "validate_strict": _q_validate_strict,
         "contamination_report": _q_contamination_report,
         "contamination_report_shuffle": _q_contamination_report_shuffle,
@@ -4780,4 +5027,31 @@ def oracle_sql() -> dict[str, str]:
         "ANTI JOIN cent ON a.vec_id = cent.cent_id\n"
         "                      WHERE a.vec_id % 2 = 0\n",
     )
+    # round-6 additions: large-star/small-star components (recursive-CTE
+    # mirror), BM25 inverted-index retrieval, token-balanced shard layout
+    # (plain prefix-sum mirror of the two-layer distributed form), and the
+    # suffix-level domain blocklist
+    oracles["host_components"] = _HOST_COMPONENTS_ORACLE
+    oracles["bm25_topk"] = _BM25_ORACLE.format(ntoks=_NTOKS)
+    ntoks_count = (
+        f"SELECT doc_id, CAST(len({_NTOKS}) AS INT) AS n_tokens FROM documents"
+    )
+    shard_cte = _SHARD_OFF_CTE.format(ntoks_count=ntoks_count)
+    oracles["shard_layout"] = f"""
+        WITH {shard_cte}
+        SELECT doc_id, n_tokens,
+               s // {_SHARD_TARGET} AS shard_id,
+               s % {_SHARD_TARGET} AS shard_offset,
+               CAST(ROW_NUMBER() OVER (PARTITION BY s // {_SHARD_TARGET}
+                                       ORDER BY draw, doc_id) - 1 AS INT) AS shard_pos
+        FROM soff
+    """
+    oracles["shard_stats"] = f"""
+        WITH {shard_cte}
+        SELECT s // {_SHARD_TARGET} AS shard_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+        FROM soff GROUP BY 1
+    """
+    oracles["url_blocklist"] = _URL_BLOCKLIST_ORACLE
     return oracles

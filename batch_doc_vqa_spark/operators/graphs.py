@@ -1,8 +1,9 @@
 """Link-graph analytics for crawl prioritization: fixed-iteration PageRank
-as a pure DataFrame loop — the host-importance signal web corpora publish
-alongside their crawls (Common Crawl's host-level web graphs carry exactly
-this statistic) and the crawl-frontier ordering a 10^12-page pipeline
-feeds back into fetch scheduling.
+and large-star/small-star connected components as pure DataFrame loops —
+the host-importance signal web corpora publish alongside their crawls
+(Common Crawl's host-level web graphs carry exactly this statistic) and the
+crawl-frontier ordering a 10^12-page pipeline feeds back into fetch
+scheduling.
 
 Numeric discipline (CLAUDE.md, the repo-wide cross-engine rules): float
 order-dependence is removed by rounding every per-edge contribution to
@@ -25,7 +26,7 @@ O(iterations · |E|), linear in the graph.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _RESERVED = ("_deg", "_s", "_dang", "_contrib", "node", "rank")
@@ -116,3 +117,98 @@ def pagerank(
         if checkpoint:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def _symmetrize(e: DataFrame) -> DataFrame:
+    """Undirected edge set as both directed rows, self-loops dropped."""
+    return (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def connected_components(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(id, component_id = min id in the component) via alternating
+    large-star / small-star contraction (Kiveris et al., *Connected
+    Components in MapReduce and Beyond*, 2014) — the unbounded-scale tier
+    next to ``dedup.resolve_clusters``'s min-label propagation.
+
+    Why a second CC formulation: min-label + pointer jumping is
+    O(log diameter) ROUNDS but every round re-joins the full label table
+    against the full edge set — the edge set never shrinks. The star
+    operations rewrite the edge set itself toward a forest of depth-1
+    stars rooted at component minima, converging in O(log² n) rounds on
+    ANY topology with the edge count non-increasing (large-star never adds
+    edges, small-star strictly contracts), so each round gets cheaper.
+    That is the formulation that survives adversarial graphs — long
+    chains, lollipops — where near-dup cluster diameters are unbounded
+    (web link graphs, not just dup clusters).
+
+    Per round: each star op is ONE window min over the src partition plus a
+    projection (no self-join); the convergence probe is a count + one-sided
+    ``exceptAll`` LIMIT 1 on the current (candidate-size) edge set. Every
+    intermediate edge set is a pure function of the input edges — no
+    task-dependent state — so the converged labels are deterministic under
+    any partitioning, and equal to ``resolve_clusters``'s by construction
+    (both label every node with its component minimum; tier equality is
+    tested).
+
+    ``ids`` supplies the full id universe (singletons label themselves);
+    ``pairs`` needs columns (id_a, id_b). Ids must be orderable (the
+    component id is the MIN id). Raises after ``max_iter`` rounds without
+    convergence rather than returning a half-contracted labeling.
+    """
+    e = _symmetrize(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    ).localCheckpoint(eager=True)
+    w_src = Window.partitionBy("src")
+    for _ in range(max_iter):
+        # large-star: node u links every strictly-larger neighbor to
+        # m = min(neighbors ∪ {u}) — emitted as (v, m), v > u ≥ m
+        m_ls = F.least(F.min("dst").over(w_src), F.col("src"))
+        ls = (
+            e.withColumn("_m", m_ls)
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+        )
+        e_ls = _symmetrize(ls)
+        # small-star: node u links its smaller neighbors AND itself to
+        # m = min of those neighbors (all < u, so m = min(smaller set))
+        small = e_ls.filter(F.col("dst") < F.col("src")).withColumn(
+            "_m", F.min("dst").over(w_src)
+        )
+        ss = small.select(F.col("dst").alias("src"), F.col("_m").alias("dst")).unionByName(
+            small.select("src", F.col("_m").alias("dst"))
+        )
+        new_e = _symmetrize(ss).localCheckpoint(eager=True)
+        same = (
+            new_e.count() == e.count()
+            and new_e.exceptAll(e).limit(1).count() == 0
+        )
+        prev, e = e, new_e
+        if same:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components: no convergence in {max_iter} rounds"
+        )
+    # converged: every edge is (member, root) ∪ (root, member); a node's
+    # minimum neighbor IS its component min (defensive min over the star)
+    labels = (
+        e.filter(F.col("dst") < F.col("src"))
+        .groupBy("src")
+        .agg(F.min("dst").alias("component_id"))
+        .select(F.col("src").alias("id"), "component_id")
+    )
+    return (
+        ids.select(F.col(id_col).alias("id"))
+        .distinct()
+        .join(labels, "id", "left")
+        .select("id", F.coalesce("component_id", F.col("id")).alias("component_id"))
+    )

@@ -113,3 +113,94 @@ def packing_stats(packed: DataFrame, tokens_col: str, ctx_len: int) -> DataFrame
             6,
         ).alias("fill_fraction"),
     )
+
+
+def assign_shards(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    target_tokens: int,
+    seed: int = 7,
+    block_size: int | None = None,
+) -> DataFrame:
+    """Token-balanced output-shard assignment in a deterministic
+    pseudo-random order — the delivery step that turns a filtered corpus
+    into the numbered shard files a training run reads.
+
+    Every row gains:
+
+    - ``shard_id``: ``floor(start / target_tokens)`` where ``start`` is the
+      document's exclusive token prefix sum in the shuffled order — docs
+      fill shard 0 until its running total crosses the target, then shard 1,
+      and so on. A document is never split (shards overflow by at most one
+      document, the standard first-fit contract);
+    - ``shard_offset``: the document's token offset within its shard;
+    - ``shard_pos``: 0-based document position within the shard (the write
+      order inside the file).
+
+    The order is the repo's deterministic draw — ``portable_hash64(id#seed)``
+    with the id as tiebreak — so the global shuffle that training-data
+    delivery requires (no source/time clustering inside a shard) is a pure
+    function of (data, seed): reruns, resumes and any partitioning produce
+    byte-identical shard manifests, and a different ``seed`` is a fresh
+    epoch-level reshuffle.
+
+    Scale shape: the prefix sum is the same two-layer distributed form as
+    ``pack_sequences`` (per-block totals cumulated over a tiny block table +
+    within-block running sums — never a global single-partition sort). The
+    draw key is uniform on [0, 2^60), so blocks of ``block_size`` draw-space
+    width hold near-equal row counts; the default carves the draw space into
+    2^20 blocks (fine up to ~10^12 rows at ~10^6 rows/block; pass
+    ``block_size`` to rebalance the two layers at other extremes).
+    """
+    from .dedup import portable_hash64
+
+    if target_tokens < 1:
+        raise ValueError(f"assign_shards: target_tokens must be >= 1: {target_tokens}")
+    bs = int(block_size) if block_size is not None else (1 << 40)
+    draw = portable_hash64(
+        F.concat(F.col(id_col).cast("string"), F.lit(f"#{int(seed)}"))
+    )
+    toks = F.col(tokens_col).cast("long")
+    keyed = df.withColumn("_draw", draw).withColumn(
+        "_blk", F.expr(f"(_draw - pmod(_draw, {bs})) div {bs}")
+    )
+    block_totals = keyed.groupBy("_blk").agg(F.sum(toks).alias("_blk_tokens"))
+    w_blocks = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
+    block_offsets = block_totals.withColumn(
+        "_blk_offset", F.coalesce(F.sum("_blk_tokens").over(w_blocks), F.lit(0))
+    ).drop("_blk_tokens")
+    w_in_block = (
+        Window.partitionBy("_blk")
+        .orderBy(F.col("_draw").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    started = (
+        keyed.join(F.broadcast(block_offsets), "_blk")
+        .withColumn(
+            "_start",
+            F.col("_blk_offset") + F.coalesce(F.sum(toks).over(w_in_block), F.lit(0)),
+        )
+        .withColumn(
+            "shard_id", F.expr(f"(_start - pmod(_start, {target_tokens})) div {target_tokens}")
+        )
+        .withColumn("shard_offset", F.expr(f"pmod(_start, {target_tokens})"))
+    )
+    w_shard = Window.partitionBy("shard_id").orderBy(
+        F.col("_draw").asc(), F.col(id_col).asc()
+    )
+    return (
+        started.withColumn("shard_pos", F.row_number().over(w_shard) - F.lit(1))
+        .drop("_draw", "_blk", "_blk_offset", "_start")
+    )
+
+
+def shard_stats(sharded: DataFrame, tokens_col: str) -> DataFrame:
+    """Per-shard balance report over ``assign_shards`` output: document and
+    token totals per shard — the manifest row a delivery job commits next to
+    each shard file, and the balance check (max/min shard tokens) a 10^12-row
+    delivery asserts before declaring the layout healthy."""
+    return sharded.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(tokens_col).cast("long")).alias("shard_tokens"),
+    )

@@ -143,3 +143,89 @@ def strip_boilerplate_lines(
         "\n",
     )
     return joined.withColumn(text_col, cleaned).drop("_deny")
+
+
+def _host_of(url_col):
+    """Lowercased hostname of a URL, port stripped — the matching unit
+    domain blocklists are published in (UT1/Shallalist-style)."""
+    host = F.lower(
+        F.regexp_extract(url_col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    )
+    return F.regexp_replace(host, r":\d+$", "")
+
+
+def blocklist_matches(
+    df: DataFrame,
+    url_col: str,
+    blocklist: DataFrame,
+    domain_col: str = "domain",
+    max_labels: int = 6,
+    out_col: str = "blocked_domain",
+) -> DataFrame:
+    """Add ``out_col``: the most-specific blocklist domain the URL's host
+    falls under (``NULL`` when clean). A blocklist entry matches the host
+    itself and every subdomain of it — ``example.org`` blocks
+    ``example.org``, ``a.example.org``, ``b.a.example.org`` — the
+    UT1/Shallalist semantics every web pipeline's URL hygiene pass applies
+    before fetching or keeping a page.
+
+    Plan shape (the 100 TB answer): NO explode, NO shuffle, NO join-back —
+    the host's dot-suffixes are bounded (``max_labels`` levels), so the
+    lookup is ``max_labels`` consecutive broadcast HASH joins, one per
+    suffix length, each map-side (a NULL suffix — host shorter than the
+    level — simply never matches). Corpus rows stream through once;
+    compare a single exploded-suffix join, which must shuffle the matched
+    rows back onto the corpus to restore one-row-per-url. The most-specific
+    (longest) match wins via coalesce ordered from deepest suffix down;
+    specificity ties are impossible (one string equals one suffix).
+
+    The blocklist is the broadcast dimension (10^5-10^6 rows — the
+    published lists' scale). Hosts deeper than ``max_labels`` labels match
+    on their last ``max_labels`` suffixes only; raise it for exotic zones.
+    """
+    reserved = [c for c in df.columns if c.startswith("_bl_") or c == "_host_labels"]
+    if reserved:
+        raise ValueError(f"blocklist_matches: reserved column names in input: {reserved}")
+    if out_col in df.columns:
+        raise ValueError(f"blocklist_matches: out_col collides: {out_col}")
+    labels = F.split(_host_of(F.col(url_col)), r"\.")
+    out = df.withColumn("_host_labels", labels)
+    nl = F.size("_host_labels")
+    for i in range(1, max_labels + 1):
+        suffix_i = F.when(
+            nl >= i, F.array_join(F.slice("_host_labels", -i, i), ".")
+        )
+        bl_i = F.broadcast(
+            blocklist.select(
+                F.col(domain_col).alias(f"_bl_k{i}"),
+                F.col(domain_col).alias(f"_bl_m{i}"),
+            )
+        )
+        out = out.withColumn(f"_bl_s{i}", suffix_i).join(
+            bl_i, F.col(f"_bl_s{i}") == F.col(f"_bl_k{i}"), "left"
+        )
+    # deepest suffix first: the most specific listed domain wins
+    match = F.coalesce(
+        *[F.col(f"_bl_m{i}") for i in range(max_labels, 0, -1)]
+    )
+    drop = ["_host_labels"] + [
+        c for i in range(1, max_labels + 1) for c in (f"_bl_s{i}", f"_bl_k{i}", f"_bl_m{i}")
+    ]
+    return out.withColumn(out_col, match).drop(*drop)
+
+
+def blocklist_filter(
+    df: DataFrame,
+    url_col: str,
+    blocklist: DataFrame,
+    domain_col: str = "domain",
+    max_labels: int = 6,
+) -> DataFrame:
+    """Rows of ``df`` whose URL host is NOT under any blocklist domain —
+    original columns, original values (the keep side of
+    ``blocklist_matches``; use the matches form for the audit report)."""
+    return (
+        blocklist_matches(df, url_col, blocklist, domain_col, max_labels)
+        .filter(F.col("blocked_domain").isNull())
+        .drop("blocked_domain")
+    )

@@ -101,6 +101,12 @@ BENCH_QUERIES = [
     "quantile_sketch",
     "cms_heavy_hitters",
     "weighted_sample_docs",
+    # round 6b: star-contraction CC, inverted-index BM25, shard delivery,
+    # map-side blocklist
+    "host_components",
+    "bm25_topk",
+    "shard_layout",
+    "url_blocklist",
 ]
 
 

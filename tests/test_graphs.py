@@ -83,3 +83,84 @@ def test_pagerank_validation_and_plan(spark):
     )
     assert "EvalPython" not in plan and "MapInPandas" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# connected_components (large-star/small-star)
+
+
+def _cc_py(edges, ids):
+    """Pure-Python union-find mirror: component = min reachable id."""
+    parent = {i: i for i in ids}
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in parent}
+
+
+def test_cc_chain_high_diameter_and_singleton(spark):
+    from batch_doc_vqa_spark.operators.graphs import connected_components
+
+    # a 12-node chain is the adversarial case for plain neighbor
+    # propagation (diameter 11); star contraction must still converge
+    chain = [(i, i + 1) for i in range(1, 12)]
+    ids = spark.range(1, 13).selectExpr("id AS doc_id").union(
+        spark.createDataFrame([(99,)], "doc_id long")
+    )
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    got = {r["id"]: r["component_id"] for r in connected_components(ids, pairs).collect()}
+    assert got == {**{i: 1 for i in range(1, 13)}, 99: 99}
+
+
+def test_cc_matches_union_find_and_resolver(spark):
+    from batch_doc_vqa_spark.operators.dedup import resolve_clusters
+    from batch_doc_vqa_spark.operators.graphs import connected_components
+
+    # deterministic pseudo-random graph: several components, dup edges,
+    # self loops, both orientations
+    edges = [(i, (i * 7 + 3) % 40) for i in range(40)]
+    edges += [(i, i) for i in range(0, 40, 9)]
+    edges += [(b, a) for a, b in edges[:10]]
+    ids_list = list(range(50))  # 40..49 singletons unless an edge reaches them
+    ids = spark.createDataFrame([(i,) for i in ids_list], "doc_id long")
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    cc = {r["id"]: r["component_id"] for r in connected_components(ids, pairs).collect()}
+    assert cc == {
+        **_cc_py(edges, ids_list),
+        **{i: i for i in ids_list if i not in {x for e in edges for x in e}},
+    }
+    # tier equality: both CC formulations label with the component minimum
+    rc = {r["id"]: r["cluster_id"] for r in resolve_clusters(ids, pairs).collect()}
+    assert cc == rc
+
+
+def test_cc_partition_independence_and_max_iter(spark):
+    import pytest as _pytest
+
+    from batch_doc_vqa_spark.operators.graphs import connected_components
+
+    edges = [(i, i + 1) for i in range(1, 30)]
+    ids = spark.range(1, 31).selectExpr("id AS doc_id")
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    base = sorted(
+        connected_components(ids, pairs).collect(),
+        key=lambda r: r["id"],
+    )
+    repart = sorted(
+        connected_components(ids.repartition(7), pairs.repartition(5)).collect(),
+        key=lambda r: r["id"],
+    )
+    assert base == repart
+    with _pytest.raises(RuntimeError, match="no convergence"):
+        connected_components(ids, pairs, max_iter=1).collect()

@@ -1,0 +1,245 @@
+"""Round-6 additions: BM25 retrieval (hand-math mirror, rank/tie/k
+semantics), token-balanced shard assignment (prefix-sum mirror, conservation,
+partition independence), and the domain blocklist (suffix semantics,
+label-boundary correctness, zero-shuffle plan)."""
+
+from __future__ import annotations
+
+import math
+import re
+from decimal import ROUND_HALF_UP, Decimal
+
+import pytest
+
+from batch_doc_vqa_spark.operators.packing import assign_shards, shard_stats
+from batch_doc_vqa_spark.operators.retrieval import bm25_topk
+from batch_doc_vqa_spark.operators.webclean import blocklist_filter, blocklist_matches
+
+
+def _rnd(x: float, r: int = 6) -> float:
+    # Spark round(double, r): HALF_UP on the shortest round-trip decimal
+    return float(
+        Decimal(repr(x)).quantize(Decimal(1).scaleb(-r), rounding=ROUND_HALF_UP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25
+
+
+DOCS = [
+    (1, "Apple banana apple"),
+    (2, "banana cherry"),
+    (3, "cherry date fig"),
+    (4, "date fig grape apple"),
+]
+
+
+def _bm25_py(docs, queries, k1=1.2, b=0.75):
+    """Pure-Python mirror with the operator's exact rounding discipline."""
+    toks = {i: t.lower().split() for i, t in docs}
+    n = len(docs)
+    avgdl = _rnd(sum(len(t) for t in toks.values()) / n)
+    scores = {}
+    for qid, qtext in queries:
+        qterms = sorted(set(qtext.lower().split()))
+        for term in qterms:
+            df = sum(1 for t in toks.values() if term in t)
+            if df == 0:
+                continue
+            idf = _rnd(math.log(1.0 + (n - df + 0.5) / (df + 0.5)))
+            for did, t in toks.items():
+                tf = t.count(term)
+                if tf == 0:
+                    continue
+                dl = len(t)
+                c = _rnd(
+                    idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                )
+                key = (qid, did)
+                scores[key] = scores.get(key, Decimal(0)) + Decimal(repr(c)).quantize(
+                    Decimal("0.000001")
+                )
+    out = {}
+    for qid in {q for q, _ in queries}:
+        ranked = sorted(
+            ((float(s), did) for (q, did), s in scores.items() if q == qid),
+            key=lambda x: (-x[0], x[1]),
+        )
+        out[qid] = [(did, _rnd(s), r + 1) for r, (s, did) in enumerate(ranked)]
+    return out
+
+
+def test_bm25_hand_math_rank_and_tiebreak(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(100, "apple banana"), (200, "fig")], "query_id long, query_text string"
+    )
+    got = bm25_topk(docs, queries, k=10)
+    rows = {(r["query_id"], r["doc_id"]): (r["score"], r["rank"]) for r in got.collect()}
+    exp = _bm25_py(DOCS, [(100, "apple banana"), (200, "fig")])
+    exp_rows = {
+        (qid, did): (s, r) for qid, lst in exp.items() for did, s, r in lst
+    }
+    assert rows == exp_rows
+    # the 'fig' query hits docs 3 and 4: same tf, doc 3 shorter → higher
+    assert rows[(200, 3)][1] == 1 and rows[(200, 4)][1] == 2
+
+
+def test_bm25_k_cut_repeated_terms_and_no_match(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    q_rep = spark.createDataFrame(
+        [(1, "banana banana banana"), (2, "banana")],
+        "query_id long, query_text string",
+    )
+    got = bm25_topk(docs, q_rep, k=10).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"], r["rank"]))
+    # repeated query terms count once: both queries score identically
+    assert sorted(by_q[1]) == sorted(by_q[2])
+    # k cut keeps exactly the top-1
+    top1 = bm25_topk(docs, q_rep, k=1).collect()
+    assert sorted((r["query_id"], r["rank"]) for r in top1) == [(1, 1), (2, 1)]
+    # a query matching nothing emits no rows
+    q_none = spark.createDataFrame([(9, "zzz qqq")], "query_id long, query_text string")
+    assert bm25_topk(docs, q_none, k=5).count() == 0
+
+
+def test_bm25_validation_and_plan(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    qdf = spark.createDataFrame([(1, "apple")], "query_id long, query_text string")
+    with pytest.raises(ValueError, match="k must be"):
+        bm25_topk(docs, qdf, k=0)
+    with pytest.raises(ValueError, match="reserved"):
+        bm25_topk(docs.withColumn("_tf", docs.doc_id), qdf)
+    df = bm25_topk(docs, qdf, k=3)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # inverted-index joins are broadcast hash; the ONLY nested-loop is the
+    # one-row stats scalar attached to the query-term-sized idf dim (never
+    # to the corpus side); no Python anywhere
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1, plan[:2000]
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# shard assignment
+
+
+SHARD_ROWS = [(i, 10 + (i * 37) % 90) for i in range(1, 200)]
+
+
+def test_assign_shards_mirrors_prefix_sum_and_conserves(spark):
+    df = spark.createDataFrame(SHARD_ROWS, "doc_id long, n_tokens int")
+    out = assign_shards(df, "doc_id", "n_tokens", 500, seed=3).collect()
+    # python mirror: md5 draw order, running sum, first-fit shards
+    import hashlib
+
+    def draw(i):
+        return int(hashlib.md5(f"{i}#3".encode()).hexdigest()[:15], 16)
+
+    order = sorted(SHARD_ROWS, key=lambda r: (draw(r[0]), r[0]))
+    start, exp = 0, {}
+    for pos_all, (i, tk) in enumerate(order):
+        sid = start // 500
+        exp[i] = (sid, start - sid * 500)
+        start += tk
+    got = {r["doc_id"]: (r["shard_id"], r["shard_offset"]) for r in out}
+    assert got == exp
+    # conservation + in-shard positions are 0..n-1 in draw order
+    stats = {
+        r["shard_id"]: (r["n_docs"], r["shard_tokens"])
+        for r in shard_stats(
+            assign_shards(df, "doc_id", "n_tokens", 500, seed=3), "n_tokens"
+        ).collect()
+    }
+    assert sum(t for _, t in stats.values()) == sum(t for _, t in SHARD_ROWS)
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard_id"], []).append(r["shard_pos"])
+    for sid, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss)))
+        assert stats[sid][0] == len(poss)
+
+
+def test_assign_shards_partition_independent_and_seeded(spark):
+    df = spark.createDataFrame(SHARD_ROWS, "doc_id long, n_tokens int")
+    a = sorted(
+        assign_shards(df, "doc_id", "n_tokens", 400, seed=7).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    b = sorted(
+        assign_shards(
+            df.repartition(13), "doc_id", "n_tokens", 400, seed=7, block_size=1 << 50
+        ).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    # same layout under any partitioning AND any block carve
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    c = assign_shards(df, "doc_id", "n_tokens", 400, seed=8).collect()
+    # a different seed is a different shuffle (overwhelmingly)
+    assert {r["doc_id"]: r["shard_pos"] for r in c} != {
+        r["doc_id"]: r["shard_pos"] for r in a
+    }
+    with pytest.raises(ValueError, match="target_tokens"):
+        assign_shards(df, "doc_id", "n_tokens", 0)
+
+
+# ---------------------------------------------------------------------------
+# domain blocklist
+
+
+def test_blocklist_suffix_semantics(spark):
+    pages = spark.createDataFrame(
+        [
+            (1, "https://Ads.Example.ORG:443/x"),  # subdomain + case + port
+            (2, "https://example.org/y"),  # exact host
+            (3, "https://notexample.org/z"),  # label boundary: must NOT match
+            (4, "https://deep.a.b.tracker.net/w"),  # 2-label entry, deep host
+            (5, "https://clean.site.io/ok"),
+            (6, "https://sub.ads.example.org/m"),  # most-specific wins
+        ],
+        "doc_id long, url string",
+    )
+    bl = spark.createDataFrame(
+        [("example.org",), ("tracker.net",), ("ads.example.org",)], "domain string"
+    )
+    got = {r["doc_id"]: r["blocked_domain"] for r in blocklist_matches(pages, "url", bl).collect()}
+    assert got == {
+        1: "ads.example.org",
+        2: "example.org",
+        3: None,
+        4: "tracker.net",
+        5: None,
+        6: "ads.example.org",
+    }
+    kept = blocklist_filter(pages, "url", bl)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [3, 5]
+    assert kept.columns == ["doc_id", "url"]
+
+
+def test_blocklist_max_labels_and_plan(spark):
+    pages = spark.createDataFrame(
+        [(1, "https://a.b.c.d.e.f.g.h.example.org/x")], "doc_id long, url string"
+    )
+    # the full 10-label host is beyond max_labels=6: only shallow entries match
+    deep = "a.b.c.d.e.f.g.h.example.org"
+    bl = spark.createDataFrame([(deep,), ("example.org",)], "domain string")
+    got = blocklist_matches(pages, "url", bl).collect()[0]
+    assert got["blocked_domain"] == "example.org"
+    wide = blocklist_matches(pages, "url", bl, max_labels=10).collect()[0]
+    assert wide["blocked_domain"] == deep
+    df = blocklist_matches(pages, "url", bl)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # the whole lookup is map-side: no shuffle anywhere, no Python, and
+    # every per-level join is a broadcast HASH join
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    with pytest.raises(ValueError, match="collides"):
+        blocklist_matches(pages.withColumn("blocked_domain", pages.doc_id), "url", bl)
