@@ -917,6 +917,20 @@ def _q_dedup_resolve_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").alias("doc_id"), "cluster_id", "keep", "cluster_size")
 
 
+def _q_dedup_resolve_starcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolver tier invariance (round 6b): the SAME LSH composition through
+    the large-star/small-star contraction resolver
+    (`graphs.connected_components`) instead of min-label propagation. Both
+    resolvers label every node with its component minimum, so this shares
+    `dedup_resolve_lsh`'s SQL oracle verbatim — the driver gate proves the
+    unbounded-topology tier is output-identical on the full pipeline."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.dedup_resolve_lsh(
+        docs, "doc_id", "text", n=3, threshold=0.5, base_hash="md5", resolver="star"
+    )
+    return out.select(F.col("id").alias("doc_id"), "cluster_id", "keep", "cluster_size")
+
+
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # base_hash="md5" (portable_hash64) so DuckDB reproduces the ENTIRE
     # pipeline — shingle hash, 64-permutation signature, band hashes,
@@ -3287,6 +3301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- not driver-signed in r03 (incl. new-this-round): sampled first --
         "host_components": _q_host_components,
+        "dedup_resolve_starcc": _q_dedup_resolve_starcc,
         "bm25_topk": _q_bm25_topk,
         "shard_layout": _q_shard_layout,
         "shard_stats": _q_shard_stats,
@@ -3780,6 +3795,9 @@ def oracle_sql() -> dict[str, str]:
     oracles = {
         **_fixture_oracles(),
         "dedup_resolve_lsh": _dedup_resolve_lsh_oracle(),
+        # resolver tier invariance: star contraction shares the label tier's
+        # oracle verbatim (both converge to the component minimum)
+        "dedup_resolve_starcc": _dedup_resolve_lsh_oracle(),
         "pdf_text_extract": _pdf_text_oracle(),
         "cohort_stats": _cohort_stats_oracle(),
         "media_decode": _media_decode_oracle(),

@@ -555,15 +555,33 @@ def resolve_clusters(ids: DataFrame, pairs: DataFrame, id_col: str = "doc_id", m
     )
 
 
-def _keep_one(ids: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+def _keep_one(
+    ids: DataFrame, pairs: DataFrame, id_col: str, resolver: str = "label"
+) -> DataFrame:
     """pairs → clusters → (id, cluster_id, keep, cluster_size) keep-one frame.
 
     cluster_size via a window over cluster_id: ONE shuffle of the frame,
     vs groupBy-then-join's shuffle of both the aggregate and the probe side.
+
+    ``resolver``: ``'label'`` — min-label propagation + pointer jumping
+    (``resolve_clusters``; right for near-dup clusters, whose diameters are
+    tiny); ``'star'`` — large-star/small-star edge contraction
+    (``graphs.connected_components``; the unbounded-topology tier, same
+    labels by construction — both converge to the component minimum, so the
+    tiers are output-identical and share one oracle).
     """
     from pyspark.sql import Window
 
-    clusters = resolve_clusters(ids.select(id_col), pairs, id_col=id_col)
+    if resolver == "label":
+        clusters = resolve_clusters(ids.select(id_col), pairs, id_col=id_col)
+    elif resolver == "star":
+        from .graphs import connected_components
+
+        clusters = connected_components(
+            ids.select(id_col), pairs, id_col=id_col
+        ).select("id", F.col("component_id").alias("cluster_id"))
+    else:
+        raise ValueError(f"_keep_one: unknown resolver {resolver!r}")
     w = Window.partitionBy("cluster_id")
     return clusters.select(
         "id",
@@ -598,6 +616,7 @@ def dedup_resolve_lsh(
     seed: int = 7,
     max_bucket: int | None = None,
     base_hash: str = "xxhash64",
+    resolver: str = "label",
 ) -> DataFrame:
     """The scale dedup composition end-to-end: MinHash+LSH candidate pairs
     (est_jaccard ≥ threshold) → connected components → keep-one.
@@ -612,7 +631,7 @@ def dedup_resolve_lsh(
         df, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands,
         seed=seed, max_bucket=max_bucket, base_hash=base_hash,
     ).filter(F.col("est_jaccard") >= threshold)
-    return _keep_one(df, pairs, id_col)
+    return _keep_one(df, pairs, id_col, resolver=resolver)
 
 
 def duplicate_spans(

@@ -59,6 +59,10 @@ INTERESTING = [
     "hll_distinct_users",
     "quantile_sketch",
     "cms_heavy_hitters",
+    # round 6b: inverted-index retrieval, shard delivery, map-side blocklist
+    "bm25_topk",
+    "shard_layout",
+    "url_blocklist",
 ]
 
 
