@@ -187,11 +187,13 @@ def connected_components(
             small.select("src", F.col("_m").alias("dst"))
         )
         new_e = _symmetrize(ss).localCheckpoint(eager=True)
+        # both sides are distinct sets: equal counts + one-sided emptiness
+        # of exceptAll imply set equality (no second except needed)
         same = (
             new_e.count() == e.count()
             and new_e.exceptAll(e).limit(1).count() == 0
         )
-        prev, e = e, new_e
+        e = new_e
         if same:
             break
     else:

@@ -68,6 +68,10 @@ def bm25_topk(
         raise ValueError(f"bm25_topk: reserved column names in inputs: {reserved}")
     if k < 1:
         raise ValueError(f"bm25_topk: k must be >= 1: {k}")
+    if query_id_col == id_col:
+        raise ValueError(
+            f"bm25_topk: query_id_col must differ from id_col: {id_col!r}"
+        )
 
     toks = docs.select(
         F.col(id_col), normalized_tokens(F.col(text_col)).alias("_t")

@@ -191,14 +191,24 @@ def blocklist_matches(
     labels = F.split(_host_of(F.col(url_col)), r"\.")
     out = df.withColumn("_host_labels", labels)
     nl = F.size("_host_labels")
+    # lowercase + distinct the dim once: hosts compare lowercased, and a
+    # duplicate blocklist entry must not duplicate corpus rows in the join.
+    # The dedup materializes eagerly (the decontam localCheckpoint
+    # precedent) so its one tiny shuffle never appears in the corpus plan —
+    # the lookup itself stays exchange-free
+    bl = (
+        blocklist.select(F.lower(F.col(domain_col)).alias("_bl_d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     for i in range(1, max_labels + 1):
         suffix_i = F.when(
             nl >= i, F.array_join(F.slice("_host_labels", -i, i), ".")
         )
         bl_i = F.broadcast(
-            blocklist.select(
-                F.col(domain_col).alias(f"_bl_k{i}"),
-                F.col(domain_col).alias(f"_bl_m{i}"),
+            bl.select(
+                F.col("_bl_d").alias(f"_bl_k{i}"),
+                F.col("_bl_d").alias(f"_bl_m{i}"),
             )
         )
         out = out.withColumn(f"_bl_s{i}", suffix_i).join(

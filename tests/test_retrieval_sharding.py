@@ -243,3 +243,19 @@ def test_blocklist_max_labels_and_plan(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     with pytest.raises(ValueError, match="collides"):
         blocklist_matches(pages.withColumn("blocked_domain", pages.doc_id), "url", bl)
+
+
+def test_blocklist_dim_hygiene(spark):
+    # duplicate + uppercase blocklist entries: one match row per url, case
+    # folded on the dim side too
+    pages = spark.createDataFrame(
+        [(1, "https://a.example.org/x"), (2, "https://clean.io/y")],
+        "doc_id long, url string",
+    )
+    bl = spark.createDataFrame(
+        [("Example.ORG",), ("example.org",), ("example.org",)], "domain string"
+    )
+    rows = blocklist_matches(pages, "url", bl).collect()
+    assert len(rows) == 2
+    got = {r["doc_id"]: r["blocked_domain"] for r in rows}
+    assert got == {1: "example.org", 2: None}
