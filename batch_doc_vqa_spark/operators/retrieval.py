@@ -46,6 +46,7 @@ def bm25_topk(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, score, rank): top-``k`` documents per query under
     Okapi BM25 with ``idf = ln(1 + (N - df + 0.5) / (df + 0.5))`` (the
@@ -60,6 +61,17 @@ def bm25_topk(
     BM25 query form for short queries). Ties rank by ascending doc id.
     Documents matching no query term do not appear (score 0 rows are not
     emitted); a query with no indexed term returns no rows.
+
+    ``max_df_frac``: drop query terms whose document frequency exceeds
+    this fraction of the corpus from SCORING (Lucene-style common-term
+    pruning). The score join's intermediate size is
+    Σ_t df(t) · |queries containing t| — a stop-word-grade term shared by
+    a query batch multiplies nearly the whole corpus by nearly the whole
+    batch (`scripts/bm25_scale_probe.py` measures exactly this blow-up),
+    while contributing idf ≈ ln(1+1/1) ≈ 0 to any ranking. Surviving
+    terms keep corpus-true idf/avgdl; a doc matching ONLY pruned terms
+    drops out of the result set. None = exact full semantics (what the
+    SQL oracle checks).
     """
     from .dedup import normalized_tokens
 
@@ -110,7 +122,14 @@ def bm25_topk(
     # avgdl (a global scalar) rides ON the tiny per-term idf frame so the
     # corpus-sized score join never cross-joins the one-row stats — the
     # only nested-loop in the plan is stats × dfreq (1 × |query terms|)
-    idf = dfreq.crossJoin(F.broadcast(stats)).select(
+    keyed = dfreq.crossJoin(F.broadcast(stats))
+    if max_df_frac is not None:
+        if not 0.0 < max_df_frac <= 1.0:
+            raise ValueError(f"bm25_topk: max_df_frac must be in (0,1]: {max_df_frac}")
+        keyed = keyed.filter(
+            F.col("_df").cast("double") <= F.lit(float(max_df_frac)) * F.col("_n")
+        )
+    idf = keyed.select(
         "_term",
         F.round(
             F.log(
@@ -132,9 +151,12 @@ def bm25_topk(
         / (tf + k1l * (F.lit(1.0) - bl + bl * dl / F.col("_avgdl"))),
         6,
     )
+    # idf joins FIRST: it is inner and term-restricted, so it prunes the
+    # postings stream to (surviving) query terms BEFORE the per-query
+    # fan-out join multiplies rows by the queries containing each term
     scored = (
-        postings.join(F.broadcast(qterms), "_term")
-        .join(F.broadcast(idf), "_term")
+        postings.join(F.broadcast(idf), "_term")
+        .join(F.broadcast(qterms), "_term")
         .withColumn("_c", contrib)
         .groupBy(query_id_col, id_col)
         .agg(F.sum(F.col("_c").cast("decimal(18,6)")).cast("double").alias("_s"))

@@ -10,6 +10,7 @@ import re
 from decimal import ROUND_HALF_UP, Decimal
 
 import pytest
+from pyspark.sql import functions as F
 
 from batch_doc_vqa_spark.operators.packing import assign_shards, shard_stats
 from batch_doc_vqa_spark.operators.retrieval import bm25_topk
@@ -104,6 +105,36 @@ def test_bm25_k_cut_repeated_terms_and_no_match(spark):
     # a query matching nothing emits no rows
     q_none = spark.createDataFrame([(9, "zzz qqq")], "query_id long, query_text string")
     assert bm25_topk(docs, q_none, k=5).count() == 0
+
+
+def test_bm25_max_df_frac_prunes_common_terms(spark):
+    # 'the' is in every doc (df=4/4); 'apple' in 2/4
+    docs = spark.createDataFrame(
+        [(1, "the apple pie"), (2, "the apple tart"), (3, "the cherry"), (4, "the fig")],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame([(1, "the apple")], "query_id long, query_text string")
+    full = {r["doc_id"]: r["score"] for r in bm25_topk(docs, q, k=10).collect()}
+    assert set(full) == {1, 2, 3, 4}  # 'the' matches every doc
+    pruned = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(docs, q, k=10, max_df_frac=0.5).collect()
+    }
+    # docs matching ONLY the pruned term drop out; survivors score on
+    # 'apple' alone — equal to a query without 'the' at all
+    assert set(pruned) == {1, 2}
+    apple_only = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(
+            docs, q.withColumn("query_text", F.lit("apple")), k=10
+        ).collect()
+    }
+    assert pruned == apple_only
+    # boundary: df <= frac·N keeps the term (apple df=2 == 0.5·4 survives
+    # above); at 0.49 even apple is pruned → no scorable term, no rows
+    assert bm25_topk(docs, q, k=10, max_df_frac=0.49).count() == 0
+    with pytest.raises(ValueError, match="max_df_frac"):
+        bm25_topk(docs, q, max_df_frac=1.5)
 
 
 def test_bm25_validation_and_plan(spark):
