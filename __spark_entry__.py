@@ -483,6 +483,34 @@ def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, queries_df, k=10)
 
 
+def _q_bm25_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION retrieval path end-to-end: bm25_build (full vocab) →
+    save_bm25_index → load_bm25_index → bm25_query through a fresh
+    marker-committed store — proves the persisted/loaded index returns the
+    same rows as the one-shot (the ann_ivfpq_persisted_topk precedent);
+    shares bm25_topk's oracle verbatim."""
+    import tempfile
+
+    from batch_doc_vqa_spark.operators.dedup import normalized_tokens
+    from batch_doc_vqa_spark.operators.retrieval import (
+        bm25_build,
+        bm25_query,
+        load_bm25_index,
+        save_bm25_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    queries_df = docs.filter(F.col("doc_id").isin(10, 20, 30)).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(normalized_tokens(F.col("text")), 1, 5), " ").alias(
+            "query_text"
+        ),
+    )
+    path = tempfile.mkdtemp(prefix="bm25_store_") + "/idx"
+    save_bm25_index(bm25_build(docs, "doc_id", "text"), path)
+    return bm25_query(load_bm25_index(spark, path), queries_df, k=10)
+
+
 _BM25_ORACLE = f"""
     WITH toks AS (
         SELECT doc_id, {{ntoks}} AS t FROM documents),
@@ -3303,6 +3331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_components": _q_host_components,
         "dedup_resolve_starcc": _q_dedup_resolve_starcc,
         "bm25_topk": _q_bm25_topk,
+        "bm25_persisted_topk": _q_bm25_persisted,
         "shard_layout": _q_shard_layout,
         "shard_stats": _q_shard_stats,
         "url_blocklist": _q_url_blocklist,
@@ -5051,6 +5080,8 @@ def oracle_sql() -> dict[str, str]:
     # suffix-level domain blocklist
     oracles["host_components"] = _HOST_COMPONENTS_ORACLE
     oracles["bm25_topk"] = _BM25_ORACLE.format(ntoks=_NTOKS)
+    # persisted-path invariance (the ann_ivfpq_persisted_topk precedent)
+    oracles["bm25_persisted_topk"] = oracles["bm25_topk"]
     ntoks_count = (
         f"SELECT doc_id, CAST(len({_NTOKS}) AS INT) AS n_tokens FROM documents"
     )

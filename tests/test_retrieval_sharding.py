@@ -156,6 +156,38 @@ def test_bm25_validation_and_plan(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_bm25_index_round_trip_and_store_guards(spark, tmp_path):
+    from batch_doc_vqa_spark.operators.retrieval import (
+        bm25_build,
+        bm25_query,
+        load_bm25_index,
+        save_bm25_index,
+    )
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    q = spark.createDataFrame(
+        [(100, "apple banana"), (200, "fig")], "query_id long, query_text string"
+    )
+    path = str(tmp_path / "idx")
+    save_bm25_index(bm25_build(docs, "doc_id", "text"), path)
+    loaded = load_bm25_index(spark, path)
+    a = sorted(map(tuple, bm25_query(loaded, q, k=10).collect()))
+    b = sorted(map(tuple, bm25_topk(docs, q, k=10).collect()))
+    assert a == b  # persisted-path bit-identity
+    # create-only: a committed index refuses overwrite
+    with pytest.raises(FileExistsError, match="already exists"):
+        save_bm25_index(bm25_build(docs, "doc_id", "text"), path)
+    # a query-restricted build must not be persisted
+    restricted = bm25_build(
+        docs, "doc_id", "text", vocab=spark.createDataFrame([("apple",)], "_term string")
+    )
+    with pytest.raises(ValueError, match="query-restricted"):
+        save_bm25_index(restricted, str(tmp_path / "idx2"))
+    # torn save (no marker) is invisible
+    with pytest.raises(FileNotFoundError, match="no committed"):
+        load_bm25_index(spark, str(tmp_path / "nowhere"))
+
+
 # ---------------------------------------------------------------------------
 # shard assignment
 
