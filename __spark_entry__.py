@@ -483,6 +483,47 @@ def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, queries_df, k=10)
 
 
+_SPLIT_FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-fraction per-stratum split (round 6b): every source is cut at
+    floor(cum_frac·n) boundaries in draw order — the oracle embeds the
+    Python-computed cumulative doubles via repr (0.8+0.1 is
+    0.9000000000000001, not 0.9 — re-summing in SQL would be a different
+    literal only at the last ulp, which is exactly where a boundary row
+    can flip)."""
+    from batch_doc_vqa_spark.operators.chunking import stratified_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_split(
+        docs, "doc_id", "source", _SPLIT_FRACS, seed=5, base_hash="md5"
+    )
+
+
+def _stratified_split_oracle() -> str:
+    labels = list(_SPLIT_FRACS.keys())
+    cum, cases = 0.0, []
+    for lbl in labels[:-1]:
+        cum += _SPLIT_FRACS[lbl]
+        cases.append(f"WHEN rk <= floor({cum!r} * sn) THEN '{lbl}'")
+    case = "CASE " + " ".join(cases) + f" ELSE '{labels[-1]}' END"
+    return f"""
+        WITH k AS (
+            SELECT doc_id, source,
+                   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#5'),
+                                            1, 15)) AS BIGINT) AS h
+            FROM documents),
+        r AS (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk,
+                   COUNT(*) OVER (PARTITION BY source) AS sn
+            FROM k)
+        SELECT doc_id, source, {case} AS split
+        FROM r
+    """
+
+
 def _q_bm25_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION retrieval path end-to-end: bm25_build (full vocab) →
     save_bm25_index → load_bm25_index → bm25_query through a fresh
@@ -3335,6 +3376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_layout": _q_shard_layout,
         "shard_stats": _q_shard_stats,
         "url_blocklist": _q_url_blocklist,
+        "stratified_split": _q_stratified_split,
         "validate_strict": _q_validate_strict,
         "contamination_report": _q_contamination_report,
         "contamination_report_shuffle": _q_contamination_report_shuffle,
@@ -5103,4 +5145,5 @@ def oracle_sql() -> dict[str, str]:
         FROM soff GROUP BY 1
     """
     oracles["url_blocklist"] = _URL_BLOCKLIST_ORACLE
+    oracles["stratified_split"] = _stratified_split_oracle()
     return oracles

@@ -310,3 +310,69 @@ def weighted_sample(
             .drop("_rn")
         )
     return base.orderBy("wkey", id_col).limit(k)
+
+
+def stratified_split(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    seed: int = 0,
+    base_hash: str = "xxhash64",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic EXACT-fraction train/val/test assignment per stratum —
+    the split step every training-data release ships. Each stratum
+    (source, language, domain bucket) is ordered by the repo's (id, seed)
+    draw and cut at floor(frac·n) boundaries in the given label order, so
+    every stratum lands within one row of its target fraction (a Bernoulli
+    split like ``deterministic_sample`` only hits fractions in
+    expectation — real releases pin exact per-stratum counts). The LAST
+    label absorbs the floor remainders; fractions must sum to 1.
+
+    Assignment is a pure function of (data, seed): the draw is
+    content-keyed (never ``rand()``/task order), the within-stratum rank
+    tie-breaks on id, and re-running on any partitioning reproduces the
+    identical split. ``base_hash='md5'`` makes the whole assignment
+    reproducible in the DuckDB oracle.
+
+    Scale shape: one shuffle on the stratum key; rank + stratum-size are
+    two window passes over that single partitioning. A mega-stratum
+    serializes its own sort — same caveat and same answer as
+    ``weighted_sample``'s group tier (split such strata by a data-derived
+    shard key first).
+    """
+    from pyspark.sql import Window
+
+    if not fractions:
+        raise ValueError("stratified_split: fractions must be non-empty")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"stratified_split: fractions must sum to 1: {total}")
+    if any(f < 0 for f in fractions.values()):
+        raise ValueError("stratified_split: fractions must be non-negative")
+    if out_col in df.columns:
+        raise ValueError(f"stratified_split: out_col collides: {out_col}")
+    key = F.concat(F.col(id_col).cast("string"), F.lit(f"#{seed}"))
+    h = F.xxhash64(key) if base_hash == "xxhash64" else portable_hash64(key)
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    wn = Window.partitionBy(strata_col)
+    ranked = df.withColumn("_rk", F.row_number().over(w)).withColumn(
+        "_sn", F.count(F.lit(1)).over(wn)
+    )
+    # cumulative floor(frac·n) boundaries in label order (first match
+    # wins). The boundary is floor of a DOUBLE product — deterministic and
+    # engine-identical as long as the oracle writes the same cumulative
+    # literal (embed repr(cum), never re-sum in SQL): both engines compute
+    # the identical IEEE product, so the cut lands on the identical row
+    labels = list(fractions.keys())
+    cum = 0.0
+    expr = None
+    for lbl in labels[:-1]:
+        cum += fractions[lbl]
+        bound = F.floor(F.lit(cum) * F.col("_sn"))
+        cond = F.col("_rk") <= bound
+        expr = F.when(cond, F.lit(lbl)) if expr is None else expr.when(cond, F.lit(lbl))
+    last = F.lit(labels[-1])
+    out = ranked.withColumn(out_col, last if expr is None else expr.otherwise(last))
+    return out.drop("_rk", "_sn")

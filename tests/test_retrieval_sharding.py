@@ -322,3 +322,47 @@ def test_blocklist_dim_hygiene(spark):
     assert len(rows) == 2
     got = {r["doc_id"]: r["blocked_domain"] for r in rows}
     assert got == {1: "example.org", 2: None}
+
+
+# ---------------------------------------------------------------------------
+# stratified split
+
+
+def test_stratified_split_exact_counts_and_determinism(spark):
+    from batch_doc_vqa_spark.operators.chunking import stratified_split
+
+    rows = [(i, "s" + str(i % 3)) for i in range(1, 301)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = stratified_split(df, "doc_id", "source", fr, seed=2).collect()
+    # exact per-stratum counts: floor boundaries, last label absorbs
+    by = {}
+    for r in out:
+        by.setdefault((r["source"], r["split"]), 0)
+        by[(r["source"], r["split"])] += 1
+    for s in ("s0", "s1", "s2"):
+        assert by[(s, "train")] == 80 and by[(s, "val")] == 10 and by[(s, "test")] == 10
+    # pure function of (data, seed): partitioning cannot move a row
+    again = stratified_split(df.repartition(11), "doc_id", "source", fr, seed=2).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # a different seed reassigns (overwhelmingly)
+    other = stratified_split(df, "doc_id", "source", fr, seed=3).collect()
+    assert sorted(map(tuple, out)) != sorted(map(tuple, other))
+
+
+def test_stratified_split_validation_and_remainder(spark):
+    import pytest as _pytest
+
+    from batch_doc_vqa_spark.operators.chunking import stratified_split
+
+    df = spark.createDataFrame([(i, "x") for i in range(7)], "doc_id long, source string")
+    # n=7: floor(.5*7)=3 train, floor(.75*7)=5 → 2 val, remainder 2 test
+    out = stratified_split(df, "doc_id", "source", {"train": 0.5, "val": 0.25, "test": 0.25})
+    counts = {}
+    for r in out.collect():
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+    assert counts == {"train": 3, "val": 2, "test": 2}
+    with _pytest.raises(ValueError, match="sum to 1"):
+        stratified_split(df, "doc_id", "source", {"a": 0.5, "b": 0.4})
+    with _pytest.raises(ValueError, match="collides"):
+        stratified_split(df.withColumn("split", df.doc_id), "doc_id", "source", {"a": 1.0})
