@@ -16,7 +16,12 @@ idf ≈ ln(2) cannot move any ranking. Default mode prunes them
 (``max_df_frac=0.05``); ``--full`` runs the exact unpruned semantics. The
 planted winner is identical in both modes (the unique term decides).
 
-Usage: python scripts/bm25_scale_probe.py [n_docs] [n_queries] [--full]
+``--persist`` measures the build/query split instead: bm25_build (full
+vocabulary) → save_bm25_index to a temp store → load → TWO bm25_query
+batches — the one-time index cost vs the per-batch marginal cost a
+standing deployment actually pays.
+
+Usage: python scripts/bm25_scale_probe.py [n_docs] [n_queries] [--full] [--persist]
        (defaults 1_000_000 500)
 """
 
@@ -76,6 +81,54 @@ def main() -> None:
     )
 
     frac = None if "--full" in sys.argv else 0.05
+    if "--persist" in sys.argv:
+        import shutil
+        import tempfile
+
+        from batch_doc_vqa_spark.operators.retrieval import (
+            bm25_build,
+            bm25_query,
+            load_bm25_index,
+            save_bm25_index,
+        )
+
+        root = tempfile.mkdtemp(prefix="bm25_probe_store_")
+        t0 = time.time()
+        save_bm25_index(bm25_build(docs, "doc_id", "text"), f"{root}/idx")
+        build_s = time.time() - t0
+        loaded = load_bm25_index(spark, f"{root}/idx")
+        batch_s = []
+        bad = n_won = 0
+        for _ in range(2):
+            t1 = time.time()
+            top = bm25_query(loaded, queries, k=3, max_df_frac=frac)
+            row = (
+                top.filter(F.col("rank") == 1)
+                .agg(
+                    F.count(F.lit(1)).alias("n_won"),
+                    F.sum((F.col("query_id") != F.col("doc_id")).cast("int")).alias("bad"),
+                )
+                .collect()[0]
+            )
+            bad, n_won = row["bad"], row["n_won"]
+            batch_s.append(round(time.time() - t1, 1))
+        shutil.rmtree(root)
+        print(
+            json.dumps(
+                {
+                    "mode": "persist",
+                    "max_df_frac": frac,
+                    "n_docs": n_docs,
+                    "n_queries": n_queries,
+                    "build_s": round(build_s, 1),
+                    "query_batch_s": batch_s,
+                    "top1_mismatches": bad,
+                    "queries_answered": n_won,
+                }
+            )
+        )
+        return
+
     t0 = time.time()
     top = bm25_topk(docs, queries, k=3, max_df_frac=frac)
     # one aggregate = one execution of the whole pipeline
