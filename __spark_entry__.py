@@ -483,6 +483,39 @@ def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, queries_df, k=10)
 
 
+def _q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature α-sampling rebalance (round 6b) over the language
+    column: keep_prob_g = min(1, T·q_g/n_g), q_g = round(n_g^0.7/Σn^0.7, 6),
+    with the integer-compare draw (floor(round(p,6)·2^20) vs pmod — no
+    float boundary between engines)."""
+    from batch_doc_vqa_spark.operators.chunking import temperature_resample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return temperature_resample(
+        docs, "doc_id", "lang", alpha=0.7, seed=4, base_hash="md5"
+    ).select("doc_id", "lang", "keep_prob")
+
+
+_TEMPERATURE_ORACLE = """
+    WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    tot AS (
+        SELECT CAST(SUM(n) AS DOUBLE) AS t,
+               SUM(pow(CAST(n AS DOUBLE), 0.7)) AS z
+        FROM c),
+    dim AS (
+        SELECT lang,
+               ROUND(least(1.0,
+                     tot.t * ROUND(pow(CAST(n AS DOUBLE), 0.7) / tot.z, 6)
+                           / CAST(n AS DOUBLE)), 6) AS keep_prob
+        FROM c CROSS JOIN tot)
+    SELECT d.doc_id, d.lang, dim.keep_prob
+    FROM documents d JOIN dim ON dim.lang = d.lang
+    WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR) || '#4'), 1, 15))
+               AS BIGINT) % 1048576
+          < CAST(floor(dim.keep_prob * 1048576.0) AS BIGINT)
+"""
+
+
 _SPLIT_FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 
@@ -3377,6 +3410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_stats": _q_shard_stats,
         "url_blocklist": _q_url_blocklist,
         "stratified_split": _q_stratified_split,
+        "temperature_resample": _q_temperature_resample,
         "validate_strict": _q_validate_strict,
         "contamination_report": _q_contamination_report,
         "contamination_report_shuffle": _q_contamination_report_shuffle,
@@ -5146,4 +5180,5 @@ def oracle_sql() -> dict[str, str]:
     """
     oracles["url_blocklist"] = _URL_BLOCKLIST_ORACLE
     oracles["stratified_split"] = _stratified_split_oracle()
+    oracles["temperature_resample"] = _TEMPERATURE_ORACLE
     return oracles

@@ -376,3 +376,68 @@ def stratified_split(
     last = F.lit(labels[-1])
     out = ranked.withColumn(out_col, last if expr is None else expr.otherwise(last))
     return out.drop("_rk", "_sn")
+
+
+def temperature_resample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    alpha: float,
+    total_budget: int | None = None,
+    seed: int = 0,
+    base_hash: str = "xxhash64",
+) -> DataFrame:
+    """Temperature-based mixture rebalancing (the multilingual α-sampling
+    rule of mBERT/XLM-R): resample so group g's share of the output tracks
+    ``n_g^α / Σ n^α`` instead of its raw share — α=1 keeps natural
+    proportions, α→0 flattens toward uniform, lifting low-resource groups
+    a pure proportional budget would starve.
+
+    Each group's keep probability is ``min(1, T·q_g / n_g)`` with
+    ``q_g = round(n_g^α / Σ n^α, 6)`` and T the output budget in rows
+    (default: the input total — a pure rebalance). Membership is the
+    repo's deterministic draw compared as an INTEGER
+    (``pmod(h(id#seed), 2^20) < floor(round(p,6)·2^20)`` — no float
+    boundary can flip between engines), so the kept set is a pure function
+    of (data, α, seed) and reproducible in SQL with ``base_hash='md5'``.
+    Groups where the cap binds (keep_prob=1) under-fill the budget rather
+    than oversample — this operator never duplicates rows; compose with
+    ``epoch_expand`` for >1 epochs of small groups.
+
+    Scale shape: one map-side-combined group count (|groups| rows, a
+    broadcast dim), then a map-only filter over the corpus — no corpus
+    shuffle at all. Returns kept rows + ``keep_prob`` lineage.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"temperature_resample: alpha must be in (0,1]: {alpha}")
+    if "keep_prob" in df.columns or "_tm_n" in df.columns:
+        raise ValueError("temperature_resample: input collides with keep_prob/_tm_n")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_tm_n"))
+    tot = counts.agg(
+        F.sum("_tm_n").alias("_tm_total"),
+        F.sum(F.pow(F.col("_tm_n").cast("double"), F.lit(float(alpha)))).alias("_tm_zsum"),
+    )
+    t_budget = (
+        F.lit(int(total_budget)).cast("double")
+        if total_budget is not None
+        else F.col("_tm_total").cast("double")
+    )
+    q = F.round(
+        F.pow(F.col("_tm_n").cast("double"), F.lit(float(alpha))) / F.col("_tm_zsum"), 6
+    )
+    dim = counts.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        F.round(
+            F.least(F.lit(1.0), t_budget * q / F.col("_tm_n").cast("double")), 6
+        ).alias("keep_prob"),
+    )
+    bucket = 1 << 20
+    key = F.concat(F.col(id_col).cast("string"), F.lit(f"#{seed}"))
+    h = F.xxhash64(key) if base_hash == "xxhash64" else portable_hash64(key)
+    return (
+        df.join(F.broadcast(dim), group_col)
+        .filter(
+            F.pmod(h, F.lit(bucket))
+            < F.floor(F.col("keep_prob") * F.lit(float(bucket))).cast("long")
+        )
+    )

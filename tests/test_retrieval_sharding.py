@@ -366,3 +366,44 @@ def test_stratified_split_validation_and_remainder(spark):
         stratified_split(df, "doc_id", "source", {"a": 0.5, "b": 0.4})
     with _pytest.raises(ValueError, match="collides"):
         stratified_split(df.withColumn("split", df.doc_id), "doc_id", "source", {"a": 1.0})
+
+
+# ---------------------------------------------------------------------------
+# temperature resampling
+
+
+def test_temperature_resample_flattens_and_conserves(spark):
+    from batch_doc_vqa_spark.operators.chunking import temperature_resample
+
+    # skewed groups: 400 'en', 80 'de', 20 'fr'
+    rows = (
+        [(i, "en") for i in range(400)]
+        + [(1000 + i, "de") for i in range(80)]
+        + [(2000 + i, "fr") for i in range(20)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_resample(df, "doc_id", "lang", alpha=0.5, seed=1)
+    probs = {r["lang"]: r["keep_prob"] for r in out.select("lang", "keep_prob").distinct().collect()}
+    # α<1 lifts rare groups: the small groups keep everything (their
+    # uncapped targets are 1.67 and 3.34 — capped at 1, never oversampled)
+    # while the dominant group is thinned to T·q/n = 500·0.5985/400 ≈ 0.748
+    assert probs["fr"] == probs["de"] == 1.0
+    assert 0.7 < probs["en"] < 0.8
+    # α=1 is the identity rebalance: every keep_prob is exactly 1
+    ident = temperature_resample(df, "doc_id", "lang", alpha=1.0, seed=1)
+    assert ident.count() == len(rows)
+    assert {r["keep_prob"] for r in ident.select("keep_prob").distinct().collect()} == {1.0}
+    # membership is a pure function of (data, seed)
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in temperature_resample(
+            df.repartition(9), "doc_id", "lang", alpha=0.5, seed=1
+        ).collect()
+    )
+    assert a == b
+    # explicit budget scales the kept count (±Bernoulli noise)
+    budget = temperature_resample(df, "doc_id", "lang", alpha=0.5, seed=1, total_budget=250)
+    assert 180 < budget.count() < 320
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_resample(df, "doc_id", "lang", alpha=0.0)
