@@ -107,6 +107,8 @@ BENCH_QUERIES = [
     "bm25_topk",
     "shard_layout",
     "url_blocklist",
+    "stratified_split",
+    "temperature_resample",
 ]
 
 
