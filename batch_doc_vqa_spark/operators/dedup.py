@@ -26,6 +26,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # 31-bit Mersenne prime: keeps a*h+b within int64 (ANSI overflow-safe)
 _MERSENNE = (1 << 31) - 1
@@ -516,12 +517,36 @@ def resolve_clusters(ids: DataFrame, pairs: DataFrame, id_col: str = "doc_id", m
     # and dup candidates are a small fraction of the corpus — at 10^11 docs
     # this shrinks every round's join from corpus-size to candidate-size.
     # Singletons rejoin as their own cluster at the end.
+    #
+    # init folds the FIRST propagation round into the endpoint aggregate:
+    # label(v) = min(v, min neighbor) — same single groupBy the old
+    # distinct-endpoints init paid, one round of convergence for free.
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("_mn"))
+        .select(
+            F.col("src").alias("id"),
+            F.least(F.col("src"), F.col("_mn")).alias("label"),
+        )
         .localCheckpoint(eager=True)
     )
+    # Convergence probe: labels are elementwise NON-INCREASING (every update
+    # is a min over a set containing the old label), so Σ label is strictly
+    # decreasing until the fixed point — an exact-decimal one-stage aggregate
+    # on the just-checkpointed frame replaces the old join+filter+limit probe
+    # (one shuffle join per round saved). Falls back to the join probe for
+    # non-numeric id types, where a sum is undefined.
+    numeric_ids = isinstance(
+        labels.schema["label"].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    )
+
+    def _label_sum(frame):
+        return frame.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("_s")
+        ).collect()[0][0]
+
+    prev_sum = _label_sum(labels) if numeric_ids else None
     for _ in range(max_iter):
         msgs = edges.join(
             labels.select(F.col("id").alias("src"), F.col("label").alias("_ml")), "src"
@@ -536,13 +561,18 @@ def resolve_clusters(ids: DataFrame, pairs: DataFrame, id_col: str = "doc_id", m
             prop.join(lut, "label", "left")
             .select("id", F.least(F.col("label"), F.coalesce(F.col("_ll"), F.col("label"))).alias("label"))
         ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.select("id", F.col("label").alias("_new"))
-            .join(labels, "id")
-            .filter(F.col("_new") != F.col("label"))
-            .limit(1)
-            .count()
-        )
+        if numeric_ids:
+            new_sum = _label_sum(new_labels)
+            changed = 0 if new_sum == prev_sum else 1
+            prev_sum = new_sum
+        else:
+            changed = (
+                new_labels.select("id", F.col("label").alias("_new"))
+                .join(labels, "id")
+                .filter(F.col("_new") != F.col("label"))
+                .limit(1)
+                .count()
+            )
         labels = new_labels
         if changed == 0:
             break

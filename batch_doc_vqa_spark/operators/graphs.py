@@ -26,7 +26,7 @@ O(iterations · |E|), linear in the graph.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _RESERVED = ("_deg", "_s", "_dang", "_contrib", "node", "rank")
@@ -150,9 +150,15 @@ def connected_components(
     chains, lollipops — where near-dup cluster diameters are unbounded
     (web link graphs, not just dup clusters).
 
-    Per round: each star op is ONE window min over the src partition plus a
-    projection (no self-join); the convergence probe is a count + one-sided
-    ``exceptAll`` LIMIT 1 on the current (candidate-size) edge set. Every
+    Per round: each star op is one map-side-combined ``groupBy(src).min``
+    plus a hash join-back (NO window: a partition-only window min sorts and
+    buffers each src group in one task, so a mega-hub would serialize the
+    round — partial aggregation absorbs hubs before the exchange); the
+    convergence probe is ONE aggregate over the current edge set (the
+    contraction's fixed points are exactly the star forests, and
+    star-forest-ness is a per-node degree condition — see
+    ``_is_star_forest``), so the old confirm-contraction + exceptAll
+    set-compare per round is gone. Every
     intermediate edge set is a pure function of the input edges — no
     task-dependent state — so the converged labels are deterministic under
     any partitioning, and equal to ``resolve_clusters``'s by construction
@@ -167,36 +173,66 @@ def connected_components(
     e = _symmetrize(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     ).localCheckpoint(eager=True)
-    w_src = Window.partitionBy("src")
+
+    def _is_star_forest(edges: DataFrame) -> bool:
+        # The contraction's fixed points are exactly the star forests with
+        # one root per member (root = component min): a member adjacent to
+        # two roots loses the larger one in the next large-star, and a node
+        # with both a smaller and a larger neighbor rewires its larger
+        # neighbor. So "converged" is ONE aggregate over the (symmetrized,
+        # checkpointed) edge set — no confirm contraction, no exceptAll:
+        # bad node ⟺ (has smaller AND larger neighbor) OR (>1 smaller).
+        bad = (
+            edges.groupBy("src")
+            .agg(
+                F.sum((F.col("dst") < F.col("src")).cast("int")).alias("_ns"),
+                F.sum((F.col("dst") > F.col("src")).cast("int")).alias("_nl"),
+            )
+            .filter(((F.col("_ns") > 0) & (F.col("_nl") > 0)) | (F.col("_ns") > 1))
+            .limit(1)
+            .count()
+        )
+        return bad == 0
+
+    converged = False
     for _ in range(max_iter):
+        if _is_star_forest(e):
+            converged = True
+            break
+        # Per-src minima via groupBy().agg(min) + join-back, NOT a
+        # Window.partitionBy("src") min: a partition-only WindowExec still
+        # sorts and buffers the whole src group in one task, so a
+        # 10^8-out-degree hub (real web graphs have them) would serialize
+        # the round. Partial (map-side) aggregation absorbs the hub before
+        # the exchange and the join-back is a plain hash join that AQE can
+        # broadcast when the min table is small — no per-round full sort.
         # large-star: node u links every strictly-larger neighbor to
         # m = min(neighbors ∪ {u}) — emitted as (v, m), v > u ≥ m
-        m_ls = F.least(F.min("dst").over(w_src), F.col("src"))
+        mins = e.groupBy("src").agg(F.min("dst").alias("_mn"))
         ls = (
-            e.withColumn("_m", m_ls)
+            e.join(mins, "src")
             .filter(F.col("dst") > F.col("src"))
-            .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+            .select(
+                F.col("dst").alias("src"),
+                F.least(F.col("_mn"), F.col("src")).alias("dst"),
+            )
         )
-        e_ls = _symmetrize(ls)
         # small-star: node u links its smaller neighbors AND itself to
-        # m = min of those neighbors (all < u, so m = min(smaller set))
-        small = e_ls.filter(F.col("dst") < F.col("src")).withColumn(
-            "_m", F.min("dst").over(w_src)
-        )
+        # m = min of those neighbors (all < u, so m = min(smaller set)).
+        # Its input IS ``ls``: every large-star row is already oriented
+        # dst < src (it emits (v, m) with m = min(..) < v) and has no
+        # self-loops, and the symmetrized mirror rows would all have
+        # dst > src — exactly the rows small-star filters out. Skipping
+        # the intermediate _symmetrize removes one distinct exchange per
+        # round; duplicate (v, m) rows only feed an idempotent min and
+        # are collapsed by the final _symmetrize's distinct.
+        smins = ls.groupBy("src").agg(F.min("dst").alias("_m"))
+        small = ls.join(smins, "src")
         ss = small.select(F.col("dst").alias("src"), F.col("_m").alias("dst")).unionByName(
             small.select("src", F.col("_m").alias("dst"))
         )
-        new_e = _symmetrize(ss).localCheckpoint(eager=True)
-        # both sides are distinct sets: equal counts + one-sided emptiness
-        # of exceptAll imply set equality (no second except needed)
-        same = (
-            new_e.count() == e.count()
-            and new_e.exceptAll(e).limit(1).count() == 0
-        )
-        e = new_e
-        if same:
-            break
-    else:
+        e = _symmetrize(ss).localCheckpoint(eager=True)
+    if not converged:
         raise RuntimeError(
             f"connected_components: no convergence in {max_iter} rounds"
         )
