@@ -133,6 +133,7 @@ def connected_components(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 50,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """(id, component_id = min id in the component) via alternating
     large-star / small-star contraction (Kiveris et al., *Connected
@@ -170,9 +171,33 @@ def connected_components(
     component id is the MIN id). Raises after ``max_iter`` rounds without
     convergence rather than returning a half-contracted labeling.
     """
+    from .dedup import DRIVER_CC_MAX_EDGES, _union_find_labels
+    from pyspark.sql import types as T
+
+    if driver_max_edges is None:
+        driver_max_edges = DRIVER_CC_MAX_EDGES
+
     e = _symmetrize(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     ).localCheckpoint(eager=True)
+
+    # size gate (shared with dedup.resolve_clusters): an edge set small
+    # enough to broadcast is labeled on the driver in one collect — same
+    # component-min labels, none of the per-round contraction jobs. Any
+    # real web graph exceeds the gate and takes the star loop unchanged.
+    if driver_max_edges and e.count() <= driver_max_edges:
+        lab = _union_find_labels((r[0], r[1]) for r in e.collect())
+        id_type = e.schema["src"].dataType
+        schema = T.StructType(
+            [T.StructField("id", id_type), T.StructField("component_id", id_type)]
+        )
+        resolved = e.sparkSession.createDataFrame(sorted(lab.items()), schema)
+        return (
+            ids.select(F.col(id_col).alias("id"))
+            .distinct()
+            .join(F.broadcast(resolved), "id", "left")
+            .select("id", F.coalesce("component_id", F.col("id")).alias("component_id"))
+        )
 
     def _is_star_forest(edges: DataFrame) -> bool:
         # The contraction's fixed points are exactly the star forests with

@@ -1121,7 +1121,18 @@ def semdedup(
         .withColumn("_cs", cosine_sim(F.col("_v"), F.col("cent_vec")))
         .withColumn("_rn", F.row_number().over(w_assign))
         .filter(F.col("_rn") == 1)
-        .select("_id", "_v", "cent_id", F.col("_cs").alias("cos_to_centroid"))
+        # precompute each vector's norm ONCE here: the within-cell pair
+        # scan below evaluates Σ|cell|² cosines, and recomputing the norm
+        # HOF per PAIR costs two extra array folds per comparison. The
+        # value is the same _norm expression, so round(dot/(na*nb), 6) is
+        # bit-identical to cosine_sim on the pair.
+        .select(
+            "_id",
+            "_v",
+            "cent_id",
+            F.col("_cs").alias("cos_to_centroid"),
+            _norm(F.col("_v")).alias("_nv"),
+        )
         .localCheckpoint(eager=False)  # reused: pair scan + keep ranking
     )
     a, b = assign.alias("a"), assign.alias("b")
@@ -1131,7 +1142,13 @@ def semdedup(
             (F.col("a.cent_id") == F.col("b.cent_id"))
             & (F.col("a._id") < F.col("b._id")),
         )
-        .filter(cosine_sim(F.col("a._v"), F.col("b._v")) >= threshold)
+        .filter(
+            F.round(
+                _dot(F.col("a._v"), F.col("b._v")) / (F.col("a._nv") * F.col("b._nv")),
+                6,
+            )
+            >= threshold
+        )
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
     )
     from .dedup import resolve_clusters

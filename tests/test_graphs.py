@@ -162,5 +162,37 @@ def test_cc_partition_independence_and_max_iter(spark):
         key=lambda r: r["id"],
     )
     assert base == repart
+    # max_iter applies to the distributed loop: force past the driver gate
     with _pytest.raises(RuntimeError, match="no convergence"):
-        connected_components(ids, pairs, max_iter=1).collect()
+        connected_components(ids, pairs, max_iter=1, driver_max_edges=0).collect()
+
+
+def test_cc_driver_gate_matches_distributed_tier(spark):
+    """The size-gated driver union-find and the star-contraction loop must
+    label identically (component min); ditto for resolve_clusters' gate vs
+    its min-label-propagation loop — including string ids, which take the
+    join-based convergence probe."""
+    from batch_doc_vqa_spark.operators.dedup import resolve_clusters
+    from batch_doc_vqa_spark.operators.graphs import connected_components
+
+    edges = [(i, (i * 11 + 5) % 60) for i in range(60)] + [(3, 3), (7, 12)]
+    ids = spark.createDataFrame([(i,) for i in range(70)], "doc_id long")
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    drv = sorted(connected_components(ids, pairs).collect())
+    dist = sorted(connected_components(ids, pairs, driver_max_edges=0).collect())
+    assert drv == dist
+    drv_rc = sorted(resolve_clusters(ids, pairs).collect())
+    dist_rc = sorted(resolve_clusters(ids, pairs, driver_max_edges=0).collect())
+    assert drv_rc == dist_rc
+    assert [tuple(r) for r in drv] == [tuple(r) for r in drv_rc]
+    # string ids: lexicographic minima, same labels from every tier
+    s_ids = spark.createDataFrame([(f"h{i:02d}",) for i in range(20)], "doc_id string")
+    s_pairs = spark.createDataFrame(
+        [(f"h{i:02d}", f"h{(i * 3 + 1) % 15:02d}") for i in range(15)],
+        "id_a string, id_b string",
+    )
+    s_drv = sorted(connected_components(s_ids, s_pairs).collect())
+    s_dist = sorted(connected_components(s_ids, s_pairs, driver_max_edges=0).collect())
+    s_rc = sorted(resolve_clusters(s_ids, s_pairs, driver_max_edges=0).collect())
+    assert s_drv == s_dist
+    assert [tuple(r) for r in s_drv] == [tuple(r) for r in s_rc]
