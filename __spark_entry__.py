@@ -2837,13 +2837,14 @@ def _q_training_recipe_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n-gram explode, dedup hash, chunking) — materialize the 25-regex
     # cascade once instead of re-running it per subtree
     red = redact_pii(corpus, "doc_id", "text").select("doc_id", "text").localCheckpoint(
-        eager=True
+        eager=False  # lazy: materializes once inside the final job instead
+        # of a separate construction-time barrier job (r7)
     )
     _, bench = _bench_fixture(spark, sf_dir)  # eval set derives from CLEAN docs
     keep = decontam.decontaminate(
         red, "doc_id", "text", bench, "bench_id", "bench_text",
         n=8, threshold=0.8, base_hash="md5",
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     canon = (
         dedup.exact_dedup(keep, "doc_id", "text")
         .select(F.col("canonical_id").alias("doc_id"))
@@ -2878,13 +2879,13 @@ def _q_training_recipe_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = _pii_dirty_docs(spark, sf_dir)
     red = redact_pii(corpus, "doc_id", "text").select("doc_id", "text").localCheckpoint(
-        eager=True
+        eager=False  # lazy (see v2)
     )
     _, bench = _bench_fixture(spark, sf_dir)
     keep = decontam.decontaminate(
         red, "doc_id", "text", bench, "bench_id", "bench_text",
         n=8, threshold=0.8, base_hash="md5",
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     bias, weights = trained_quality_model()
     scored = textstats.classifier_score(keep, "doc_id", "text", bias, weights, CLF_BUCKETS)
     gate = score_resample(scored, "doc_id", "clf_score", seed=11, base_hash="md5")

@@ -86,30 +86,35 @@ def cosine_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def hyperplane_signature(vec_col, dim: int, n_planes: int = 16, seed: int = 11):
-    """Sign-bit LSH signature as a JVM-side expression over a literal matrix."""
+def hyperplane_signature(vec_col: str, dim: int, n_planes: int = 16, seed: int = 11):
+    """Sign-bit LSH signature as a JVM-side expression over a literal matrix.
+
+    ``vec_col`` is a COLUMN NAME (or SQL fragment yielding array<double>);
+    the whole signature is emitted as ONE parsed SQL expression. Building it
+    Column-by-Column costs n_tables × n_planes × dim py4j round trips of
+    driver time per query construction (measured ~3 s for 6×8×64 — more
+    than the query's execution); one ``F.expr`` parse is a single round
+    trip for the identical resolved expression tree: same ``aggregate ∘
+    zip_with`` left-to-right IEEE fold, same double literals (repr is the
+    shortest round-trip form, and the 'D' suffix parses it exactly), same
+    sign-bit CASE — so signatures are bit-identical to the old form and to
+    the DuckDB twin (``_hyperplane_sig_sql``).
+    """
+    if not isinstance(vec_col, str):
+        raise TypeError("hyperplane_signature: pass the vector column NAME")
     rng = np.random.RandomState(seed)
     planes = rng.standard_normal((n_planes, dim))
-    bits = [
-        F.when(
-            F.aggregate(
-                F.zip_with(
-                    vec_col,
-                    F.array(*[F.lit(float(v)) for v in planes[p]]),
-                    lambda x, y: x * y,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            >= 0,
-            F.lit(1),
-        ).otherwise(F.lit(0))
-        for p in range(n_planes)
-    ]
-    sig = bits[0]
-    for b in bits[1:]:
-        sig = sig * 2 + b
-    return sig
+    vec = f"`{vec_col}`" if vec_col.isidentifier() else vec_col
+    sig = None
+    for p in range(n_planes):
+        lits = ", ".join(f"{float(x)!r}D" for x in planes[p])
+        dot = (
+            f"aggregate(zip_with({vec}, array({lits}), (x, y) -> x * y),"
+            f" 0.0D, (acc, v) -> acc + v)"
+        )
+        bit = f"(CASE WHEN {dot} >= 0 THEN 1 ELSE 0 END)"
+        sig = bit if sig is None else f"({sig} * 2 + {bit})"
+    return F.expr(sig)
 
 
 def lsh_cosine_topk(
@@ -135,7 +140,7 @@ def lsh_cosine_topk(
 
     def with_sigs(df, vcol):
         sigs = F.array(
-            *[hyperplane_signature(F.col(vcol), dim, n_planes, seed=11 + t) for t in range(n_tables)]
+            *[hyperplane_signature(vcol, dim, n_planes, seed=11 + t) for t in range(n_tables)]
         )
         return df.select("*", F.posexplode(sigs).alias("_t", "_sig"))
 
@@ -191,10 +196,13 @@ def embedding_dup_pairs_lsh(
     corpus-linear; high-cosine pairs collide in some table with high
     probability (recall vs the exact tier asserted in tests)."""
     sigs = F.array(
-        *[hyperplane_signature(F.col(vec_col), dim, n_planes, seed=11 + t) for t in range(n_tables)]
+        *[hyperplane_signature(vec_col, dim, n_planes, seed=11 + t) for t in range(n_tables)]
     )
+    # the self-join + dedup move only (id, table, signature) — 3 longs per
+    # row; vectors rejoin AFTER candidate dedup (the minhash_lsh_pairs
+    # shape), so the exchanges never carry the dim-double payload
     banded = corpus.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+        F.col(id_col).alias("_id"),
         F.posexplode(sigs).alias("_t", "_sig"),
     ).localCheckpoint(eager=True)  # signatures computed once for both sides
     a, b = banded.alias("a"), banded.alias("b")
@@ -205,17 +213,17 @@ def embedding_dup_pairs_lsh(
             & (F.col("a._sig") == F.col("b._sig"))
             & (F.col("a._id") < F.col("b._id")),
         )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._v").alias("_va"),
-            F.col("b._v").alias("_vb"),
-        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    return cand.select(
-        "id_a", "id_b", cosine_sim(F.col("_va"), F.col("_vb")).alias("cosine")
-    ).filter(F.col("cosine") >= threshold)
+    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cosine_sim(F.col("_va"), F.col("_vb")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
 
 
 def ivf_cosine_topk(

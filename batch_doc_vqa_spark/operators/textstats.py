@@ -381,34 +381,68 @@ def char_trigram_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     Rounded to 6 for cross-engine hash parity (log/· identically on both
     engines after rounding).
     """
+    # r7: fully IN-ROW — sort the doc's trigram array, cut it into runs,
+    # fold Σ c·log2 c over the run lengths. Zero shuffle (the old shape
+    # exploded ~10³ trigram rows per doc through a (doc, trigram) exchange
+    # plus a per-doc exchange plus a join-back for short docs); every doc is
+    # one map-side row, so the op is corpus-linear with NO exchange at any
+    # scale. Values are unchanged: the per-trigram c·log2 c terms are
+    # identical and the old shuffle-order double sum was already
+    # order-arbitrary — the in-row fold just pins sorted-trigram order
+    # (value-equality over the full fixture asserted in tests). Expressions
+    # are parsed SQL strings: one py4j round trip each, not per-element
+    # Column composition.
     lowered = df.select(F.col(id_col).alias("_id"), F.lower(F.col(text_col)).alias("_t"))
-    idx = F.when(
-        F.length("_t") >= 3, F.sequence(F.lit(1), F.length("_t") - 2)
-    ).otherwise(F.array().cast("array<int>"))
-    tri = lowered.select(
-        "_id", F.explode(F.transform(idx, lambda i: F.col("_t").substr(i, F.lit(3)))).alias("g")
+    tri = lowered.withColumn(
+        "_tri",
+        F.expr(
+            "CASE WHEN length(_t) >= 3 THEN"
+            " array_sort(transform(sequence(1, length(_t) - 2), i -> substring(_t, i, 3)))"
+            " ELSE array() END"
+        ),
     )
-    counts = tri.groupBy("_id", "g").agg(F.count(F.lit(1)).alias("c"))
-    ent = (
-        counts.groupBy("_id")
-        .agg(
-            F.sum("c").alias("_n"),
-            F.sum(F.col("c") * F.log2("c")).alias("_clogc"),
-            F.count(F.lit(1)).alias("distinct_trigrams"),
-        )
-        # H = log2(n) - (Σ c·log2 c)/n  (algebraic form: one pass, no p column)
-        .select(
-            "_id",
-            F.col("_n").alias("n_trigrams"),
-            "distinct_trigrams",
-            F.round(F.log2("_n") - F.col("_clogc") / F.col("_n"), 6).alias("trigram_entropy"),
-        )
+    # run starts: positions whose trigram differs from its predecessor;
+    # run lengths: gap to the next start (last run closes at size + 1)
+    runs = tri.withColumn(
+        "_starts",
+        F.expr(
+            # indices start at 2 so i-1 is always a valid 1-based index
+            # (an `i = 1 OR ...` guard is rewritten by boolean
+            # simplification into a non-short-circuit OR and element_at
+            # (_, 0) throws INVALID_INDEX_OF_ZERO); size guards keep
+            # sequence() ascending (sequence(2, 1) is the DESCENDING
+            # [2, 1], not empty)
+            "CASE WHEN size(_tri) >= 2 THEN concat(array(1),"
+            " filter(sequence(2, size(_tri)),"
+            " i -> element_at(_tri, i) != element_at(_tri, i - 1)))"
+            " WHEN size(_tri) = 1 THEN array(1)"
+            " ELSE array() END"
+        ),
+    ).withColumn(
+        "_c",
+        F.expr(
+            "CASE WHEN size(_tri) = 0 THEN array() ELSE"
+            " zip_with(_starts,"
+            " concat(slice(_starts, 2, size(_starts) - 1), array(size(_tri) + 1)),"
+            " (s, e) -> e - s) END"
+        ),
     )
-    return df.select(F.col(id_col).alias("_id")).join(ent, "_id", "left").select(
+    return runs.select(
         F.col("_id").alias(id_col),
-        F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
-        F.coalesce("distinct_trigrams", F.lit(0)).alias("distinct_trigrams"),
-        F.coalesce("trigram_entropy", F.lit(0.0)).alias("trigram_entropy"),
+        F.size("_tri").cast("long").alias("n_trigrams"),
+        F.size("_c").cast("long").alias("distinct_trigrams"),
+        F.coalesce(
+            F.when(
+                F.size("_tri") > 0,
+                F.round(
+                    F.log2(F.size("_tri"))
+                    - F.expr("aggregate(_c, 0.0D, (acc, c) -> acc + c * log2(c))")
+                    / F.size("_tri"),
+                    6,
+                ),
+            ),
+            F.lit(0.0),
+        ).alias("trigram_entropy"),
     )
 
 
