@@ -257,7 +257,14 @@ def _q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_supplier_customer_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = _t(spark, sf_dir, "supplier")
-    cust = _t(spark, sf_dir, "customer")
+    # the customer parquet is one row group → one scan task, and the
+    # levenshtein fan-out (|sup|×|cust| per nation) runs entirely in that
+    # task; hash-repartition the probe side to the session's parallelism
+    # (derived, not a constant) so the edit-distance stage spreads across
+    # cores. Deterministic key-hash partitioning, value-neutral.
+    cust = _t(spark, sf_dir, "customer").repartition(
+        spark.sparkContext.defaultParallelism, F.col("c_custkey")
+    )
     j = sup.join(cust, sup.s_nationkey == cust.c_nationkey).withColumn(
         "d", F.levenshtein(F.lower("s_name"), F.lower("c_name"))
     )

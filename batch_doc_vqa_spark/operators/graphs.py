@@ -68,6 +68,13 @@ def pagerank(
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
     ej = e.join(deg, "src").repartition(F.col("src"))
+    # r7: out-degrees ride ON the rank frame (one setup join) so the
+    # per-iteration dangling mass is a plain filtered aggregate over ranks
+    # — the old ranks ⋈ deg left-anti join per iteration is gone. Same
+    # node set (null _deg ⟺ no out-edge), same rounding, same value.
+    nodes = nodes.join(
+        deg.select(F.col("src").alias("node"), "_deg"), "node", "left"
+    )
     if checkpoint:
         ej = ej.localCheckpoint(eager=False)
         nodes = nodes.localCheckpoint(eager=False)
@@ -80,22 +87,20 @@ def pagerank(
     nlit = F.lit(float(n))
 
     ranks = nodes.select(
-        "node", F.round(F.lit(1.0) / nlit, round_to).alias("rank")
+        "node", "_deg", F.round(F.lit(1.0) / nlit, round_to).alias("rank")
     )
     for _ in range(iterations):
-        contrib = ej.join(ranks, ej["src"] == ranks["node"]).select(
+        rk = ranks.select("node", "rank")
+        contrib = ej.join(rk, ej["src"] == rk["node"]).select(
             F.col("dst"),
             F.round(F.col("rank") / F.col("_deg"), round_to)
             .cast(dec)
             .alias("_contrib"),
         )
         sums = contrib.groupBy("dst").agg(F.sum("_contrib").alias("_s"))
-        dang = (
-            ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
-            .agg(
-                F.coalesce(F.sum(F.round("rank", round_to).cast(dec)), zero).alias(
-                    "_dang"
-                )
+        dang = ranks.filter(F.col("_deg").isNull()).agg(
+            F.coalesce(F.sum(F.round("rank", round_to).cast(dec)), zero).alias(
+                "_dang"
             )
         )
         ranks = (
@@ -103,6 +108,7 @@ def pagerank(
             .crossJoin(F.broadcast(dang))
             .select(
                 "node",
+                "_deg",
                 F.round(
                     one_minus_d / nlit
                     + d
@@ -116,7 +122,7 @@ def pagerank(
         )
         if checkpoint:
             ranks = ranks.localCheckpoint(eager=False)
-    return ranks
+    return ranks.select("node", "rank")
 
 
 def _symmetrize(e: DataFrame) -> DataFrame:

@@ -252,13 +252,25 @@ def ivf_cosine_topk(
         .orderBy(F.md5(F.col("cent_id").cast("string")))
         .limit(n_centroids)
     )
-    w_assign = Window.partitionBy(id_col).orderBy(F.desc("_cs"), F.asc("cent_id"))
+    # argmax as a map-side-combinable MIN over struct(-cos, cent_id, vec):
+    # negation of the rounded cosine is exact, (cos, cent_id) is unique per
+    # group so the trailing vec is never compared, and the corpus×centroid
+    # rows partial-aggregate BEFORE the exchange instead of shuffling into
+    # a per-vector sort (the old row_number window)
     assign = (
         corpus.crossJoin(F.broadcast(cent))
         .withColumn("_cs", cosine_sim(F.col(vec_col), F.col("cent_vec")))
-        .withColumn("_rn", F.row_number().over(w_assign))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, vec_col, "cent_id")
+        .groupBy(id_col)
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("_cs")).alias("n"),
+                    F.col("cent_id").alias("c"),
+                    F.col(vec_col).alias("v"),
+                )
+            ).alias("_b")
+        )
+        .select(id_col, F.col("_b.v").alias(vec_col), F.col("_b.c").alias("cent_id"))
     )
     w_probe = Window.partitionBy(q_id_col).orderBy(F.desc("_cs"), F.asc("cent_id"))
     probe = (
@@ -414,16 +426,27 @@ def _ivfpq_assign(corpus_d: DataFrame, cent: DataFrame, id_col: str) -> DataFram
     definition for the build and append paths (an append that re-derived
     its own assignment could drift from the build's rounding/tiebreak and
     silently place the same vector in a different cell)."""
-    w_assign = Window.partitionBy(id_col).orderBy("_cd", "cent_id")
+    # argmin as a map-side-combinable MIN over struct(dist, cent_id, cv, v)
+    # — (dist, cent_id) unique per group, trailing payloads never compared;
+    # partial aggregation replaces the per-vector shuffle+sort window
     return (
         corpus_d.crossJoin(F.broadcast(cent))
         .withColumn("_cd", F.round(_sq_l2(F.col("_v"), F.col("_cv")), 6))
-        .withColumn("_rn", F.row_number().over(w_assign))
-        .filter(F.col("_rn") == 1)
+        .groupBy(id_col)
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("_cd").alias("d"),
+                    F.col("cent_id").alias("c"),
+                    F.col("_cv").alias("cv"),
+                    F.col("_v").alias("v"),
+                )
+            ).alias("_b")
+        )
         .select(
             id_col,
-            "cent_id",
-            F.zip_with(F.col("_v"), F.col("_cv"), lambda x, y: x - y).alias("_r"),
+            F.col("_b.c").alias("cent_id"),
+            F.zip_with(F.col("_b.v"), F.col("_b.cv"), lambda x, y: x - y).alias("_r"),
         )
     )
 
@@ -433,7 +456,6 @@ def _ivfpq_encode(assign: DataFrame, cbm: DataFrame, m: int, sub: int, id_col: s
     nearest code; shared by build and append (same rounding, same
     (dist, code) tiebreak)."""
     ms = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("m")
-    w_enc = Window.partitionBy(id_col, "m").orderBy("dist", "code")
     return (
         assign.select(id_col, "cent_id", F.col("_r").alias("_rv"), ms)
         .select(
@@ -442,8 +464,11 @@ def _ivfpq_encode(assign: DataFrame, cbm: DataFrame, m: int, sub: int, id_col: s
         )
         .join(F.broadcast(cbm), "m")
         .withColumn("dist", F.round(_sq_l2(F.col("_vs"), F.col("_cs")), 6))
-        .withColumn("_rn", F.row_number().over(w_enc))
-        .filter(F.col("_rn") == 1)
+        # per-(id, m) argmin as min(struct(dist, code)) — map-side partial
+        # aggregation over the ×n_codes scored rows, no window sort
+        .groupBy(id_col, "cent_id", "m")
+        .agg(F.min(F.struct("dist", "code")).alias("_mc"))
+        .select(id_col, "cent_id", "m", F.col("_mc.code").alias("code"))
         .groupBy(id_col, "cent_id")
         .agg(
             F.transform(
@@ -1004,11 +1029,13 @@ def pq_topk(
         )
         if keep_dist:
             return scored.select(key, "m", "code", "dist")
-        w = Window.partitionBy(key, "m").orderBy("dist", "code")
+        # per-(key, m) argmin as min(struct(dist, code)): partial (map-side)
+        # aggregation collapses the ×n_codes scored rows before the
+        # exchange — no shuffle+sort window over the full scored frame
         return (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select(key, "m", "code")
+            scored.groupBy(key, "m")
+            .agg(F.min(F.struct("dist", "code")).alias("_mc"))
+            .select(key, "m", F.col("_mc.code").alias("code"))
         )
 
     # corpus → m codes per vector, packed in m-order
@@ -1122,13 +1149,24 @@ def semdedup(
             .orderBy(F.md5(F.col(id_col).cast("string")))
             .limit(n_centroids)
         )
-    w_assign = Window.partitionBy("_id").orderBy(F.desc("_cs"), F.asc("cent_id"))
+    # argmax assignment as a map-side-combinable MIN over struct(-cos,
+    # cent_id, v): negation of the rounded cosine is exact and (cos,
+    # cent_id) is unique per group, so this is the row_number window's
+    # argmax without the per-vector shuffle+sort.
     assign = (
         corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
         .crossJoin(F.broadcast(cent))
         .withColumn("_cs", cosine_sim(F.col("_v"), F.col("cent_vec")))
-        .withColumn("_rn", F.row_number().over(w_assign))
-        .filter(F.col("_rn") == 1)
+        .groupBy("_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("_cs")).alias("n"),
+                    F.col("cent_id").alias("c"),
+                    F.col("_v").alias("v"),
+                )
+            ).alias("_b")
+        )
         # precompute each vector's norm ONCE here: the within-cell pair
         # scan below evaluates Σ|cell|² cosines, and recomputing the norm
         # HOF per PAIR costs two extra array folds per comparison. The
@@ -1136,10 +1174,10 @@ def semdedup(
         # bit-identical to cosine_sim on the pair.
         .select(
             "_id",
-            "_v",
-            "cent_id",
-            F.col("_cs").alias("cos_to_centroid"),
-            _norm(F.col("_v")).alias("_nv"),
+            F.col("_b.v").alias("_v"),
+            F.col("_b.c").alias("cent_id"),
+            (-F.col("_b.n")).alias("cos_to_centroid"),
+            _norm(F.col("_b.v")).alias("_nv"),
         )
         .localCheckpoint(eager=False)  # reused: pair scan + keep ranking
     )

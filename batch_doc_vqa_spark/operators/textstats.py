@@ -529,7 +529,10 @@ def lm_perplexity(
         .select(F.col("_gr._k").alias("_k"), F.col("_gr._g").alias("_g"))
         .groupBy("_k", "_g")
         .agg(F.count(F.lit(1)).alias("_c"))
-        .localCheckpoint(eager=True)  # feeds c2, c1, vocab, and the size probe
+        # lazy: feeds c2, c1, vocab, and the size probe — materializes once
+        # on first use (the probe when broadcast_model is None, else inside
+        # the scoring job) instead of an extra barrier job up front
+        .localCheckpoint(eager=False)
     )
     c2 = grams.filter(F.col("_k") == 2).select(
         F.col("_g").alias("_bg"),
@@ -680,7 +683,8 @@ def ppl_buckets(
     vals = (
         scored.groupBy(lang_col, ppl_col)
         .agg(F.count(F.lit(1)).alias("_cnt"))
-        .localCheckpoint(eager=True)  # feeds totals, ranks, and the size probe
+        # lazy (see lm_perplexity): feeds totals, ranks, and the size probe
+        .localCheckpoint(eager=False)
     )
     lang_n = vals.groupBy(lang_col).agg(F.sum("_cnt").alias("_n"))
 
