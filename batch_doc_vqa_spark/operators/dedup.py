@@ -376,13 +376,17 @@ def simhash_signatures_sql(
         F.col(id_col).alias("_id"),
         F.filter(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != F.lit("")).alias("_t"),
     )
-    wt = toks.select("_id", F.explode("_t").alias("t")).groupBy("_id", "t").agg(
-        F.count(F.lit(1)).alias("w")
+    # r7: no (doc, token) pre-count — the bit contributions are INTEGER and
+    # additive per occurrence (Σ_occurrences (2b−1) ≡ Σ_tokens w·(2b−1)
+    # exactly), so the per-occurrence rows feed the 64 sums directly and the
+    # old full-corpus (doc, token) exchange disappears; map-side partial
+    # aggregation reduces the one remaining shuffle to 65 longs per doc.
+    h = toks.select("_id", F.explode("_t").alias("t")).select(
+        "_id", _base_hash(F.col("t"), base_hash).alias("h")
     )
-    h = wt.select("_id", "w", _base_hash(F.col("t"), base_hash).alias("h"))
     bit = lambda j: F.shiftrightunsigned(F.col("h"), j).bitwiseAND(F.lit(1))  # noqa: E731
     bits = h.groupBy("_id").agg(
-        *[F.sum(F.col("w") * (bit(j) * 2 - 1)).alias(f"_b{j}") for j in range(_SIMHASH_BITS)]
+        *[F.sum(bit(j) * 2 - 1).alias(f"_b{j}") for j in range(_SIMHASH_BITS)]
     )
     # assemble the signed 64-bit value: bit 63 contributes -2^63 (two's complement)
     term = lambda j: F.when(  # noqa: E731
@@ -780,10 +784,13 @@ def duplicate_spans(
             F.transform(idx, lambda i: _base_hash(F.array_join(F.slice("_t", i, k), " "), base_hash))
         ).alias("_pos0", "_h"),
     ).select("_id", (F.col("_pos0") + 1).alias("pos"), "_h")
+    # one aggregate, not distinct()-then-count: count(DISTINCT _id) partial-
+    # deduplicates (hash, doc) map-side and exchanges once on _h, where the
+    # old shape paid a (hash, doc) exchange for distinct() plus a second
+    # exchange for the count
     shared = (
-        win.select("_h", "_id").distinct()
-        .groupBy("_h")
-        .agg(F.count(F.lit(1)).alias("_nd"))
+        win.groupBy("_h")
+        .agg(F.countDistinct("_id").alias("_nd"))
         .filter(F.col("_nd") >= min_docs)
         .select("_h")
     )
