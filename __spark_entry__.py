@@ -72,8 +72,68 @@ def _values_cte(name: str, cols: list[str], rows: list[tuple]) -> str:
     return f"{name}({', '.join(cols)}) AS (VALUES\n  {vals})"
 
 
+# Primary keys for scan-parallelism repair (below). Tiny dimension tables
+# (nation, region) are deliberately absent — repartitioning them buys
+# nothing.
+_SCAN_KEYS = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "customer": "c_custkey",
+    "documents": "doc_id",
+    "events": "event_id",
+    "embeddings": "vec_id",
+    "part": "p_partkey",
+    "supplier": "s_suppkey",
+}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # Scan-parallelism repair, size-gated: the test tables are written as a
+    # single parquet row group, so Spark plans ONE scan task and every
+    # narrow computation on top (explodes, regex cascades, hashing, partial
+    # aggregation) serializes onto one core regardless of cluster size. When
+    # the planned scan parallelism is far below the session's (getNumPartitions
+    # is planning-time metadata, no job), one deterministic hash repartition
+    # on the primary key spreads the downstream map work; with adequately
+    # split inputs (any real multi-file table at scale) the gate disables
+    # itself and no extra exchange is paid. Predicate pushdown still reaches
+    # the scan (filters push through RepartitionByExpression).
+    key = _SCAN_KEYS.get(name)
+    if key is not None:
+        target = spark.sparkContext.defaultParallelism
+        if _planned_scan_splits(spark, f"{sf_dir}/{name}.parquet") * 2 < target:
+            df = df.repartition(target, F.col(key))
+    return df
+
+
+_SCAN_SPLIT_CACHE: dict[tuple[str, int], int] = {}
+
+
+def _planned_scan_splits(spark: SparkSession, path: str) -> int:
+    """Spark's planned split count for a single parquet file: bytes over
+    maxPartitionBytes — computed from the file size directly (a
+    df.rdd.getNumPartitions() probe costs a full plan→RDD conversion,
+    ~0.3 s per table read). Cached per (path, maxPartitionBytes)."""
+    import math
+    import os
+
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    s = raw[:-1] if raw.endswith("b") else raw
+    mpb = (
+        int(s[:-1]) * units[s[-1]] if s and s[-1] in units else int(s or "134217728")
+    )
+    ck = (path, mpb)
+    n = _SCAN_SPLIT_CACHE.get(ck)
+    if n is None:
+        try:
+            size = os.path.getsize(path)
+        except OSError:
+            size = 0
+        n = max(1, math.ceil(size / mpb))
+        _SCAN_SPLIT_CACHE[ck] = n
+    return n
 
 
 def _sf_of(sf_dir: str) -> float:

@@ -157,6 +157,14 @@ def assign_shards(
 
     if target_tokens < 1:
         raise ValueError(f"assign_shards: target_tokens must be >= 1: {target_tokens}")
+    clash = sorted(
+        {"_draw", "_blk", "_blk_offset", "_start", "shard_id", "shard_offset", "shard_pos"}
+        & set(df.columns)
+    )
+    if clash:
+        # withColumn silently REPLACES same-named columns — validate like
+        # the sibling operators (retrieval._check_reserved, blocklist)
+        raise ValueError(f"assign_shards: input columns collide with internals: {clash}")
     bs = int(block_size) if block_size is not None else (1 << 40)
     draw = portable_hash64(
         F.concat(F.col(id_col).cast("string"), F.lit(f"#{int(seed)}"))

@@ -264,11 +264,17 @@ def save_bm25_index(index: dict, path: str) -> None:
             "(its df table misses every other term) — build with vocab=None"
         )
     spark = index["postings"].sparkSession
-    if "index" in committed_publish_ids(spark, path):
+    committed = committed_publish_ids(spark, path)
+    if committed:
+        # ANY committed id blocks the create (not just 'index'): the path
+        # may hold a marker-committed store from another writer, and the
+        # torn-attempt cleanup below must never recursively delete
+        # committed data (never-delete-committed-data stance)
         raise FileExistsError(
-            f"a committed BM25 index already exists at {path} — save to a "
-            "new path (destructive-first overwrite would destroy the only "
-            "good copy mid-rebuild and break concurrent readers)"
+            f"committed data already exists at {path} (markers: "
+            f"{sorted(committed)}) — save to a new path (destructive-first "
+            "overwrite would destroy the only good copy mid-rebuild and "
+            "break concurrent readers)"
         )
     fs, jpath = _fs(spark, path)
     if fs.exists(jpath):  # torn previous attempt (no marker) — safe to clear

@@ -119,8 +119,20 @@ class FieldRule:
     items: object = None  # FieldRule applied to EVERY element of a JSON array
 
 
+# Unresolved-expression memo: a rule's violation Column is a pure function
+# of the (frozen, hashable) FieldRule — building it costs thousands of py4j
+# round trips for a deep ladder (~1.5 s per validate call measured at 16
+# rules), and Column objects are immutable expression TEMPLATES that resolve
+# per-query, so reusing one across calls caches no data and no plan state.
+_VIOLATION_CACHE: dict[FieldRule, Column] = {}
+
+
 def _violation(rule: FieldRule) -> Column:
-    return _violation_on(F.col(rule.field), rule)
+    col = _VIOLATION_CACHE.get(rule)
+    if col is None:
+        col = _violation_on(F.col(rule.field), rule)
+        _VIOLATION_CACHE[rule] = col
+    return col
 
 
 def _violation_on(raw: Column, rule: FieldRule) -> Column:

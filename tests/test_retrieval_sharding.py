@@ -186,6 +186,28 @@ def test_bm25_index_round_trip_and_store_guards(spark, tmp_path):
     # torn save (no marker) is invisible
     with pytest.raises(FileNotFoundError, match="no committed"):
         load_bm25_index(spark, str(tmp_path / "nowhere"))
+    # a path committed under ANY OTHER marker id is also refused — the
+    # torn-attempt cleanup must never delete committed foreign data
+    from batch_doc_vqa_spark.plans.publish import commit_marker
+
+    foreign = str(tmp_path / "foreign")
+    spark.createDataFrame([(1,)], "x long").write.parquet(f"{foreign}/data")
+    commit_marker(spark, foreign, "someone_elses_store")
+    with pytest.raises(FileExistsError, match="committed data"):
+        save_bm25_index(bm25_build(docs, "doc_id", "text"), foreign)
+    # the refused save must not have deleted the committed foreign data
+    assert spark.read.parquet(f"{foreign}/data").count() == 1
+
+
+def test_assign_shards_rejects_reserved_column_collisions(spark):
+    df = spark.createDataFrame(
+        [(1, 10, 0)], "doc_id long, n_tokens long, shard_id long"
+    )
+    with pytest.raises(ValueError, match="collide with internals"):
+        assign_shards(df, "doc_id", "n_tokens", 100)
+    df2 = spark.createDataFrame([(1, 10, 0)], "doc_id long, n_tokens long, _draw long")
+    with pytest.raises(ValueError, match="collide with internals"):
+        assign_shards(df2, "doc_id", "n_tokens", 100)
 
 
 # ---------------------------------------------------------------------------
