@@ -88,17 +88,31 @@ _SCAN_KEYS = {
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # Scan-parallelism repair, size-gated: the test tables are written as a
-    # single parquet row group, so Spark plans ONE scan task and every
-    # narrow computation on top (explodes, regex cascades, hashing, partial
-    # aggregation) serializes onto one core regardless of cluster size. When
-    # the planned scan parallelism is far below the session's (getNumPartitions
-    # is planning-time metadata, no job), one deterministic hash repartition
-    # on the primary key spreads the downstream map work; with adequately
-    # split inputs (any real multi-file table at scale) the gate disables
-    # itself and no extra exchange is paid. Predicate pushdown still reaches
-    # the scan (filters push through RepartitionByExpression).
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """_t plus scan-parallelism repair, size-gated and OPT-IN per call site.
+
+    The test tables are written as a single parquet row group, so Spark
+    plans ONE scan task and every narrow computation on top (explodes,
+    regex cascades, shingle/token hashing, vector math, partial
+    aggregation) serializes onto one core regardless of cluster size. For
+    the compute-heavy constructors a deterministic hash repartition on the
+    primary key spreads that map work across the session's cores; the gate
+    compares the PLANNED split count (file size / maxPartitionBytes — no
+    Spark job) against session parallelism, so adequately split inputs
+    (any real multi-file table at scale) pay no extra exchange. Predicate
+    pushdown still reaches the scan through RepartitionByExpression.
+
+    Opt-in, not blanket: queries whose first operation is already a
+    shuffle (plain aggregations, window prefix sums, joins) measured
+    0.2–0.8 s SLOWER with a blanket repartition in _t — the exchange buys
+    nothing when partial aggregation would have collapsed the single scan
+    task's output anyway. Only call sites with heavy per-row work between
+    the scan and the first exchange use _tp.
+    """
+    df = _t(spark, sf_dir, name)
     key = _SCAN_KEYS.get(name)
     if key is not None:
         target = spark.sparkContext.defaultParallelism
@@ -256,7 +270,7 @@ def _host_stats_oracle() -> str:
 
 
 def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    li = _tp(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         _dsum(F.col("l_quantity")).alias("sum_qty"),
         _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
@@ -540,7 +554,7 @@ def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from batch_doc_vqa_spark.operators.dedup import normalized_tokens
     from batch_doc_vqa_spark.operators.retrieval import bm25_topk
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
     queries_df = docs.filter(F.col("doc_id").isin(10, 20, 30)).select(
         F.col("doc_id").alias("query_id"),
         F.array_join(F.slice(normalized_tokens(F.col("text")), 1, 5), " ").alias(
@@ -640,7 +654,7 @@ def _q_bm25_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         save_bm25_index,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
     queries_df = docs.filter(F.col("doc_id").isin(10, 20, 30)).select(
         F.col("doc_id").alias("query_id"),
         F.array_join(F.slice(normalized_tokens(F.col("text")), 1, 5), " ").alias(
@@ -1065,12 +1079,12 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return dedup.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
 
 
 def _q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     out = dedup.dedup_resolve(docs, "doc_id", "text", n=3, threshold=0.5)
     return out.select(
         F.col("id").alias("doc_id"), "cluster_id", "keep", "cluster_size"
@@ -1081,7 +1095,7 @@ def _q_dedup_resolve_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the 100 TB composition end-to-end: MinHash+LSH candidates → connected
     # components → keep-one; base_hash="md5" so DuckDB value-checks the whole
     # chain (signatures, bands, candidate join, clustering)
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     out = dedup.dedup_resolve_lsh(docs, "doc_id", "text", n=3, threshold=0.5, base_hash="md5")
     return out.select(F.col("id").alias("doc_id"), "cluster_id", "keep", "cluster_size")
 
@@ -1093,7 +1107,7 @@ def _q_dedup_resolve_starcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolvers label every node with its component minimum, so this shares
     `dedup_resolve_lsh`'s SQL oracle verbatim — the driver gate proves the
     unbounded-topology tier is output-identical on the full pipeline."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     out = dedup.dedup_resolve_lsh(
         docs, "doc_id", "text", n=3, threshold=0.5, base_hash="md5", resolver="star"
     )
@@ -1105,7 +1119,7 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pipeline — shingle hash, 64-permutation signature, band hashes,
     # candidate join, est_jaccard — value-for-value. Production default
     # stays xxhash64 (faster); every other line of the plan is shared.
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_hashes=64, bands=16, base_hash="md5")
 
 
@@ -1330,7 +1344,7 @@ def _pii_dirty_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents with deterministically injected PII (modulus-keyed, so the
     DuckDB oracle rebuilds the identical dirt): emails, phones, IPs, SSNs,
     card numbers — several can stack on one row."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     k = F.col("doc_id")
 
     def inj(mod: int, *parts) -> F.Column:
@@ -1447,7 +1461,7 @@ def _bench_fixture(spark: SparkSession, sf_dir: str):
     snippet) is known."""
     from batch_doc_vqa_spark.operators.dedup import normalized_tokens
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     toks = docs.select("doc_id", normalized_tokens(F.col("text")).alias("_t"))
     bench = toks.filter((F.col("doc_id") % 37 == 0) & (F.size("_t") >= 24)).select(
         F.concat(F.lit("b"), F.col("doc_id").cast("string")).alias("bench_id"),
@@ -1574,7 +1588,7 @@ def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # impl="sql" + portable hash: the signature is 64 JVM sum-aggregates and
     # DuckDB reproduces the whole pipeline (see _simhash_oracle)
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3, impl="sql", base_hash="md5")
 
 
@@ -1621,7 +1635,7 @@ def _simhash_oracle() -> str:
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _t(spark, sf_dir, "embeddings").select(
+    return _tp(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
 
@@ -2113,7 +2127,7 @@ def _q_classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bias, weights = trained_quality_model()
     return textstats.classifier_score(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", bias, weights, CLF_BUCKETS
+        _tp(spark, sf_dir, "documents"), "doc_id", "text", bias, weights, CLF_BUCKETS
     )
 
 
@@ -2158,7 +2172,7 @@ def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ENTIRE pipeline — split, counts, smoothing, scoring — is the SQL
     oracle."""
     return textstats.lm_perplexity(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", broadcast_model=True
+        _tp(spark, sf_dir, "documents"), "doc_id", "text", broadcast_model=True
     )
 
 
@@ -2257,7 +2271,7 @@ def _q_classifier_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bias, weights = trained_quality_model()
     scored = textstats.classifier_score(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", bias, weights, CLF_BUCKETS
+        _tp(spark, sf_dir, "documents"), "doc_id", "text", bias, weights, CLF_BUCKETS
     )
     return score_resample(scored, "doc_id", "clf_score", seed=7, base_hash="md5")
 
@@ -2282,7 +2296,7 @@ def _classifier_resample_oracle() -> str:
 
 
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.lang_id(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return textstats.lang_id(_tp(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2385,7 +2399,7 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_lang_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.lang_id_trigram(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return textstats.lang_id_trigram(_tp(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 def _q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2394,7 +2408,7 @@ def _q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_trigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-proxy quality signal: per-doc character-trigram entropy."""
-    return textstats.char_trigram_entropy(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return textstats.char_trigram_entropy(_tp(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2410,7 +2424,7 @@ def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     # serialize the fingerprint list to a CSV string; the DuckDB oracle
     # reimplements winnowing independently (window functions over HUGEINT
     # rolling hashes) and emits the same string.
-    out = textstats.winnow_fingerprints(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    out = textstats.winnow_fingerprints(_tp(spark, sf_dir, "documents"), "doc_id", "text")
     return out.select(
         "doc_id",
         F.size("fingerprints").alias("n_fp"),
@@ -2838,7 +2852,7 @@ def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring-level dedup (Lee et al. 2022): shared 16-token intros
     planted on every doc surface as maximal duplicated spans with positions;
     unique body windows stay below min_docs."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     intro = (
         F.when(F.col("doc_id") % 3 == 0, F.lit(_INTROS[0]))
         .when(F.col("doc_id") % 3 == 1, F.lit(_INTROS[1]))
@@ -2852,7 +2866,7 @@ def _q_dedup_spans_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-dedup REMOVAL: the planted shared intros are sliced out of
     every document's token stream; md5 proves byte-exact cleaning (docs with
     no spans pass through byte-identical)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     intro = (
         F.when(F.col("doc_id") % 3 == 0, F.lit(_INTROS[0]))
         .when(F.col("doc_id") % 3 == 1, F.lit(_INTROS[1]))
