@@ -1079,12 +1079,12 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _tp(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents")
     return dedup.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
 
 
 def _q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _tp(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents")
     out = dedup.dedup_resolve(docs, "doc_id", "text", n=3, threshold=0.5)
     return out.select(
         F.col("id").alias("doc_id"), "cluster_id", "keep", "cluster_size"
@@ -2229,7 +2229,7 @@ def _q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct (lang, ppl) value table (integer compares only, ties share a
     bucket), so the oracle is exact with no cross-engine quantile
     interpolation. Short docs (NULL ppl) come out 'unscored'."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     lm = textstats.lm_perplexity(docs, "doc_id", "text", broadcast_model=True)
     scored = docs.select("doc_id", "lang").join(lm.select("doc_id", "ppl"), "doc_id")
     out = textstats.ppl_buckets(scored, "doc_id", "lang", "ppl", broadcast_cuts=True)
