@@ -1634,14 +1634,20 @@ def _simhash_oracle() -> str:
     """
 
 
-def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _tp(spark, sf_dir, "embeddings").select(
+def _emb(spark: SparkSession, sf_dir: str, parallel: bool = False) -> DataFrame:
+    # parallel=True (scan repair, see _tp) only for the consumers whose
+    # per-row vector math dominates BEFORE any exchange (brute cosine,
+    # hyperplane signatures, semdedup assignment/pair scan); the PQ family
+    # re-reads the embedding frame from several subtrees and measured
+    # slightly SLOWER with the extra repartition (ivfpq 1.65 vs 1.76 s).
+    read = _tp if parallel else _t
+    return read(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
 
 
 def _q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
+    emb = _emb(spark, sf_dir, parallel=True)
     queries = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
@@ -1986,7 +1992,7 @@ def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     paper's diversity rule. The oracle replays the whole pipeline: argmax
     assignment, within-cell pairs, recursive-CTE components, keep ranking."""
     return similarity.semdedup(
-        _emb(spark, sf_dir), threshold=0.4, n_centroids=16
+        _emb(spark, sf_dir, parallel=True), threshold=0.4, n_centroids=16
     )
 
 
@@ -2027,11 +2033,11 @@ def _semdedup_oracle(threshold: float = 0.4, n_centroids: int = 16) -> str:
 
 
 def _q_embedding_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.4)
+    return similarity.embedding_dup_pairs(_emb(spark, sf_dir, parallel=True), threshold=0.4)
 
 
 def _q_embedding_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.embedding_dup_pairs_lsh(_emb(spark, sf_dir), dim=64, threshold=0.4)
+    return similarity.embedding_dup_pairs_lsh(_emb(spark, sf_dir, parallel=True), dim=64, threshold=0.4)
 
 
 def _hyperplane_sig_sql(vec: str, n_planes: int, dim: int, seed: int) -> str:
