@@ -34,12 +34,13 @@ _HASH_BITS = 60  # 15 md5 hex chars
 
 
 def _alpha(m: int) -> float:
-    if m == 16:
-        return 0.673
-    if m == 32:
-        return 0.697
-    if m == 64:
-        return 0.709
+    # The general Flajolet formula for EVERY m — deliberately including the
+    # small-m sizes where the paper tabulates constants (0.673/0.697/0.709):
+    # the SQL oracles embed 0.7213/(1 + 1.079/m) verbatim, and the kernel =
+    # oracle rule wins over the tabulated rounding. (r7: the old special
+    # cases diverged from the oracle by ~0.05% on any fixture large enough
+    # to take the raw-estimate branch — registers were identical, the
+    # estimate was not.)
     return 0.7213 / (1.0 + 1.079 / m)
 
 
